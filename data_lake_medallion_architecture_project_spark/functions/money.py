@@ -1,0 +1,53 @@
+"""Cross-engine-deterministic money aggregation.
+
+Summing doubles is order-dependent; Spark's partial aggregation order differs
+from any other engine's, so ``SUM(double)`` can differ in the last ulp between
+Spark and the DuckDB oracle — enough to break a value-hash comparison. The
+reference sidesteps this by being single-threaded pandas; a distributed engine
+cannot.
+
+Discipline used by every money aggregate in this repo:
+
+1. Cast each input to ``DECIMAL(18, s)`` *before* aggregating. Inputs are
+   written with ≤2 (sometimes ≤6 after arithmetic) decimal digits, so the cast
+   is exact and the decimal SUM is exact and order-independent.
+2. Cast the exact decimal result back to ``DOUBLE`` for the output column —
+   the same decimal value maps to the same double in every engine.
+3. For averages, divide the exact-double sum by the row count: two identical
+   IEEE-754 doubles divide to identical results everywhere. Never round a
+   computed double — ``round`` half-way behavior on binary doubles is the one
+   thing engines genuinely disagree on.
+
+Each Spark helper has an ``oracle_*`` twin that renders the equivalent ANSI SQL
+for DuckDB, guaranteeing the two sides of the driver's comparison do the same
+exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:
+    """Exact, order-independent SUM of a fixed-point double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:
+    """AVG as exact-double-sum / non-null count (matches SQL AVG null handling)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+    return (total / F.count(c)).alias(alias)
+
+
+def oracle_dec_sum(expr: str, alias: str, scale: int = 2, precision: int = 18) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE) AS {alias}"
+
+
+def oracle_dec_avg(expr: str, alias: str, scale: int = 2, precision: int = 18) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

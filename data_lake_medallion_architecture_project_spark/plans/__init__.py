@@ -1,0 +1,6 @@
+from .registry import REGISTRY, Query, register  # noqa: F401
+
+# Importing the plan modules populates REGISTRY via their @register decorators.
+from . import medallion  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402
+from . import extensions  # noqa: F401,E402

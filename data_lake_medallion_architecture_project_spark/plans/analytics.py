@@ -1,0 +1,368 @@
+"""Join / window / top-k / set-op analytics over the TPC-H-ish testdata.
+
+The reference implements no joins at all (SURVEY.md §2.7 declare-absent list);
+these queries are the north-star extension surface the driver's oracle workload
+is shaped for. Each is written Spark-first:
+
+* small dims (``region``, ``nation``) are broadcast explicitly — at 100 TB the
+  fact side is thousands of partitions and a shuffle of the dim is pure waste;
+* fact⋈fact joins (orders⋈lineitem) shuffle on the join key and rely on AQE
+  for skew splitting;
+* filters are applied before joins so Catalyst pushes them into the parquet
+  scan (verified via .explain — PushedFilters on o_orderdate etc.);
+* money arithmetic follows the decimal-exact discipline in functions/money.py,
+  with derived products (price×(1−disc)) rounded through DECIMAL(18,4) so the
+  Spark and DuckDB sides sum identical exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum
+from ..sources.readers import load_table
+from .registry import register
+
+# disc_price as an exact DECIMAL(18,4): the double product is within ~1e-12 of
+# the true 4-decimal value, so the cast recovers it exactly in both engines.
+# (Built lazily — Column construction needs an active SparkSession.)
+def _disc_price() -> F.Column:
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+def _charge() -> F.Column:
+    return (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+
+
+_DISC_PRICE_SQL = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
+_CHARGE_SQL = "CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))"
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q1 — pricing summary. The canonical scan→filter→agg benchmark query.
+# --------------------------------------------------------------------------- #
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dec_sum("l_quantity", "sum_qty")},
+  {oracle_dec_sum("l_extendedprice", "sum_base_price")},
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+  {oracle_dec_avg("l_quantity", "avg_qty")},
+  {oracle_dec_avg("l_extendedprice", "avg_price")},
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_Q1_ORACLE, tags=("bench", "tpch"))
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: wide aggregate over filtered lineitem; the filter pushes to
+    the parquet scan and the aggregate is a single shuffle with partials."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(_charge()).cast("double").alias("sum_charge"),
+        dec_avg("l_quantity", "avg_qty"),
+        dec_avg("l_extendedprice", "avg_price"),
+        dec_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q3 flavor — segment revenue per customer (3-way join, fact⋈fact).
+# --------------------------------------------------------------------------- #
+
+_Q3_ORACLE = f"""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+  COUNT(DISTINCT o.o_orderkey) AS order_count
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@register("customer_segment_revenue", oracle=_Q3_ORACLE, tags=("bench", "tpch", "join"))
+def customer_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 flavor: customer⋈orders⋈lineitem with a selective dim filter.
+
+    The segment filter cuts customer to ~20%, small enough to broadcast into
+    the orders join; the orders⋈lineitem join shuffles on the order key.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _disc_price().alias("disc_price")
+    )
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q5 flavor — revenue rollup through the full dim chain.
+# --------------------------------------------------------------------------- #
+
+_Q5_ORACLE = f"""
+SELECT
+  r.r_name,
+  n.n_name,
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+  COUNT(*) AS lineitem_count
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("region_nation_revenue", oracle=_Q5_ORACLE, tags=("bench", "tpch", "join"))
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 flavor: 5-table star join. region/nation/customer are broadcast
+    (dims), lineitem⋈orders shuffles once on the order key."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _disc_price().alias("disc_price")
+    )
+    dims = (
+        F.broadcast(region)
+        .join(F.broadcast(nation), nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .select("r_name", "n_name", "c_custkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Window function — top-N orders per customer (deterministic tie-break).
+# --------------------------------------------------------------------------- #
+
+_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, order_rank
+FROM (
+  SELECT
+    o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS order_rank
+  FROM orders
+)
+WHERE order_rank <= 3
+"""
+
+
+@register("customer_top_orders", oracle=_WINDOW_ORACLE, tags=("bench", "window"))
+def customer_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer via row_number window; tie-broken on
+    the key so the result is deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("order_rank"),
+        )
+        .filter(F.col("order_rank") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Global top-k with deterministic ordering.
+# --------------------------------------------------------------------------- #
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("top_orders", oracle=_TOPK_ORACLE, tags=("topk",))
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 orders. Spark plans this as TakeOrderedAndProject —
+    per-partition heaps + single merge, no full sort, no full shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Anti join — customers with no orders in a window.
+# --------------------------------------------------------------------------- #
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+"""
+
+
+@register("inactive_customers", oracle=_ANTI_ORACLE, tags=("join",))
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no 2001 orders. The filtered orders side
+    is small → broadcast anti join, no shuffle of customer."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return cust.join(
+        F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Semi join + dim rollup — active customers per nation.
+# --------------------------------------------------------------------------- #
+
+_SEMI_ORACLE = """
+SELECT n.n_name, COUNT(*) AS active_customers
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+GROUP BY n.n_name
+"""
+
+
+@register("active_customers_by_nation", oracle=_SEMI_ORACLE, tags=("join",))
+def active_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + broadcast dim join + count rollup."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    active = cust.join(F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_semi")
+    return (
+        active.join(F.broadcast(nation), active.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Ratio aggregate — discount share per return flag (exact-double division).
+# --------------------------------------------------------------------------- #
+
+_RATIO_ORACLE = f"""
+SELECT
+  l_returnflag,
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS discounted_share,
+  {oracle_dec_sum("l_extendedprice", "gross_revenue")}
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("discount_share", oracle=_RATIO_ORACLE, tags=("tpch",))
+def discount_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of discounted to gross revenue per return flag; both operands are
+    exact decimal sums so the double division is engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(_disc_price()).cast("double")
+            / F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        ).alias("discounted_share"),
+        dec_sum("l_extendedprice", "gross_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Supplier rollup through a fact⋈dim join.
+# --------------------------------------------------------------------------- #
+
+_SUPP_ORACLE = f"""
+SELECT
+  s.s_suppkey,
+  s.s_name,
+  COUNT(DISTINCT l.l_partkey) AS parts_supplied,
+  {oracle_dec_sum("l.l_quantity", "total_quantity")},
+  {oracle_dec_sum("l.l_extendedprice", "total_revenue")}
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("supplier_stats", oracle=_SUPP_ORACLE, tags=("join",))
+def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier rollup; supplier is tiny → broadcast, lineitem aggregates
+    map-side first on l_suppkey."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts_supplied"),
+            dec_sum("l_quantity", "total_quantity"),
+            dec_sum("l_extendedprice", "total_revenue"),
+        )
+    )

@@ -1,0 +1,272 @@
+"""North-star extension queries: dedup, text analysis, similarity search.
+
+These run over the driver's ``documents`` (doc_id, text, lang, source,
+n_chars) and ``embeddings`` (vec_id, embedding array<float>, label) tables —
+the surface a 100 TB training-data pipeline needs beyond the reference's
+operators (SURVEY.md §2.7).
+
+Determinism rules (shared with plans/medallion.py): integer counts stay
+integers; every emitted double is either a division of two exact integers or a
+fold over identical doubles in identical order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    bag_fingerprint,
+    distinct_token_count,
+    stopword_count,
+    token_count,
+    tokenize,
+    total_token_chars,
+)
+from ..operators.dedup import exact_dedup, jaccard_similar_pairs, minhash_near_dup
+from ..operators.similarity import brute_force_topk
+from ..sources.readers import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------- #
+# Exact dedup — content-hash groupBy (the 100 TB cheap path).
+# --------------------------------------------------------------------------- #
+
+_EXACT_DEDUP_ORACLE = """
+SELECT
+  md5(text) AS content_hash,
+  MIN(doc_id) AS canonical_id,
+  COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("exact_dedup_documents", oracle=_EXACT_DEDUP_ORACLE, tags=("bench", "dedup"))
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one canonical doc id per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, id_col="doc_id", content_col="text")
+
+
+# --------------------------------------------------------------------------- #
+# Token statistics per document.
+# --------------------------------------------------------------------------- #
+
+_TOKEN_STATS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT
+  doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_unique_tokens,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_token_chars,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks) AS avg_token_len,
+  len(list_distinct(toks)) / len(toks) AS type_token_ratio
+FROM t
+"""
+
+
+@register("doc_token_stats", oracle=_TOKEN_STATS_ORACLE, tags=("bench", "text"))
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics via JVM-side array folds (no UDFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        token_count(toks).alias("n_tokens"),
+        distinct_token_count(toks).alias("n_unique_tokens"),
+        total_token_chars(toks).alias("n_token_chars"),
+        (total_token_chars(toks) / token_count(toks)).alias("avg_token_len"),
+        (distinct_token_count(toks) / token_count(toks)).alias("type_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Corpus-level token frequencies (explode → groupBy).
+# --------------------------------------------------------------------------- #
+
+_TOKEN_FREQ_ORACLE = """
+SELECT w AS token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+GROUP BY w
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("token_frequencies", oracle=_TOKEN_FREQ_ORACLE, tags=("text",))
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term + document frequencies (freq ≥ 5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("freq") >= 5)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Quality scoring — stopword/type-token heuristics (integer-exact ratios).
+# --------------------------------------------------------------------------- #
+
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT
+  doc_id,
+  len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) / len(toks) AS stopword_ratio,
+  len(list_distinct(toks)) / len(toks) AS type_token_ratio,
+  (len(toks) BETWEEN 10 AND 1000)
+    AND (len(list_distinct(toks)) / len(toks) > 0.2) AS passes_quality
+FROM t
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_ORACLE, tags=("text",))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality gates: stopword ratio, lexical diversity, length band."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    ttr = distinct_token_count(toks) / token_count(toks)
+    return docs.select(
+        "doc_id",
+        (stopword_count(toks) / token_count(toks)).alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        (
+            F.col("doc_id").isNotNull()  # keep expression shape parallel to SQL
+            & token_count(toks).between(10, 1000)
+            & (ttr > 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Document fingerprint — md5 over the sorted distinct token bag.
+# --------------------------------------------------------------------------- #
+
+_FINGERPRINT_ORACLE = """
+SELECT
+  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+    AS fingerprint,
+  MIN(doc_id) AS canonical_id,
+  COUNT(*) AS member_count
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("doc_fingerprint_groups", oracle=_FINGERPRINT_ORACLE, tags=("dedup", "text"))
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: same vocabulary → same group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(bag_fingerprint(tokenize("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("member_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Exact n-gram Jaccard near-dup pairs (inverted-index self-join).
+# --------------------------------------------------------------------------- #
+
+_JACCARD_ORACLE = """
+WITH sets AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents
+),
+words AS (SELECT doc_id, unnest(toks) AS w FROM sets),
+sizes AS (SELECT doc_id, len(toks) AS sz FROM sets),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
+FROM inter
+JOIN sizes x ON id_a = x.doc_id
+JOIN sizes y ON id_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.9
+"""
+
+
+@register("jaccard_near_dup_pairs", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.9 pairs. Quadratic in posting-list length —
+    the exact verifier; at corpus scale run behind MinHash-LSH candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_similar_pairs(docs, id_col="doc_id", text_col="text", threshold=0.9)
+
+
+@register("minhash_near_dup_pairs", oracle=None, tags=("dedup",))
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact verification (rows-only check:
+    the seeded hash family is not expressible in the DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup(
+        docs, id_col="doc_id", text_col="text", threshold=0.9, num_perms=32, bands=8
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Similarity search — exact cosine top-k (rank contract, see operator doc).
+# --------------------------------------------------------------------------- #
+
+_SIM_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+p AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_sum(list_transform(list_zip(q.e, c.e), t -> t[1] * t[2])) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+)
+SELECT qid, cid, rank FROM (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM p
+)
+WHERE rank <= 5
+"""
+
+
+@register("similarity_topk", oracle=_SIM_ORACLE, tags=("bench", "similarity"))
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+# --------------------------------------------------------------------------- #
+# Embedding corpus statistics.
+# --------------------------------------------------------------------------- #
+
+_EMB_STATS_ORACLE = """
+SELECT label, COUNT(*) AS n_vectors, MIN(len(embedding)) AS min_dim,
+       MAX(len(embedding)) AS max_dim
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("embedding_stats", oracle=_EMB_STATS_ORACLE, tags=("similarity",))
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity rollup over the embedding corpus (per-label counts and dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(F.size("embedding")).cast("long").alias("min_dim"),
+        F.max(F.size("embedding")).cast("long").alias("max_dim"),
+    )

@@ -1,0 +1,350 @@
+"""Medallion Gold-layer aggregates (A1-A7) re-expressed over the driver testdata.
+
+The reference's query workload IS its seven Gold aggregate builds
+(``/root/reference/pipeline/silver_to_gold.py:47-207``; SURVEY.md §2.5). The
+driver's correctness gate runs on the TPC-H-ish testdata tables, so each Gold
+build is mapped onto the semantically matching testdata table:
+
+* A1 daily_sales_summary      → ``orders`` grouped by order date
+* A2 category_sales_summary   → ``lineitem ⋈ part`` grouped by (date, brand)
+* A3 payment_method_summary   → ``orders`` grouped by (date, orderpriority)
+* A4 customer_activity_summary→ ``events`` grouped by (date, event_type)
+* A5 device_usage_summary     → ``events`` grouped by date (daily rollup)
+* A6 inventory_movement_summary → ``lineitem`` grouped by (date, flag, status)
+* A7 inventory_net_position   → ``events`` pivoted on event_type with a
+  derived net column (mirrors the inbound−outbound pivot at
+  silver_to_gold.py:189-207, incl. the explicit pivot value list and fill-0)
+
+Plus the Silver validation kernel (P3-P6, F7-F9 — bronze_to_silver.py:88-128)
+as ``silver_validate_events``.
+
+Scale notes: all aggregates are single-shuffle hash aggregations with map-side
+partial aggregation; Catalyst pushes the column pruning into the parquet scan.
+The one join (A2) broadcasts nothing by default — ``part`` is ~1/5 the size of
+``lineitem`` and grows with SF, so it stays a shuffle join and AQE may demote
+it to broadcast at small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum
+from ..schemas import EVENTS_EVENT_TYPES
+from ..sources.readers import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------- #
+# A1 — daily_sales_summary (silver_to_gold.py:47-59)
+# --------------------------------------------------------------------------- #
+
+_A1_ORACLE = f"""
+SELECT
+  strftime(o_orderdate, '%Y-%m-%d') AS date,
+  {oracle_dec_sum("o_totalprice", "total_revenue")},
+  COUNT(DISTINCT o_orderkey) AS order_count,
+  {oracle_dec_avg("o_totalprice", "avg_order_value")},
+  COUNT(DISTINCT o_custkey) AS unique_customers
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("daily_sales_summary", oracle=_A1_ORACLE, tags=("bench", "gold"))
+def daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: revenue / order count / AOV / distinct customers per day."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+            "o_totalprice",
+            "o_orderkey",
+            "o_custkey",
+        )
+        .groupBy("date")
+        .agg(
+            dec_sum("o_totalprice", "total_revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+            dec_avg("o_totalprice", "avg_order_value"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A2 — category_sales_summary (silver_to_gold.py:62-73); category → p_brand
+# --------------------------------------------------------------------------- #
+
+_A2_ORACLE = f"""
+SELECT
+  strftime(l.l_shipdate, '%Y-%m-%d') AS date,
+  p.p_brand AS category,
+  {oracle_dec_sum("l.l_extendedprice", "category_revenue")},
+  COUNT(DISTINCT l.l_orderkey) AS category_orders,
+  {oracle_dec_avg("p.p_retailprice", "avg_unit_price")}
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY strftime(l.l_shipdate, '%Y-%m-%d'), p.p_brand
+"""
+
+
+@register("category_sales_summary", oracle=_A2_ORACLE, tags=("bench", "gold", "join"))
+def category_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-day, per-brand revenue; exercises the fact⋈dim join."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"), "l_partkey", "l_orderkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("date", F.col("p_brand").alias("category"))
+        .agg(
+            dec_sum("l_extendedprice", "category_revenue"),
+            F.countDistinct("l_orderkey").alias("category_orders"),
+            dec_avg("p_retailprice", "avg_unit_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A3 — payment_method_summary (silver_to_gold.py:76-86); method → orderpriority
+# --------------------------------------------------------------------------- #
+
+_A3_ORACLE = f"""
+SELECT
+  strftime(o_orderdate, '%Y-%m-%d') AS date,
+  o_orderpriority AS payment_method,
+  {oracle_dec_sum("o_totalprice", "payment_revenue")},
+  COUNT(DISTINCT o_orderkey) AS payment_count
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+"""
+
+
+@register("payment_method_summary", oracle=_A3_ORACLE, tags=("gold",))
+def payment_method_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: revenue and order count per day per priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+            F.col("o_orderpriority").alias("payment_method"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        .groupBy("date", "payment_method")
+        .agg(
+            dec_sum("o_totalprice", "payment_revenue"),
+            F.countDistinct("o_orderkey").alias("payment_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A4 — customer_activity_summary (silver_to_gold.py:119-129)
+# --------------------------------------------------------------------------- #
+
+_A4_ORACLE = """
+SELECT
+  strftime(ts, '%Y-%m-%d') AS date,
+  event_type,
+  COUNT(event_id) AS event_count,
+  COUNT(DISTINCT user_id) AS unique_users,
+  COUNT(DISTINCT props) AS unique_props
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+"""
+
+
+@register("customer_activity_summary", oracle=_A4_ORACLE, tags=("bench", "gold"))
+def customer_activity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: event count + distinct users/props per day per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type", "event_id", "user_id", "props")
+        .groupBy("date", "event_type")
+        .agg(
+            F.count("event_id").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.countDistinct("props").alias("unique_props"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A5 — device_usage_summary (silver_to_gold.py:131-141); daily rollup shape
+# --------------------------------------------------------------------------- #
+
+_A5_ORACLE = f"""
+SELECT
+  strftime(ts, '%Y-%m-%d') AS date,
+  COUNT(event_id) AS event_count,
+  COUNT(DISTINCT user_id) AS unique_users,
+  {oracle_dec_sum("value", "total_value")}
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+@register("daily_event_summary", oracle=_A5_ORACLE, tags=("gold",))
+def daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analog: whole-day event rollup (count, distinct users, value sum)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_id", "user_id", "value")
+        .groupBy("date")
+        .agg(
+            F.count("event_id").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            dec_sum("value", "total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A6 — inventory_movement_summary (silver_to_gold.py:175-186); multi-key agg
+# --------------------------------------------------------------------------- #
+
+_A6_ORACLE = f"""
+SELECT
+  strftime(l_shipdate, '%Y-%m-%d') AS date,
+  l_returnflag,
+  l_linestatus,
+  {oracle_dec_sum("l_quantity", "total_quantity")},
+  {oracle_dec_sum("l_extendedprice", "total_cost")},
+  COUNT(l_orderkey) AS movement_count
+FROM lineitem
+GROUP BY strftime(l_shipdate, '%Y-%m-%d'), l_returnflag, l_linestatus
+"""
+
+
+@register("inventory_movement_summary", oracle=_A6_ORACLE, tags=("gold",))
+def inventory_movement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: quantity/cost/count over a compound grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"),
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_orderkey",
+        )
+        .groupBy("date", "l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "total_quantity"),
+            dec_sum("l_extendedprice", "total_cost"),
+            F.count("l_orderkey").alias("movement_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A7 — inventory_net_position (silver_to_gold.py:189-207): pivot + derived col
+# --------------------------------------------------------------------------- #
+
+def _a7_oracle() -> str:
+    cols = ",\n  ".join(
+        "CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS {t}".format(t=t)
+        for t in EVENTS_EVENT_TYPES
+    )
+    return f"""
+SELECT
+  strftime(ts, '%Y-%m-%d') AS date,
+  {cols},
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+    - CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+    AS net_position
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+@register("event_net_position", oracle=_a7_oracle(), tags=("bench", "gold", "pivot"))
+def event_net_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: pivot on an enum column with explicit value list, fill-0, and a
+    derived net column (purchase − error, mirroring inbound − outbound)."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        )
+        .groupBy("date")
+        # Explicit value list (not inferred) — mirrors silver_to_gold.py:200-202
+        # and, at scale, avoids the extra distinct-values job Spark runs when
+        # pivot values are not supplied.
+        .pivot("event_type", list(EVENTS_EVENT_TYPES))
+        .agg(F.sum("value_dec"))
+    )
+    for t in EVENTS_EVENT_TYPES:
+        pivoted = pivoted.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("double"))
+    return pivoted.withColumn("net_position", F.col("purchase") - F.col("error"))
+
+
+# --------------------------------------------------------------------------- #
+# Silver validation kernel (bronze_to_silver.py:88-128) over `events`:
+# null checks in declared order, then enum membership, then a range rule,
+# accumulating the reference's exact "MSG; " error-string format (F7-F9).
+# --------------------------------------------------------------------------- #
+
+_VALID_TYPES_SQL = "('click', 'view', 'purchase', 'signup')"
+_SILVER_ORACLE = f"""
+SELECT
+  event_id,
+  TRIM(
+    CONCAT(
+      CASE WHEN event_id IS NULL THEN 'NULL:event_id; ' ELSE '' END,
+      CASE WHEN ts IS NULL THEN 'NULL:ts; ' ELSE '' END,
+      CASE WHEN user_id IS NULL THEN 'NULL:user_id; ' ELSE '' END,
+      CASE WHEN event_type IS NULL THEN 'NULL:event_type; ' ELSE '' END,
+      CASE WHEN event_type IS NOT NULL AND event_type NOT IN {_VALID_TYPES_SQL}
+           THEN 'INVALID_EVENT_TYPE; ' ELSE '' END,
+      CASE WHEN value IS NOT NULL AND value <= 0 THEN 'NON_POSITIVE_VALUE; ' ELSE '' END
+    )
+  ) AS validation_errors,
+  TRIM(
+    CONCAT(
+      CASE WHEN event_id IS NULL THEN 'NULL:event_id; ' ELSE '' END,
+      CASE WHEN ts IS NULL THEN 'NULL:ts; ' ELSE '' END,
+      CASE WHEN user_id IS NULL THEN 'NULL:user_id; ' ELSE '' END,
+      CASE WHEN event_type IS NULL THEN 'NULL:event_type; ' ELSE '' END,
+      CASE WHEN event_type IS NOT NULL AND event_type NOT IN {_VALID_TYPES_SQL}
+           THEN 'INVALID_EVENT_TYPE; ' ELSE '' END,
+      CASE WHEN value IS NOT NULL AND value <= 0 THEN 'NON_POSITIVE_VALUE; ' ELSE '' END
+    )
+  ) = '' AS is_valid
+FROM events
+"""
+
+
+@register("silver_validate_events", oracle=_SILVER_ORACLE, tags=("silver",))
+def silver_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Silver validation semantics: ordered null checks, enum
+    membership, range rule; error strings byte-compatible with the
+    ``"MSG; "``-accumulate-then-strip format of bronze_to_silver.py:59-77."""
+    events = load_table(spark, sf_dir, "events")
+    pieces = [
+        F.when(F.col("event_id").isNull(), F.lit("NULL:event_id; ")).otherwise(""),
+        F.when(F.col("ts").isNull(), F.lit("NULL:ts; ")).otherwise(""),
+        F.when(F.col("user_id").isNull(), F.lit("NULL:user_id; ")).otherwise(""),
+        F.when(F.col("event_type").isNull(), F.lit("NULL:event_type; ")).otherwise(""),
+        F.when(
+            F.col("event_type").isNotNull()
+            & ~F.col("event_type").isin("click", "view", "purchase", "signup"),
+            F.lit("INVALID_EVENT_TYPE; "),
+        ).otherwise(""),
+        F.when(
+            F.col("value").isNotNull() & (F.col("value") <= 0),
+            F.lit("NON_POSITIVE_VALUE; "),
+        ).otherwise(""),
+    ]
+    errors = F.trim(F.concat(*pieces))
+    return events.select(
+        "event_id",
+        errors.alias("validation_errors"),
+        (errors == "").alias("is_valid"),
+    )

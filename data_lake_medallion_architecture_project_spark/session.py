@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (``/root/reference/``) has no session concept — it is eager pandas in
+one process. Here every plan is lazy Catalyst; the configs below are the knobs that
+matter when the same plans run on a 1000-executor cluster against ~100 TB:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy demotion are the difference between a tuned and an
+  untuned plan at scale.
+* ``spark.sql.shuffle.partitions`` — sized for local[32] testing; on a real
+  cluster AQE coalesces from a deliberately high initial number instead.
+* Arrow enabled — every pandas_udf / toPandas boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_lake_medallion_architecture_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so tests and bench share one code path; on a cluster the
+    caller passes no master and spark-submit decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- Adaptive execution: coalesce shuffle partitions, split skewed
+        #    partitions, demote to broadcast joins at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- IO: vectorized parquet reader is on by default; keep split sizes
+        #    large enough that small SF test files do not over-partition.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # -- Python boundary: always Arrow.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- ANSI off: we want try_/coerce-to-null semantics matching the
+        #    reference's errors="coerce" behavior, not exceptions.
+        .config("spark.sql.ansi.enabled", "false")
+        # -- Timestamps: testdata parquet stores naive timestamps; keep them
+        #    session-tz independent by pinning UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every query in the registry on Spark and its oracle SQL on DuckDB against
+the same sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified). Exit non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.map(lambda v: None if v is None else str(v))
+    return df
+
+
+def value_hash(df: pd.DataFrame, float_sig: int = 12) -> str:
+    """Order-insensitive hash: round floats to float_sig significant digits,
+    stringify, sort rows, sha256."""
+    df = _normalize(df)
+    cells = []
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            cells.append(col.map(lambda v: "null" if pd.isna(v) else format(v, f".{float_sig}g")))
+        elif pd.api.types.is_datetime64_any_dtype(col):
+            cells.append(col.map(lambda v: "null" if pd.isna(v) else v.isoformat()))
+        else:
+            cells.append(col.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)))
+    rows = sorted("|".join(vals) for vals in zip(*[c.tolist() for c in cells])) if cells else []
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+    from data_lake_medallion_architecture_project_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        spark_pdf = q.build(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if q.oracle is None:
+            print(f"  {name:32s} rows-only: {len(spark_pdf):>8d} rows  [{t_spark:5.1f}s]")
+            continue
+        oracle_pdf = con.sql(q.oracle).df()
+        problems = []
+        if len(spark_pdf) != len(oracle_pdf):
+            problems.append(f"rowcount {len(spark_pdf)} vs {len(oracle_pdf)}")
+        if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+            problems.append(f"columns {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}")
+        else:
+            hs, ho = value_hash(spark_pdf), value_hash(oracle_pdf)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name:32s} {status} {len(spark_pdf):>8d} rows  [{t_spark:5.1f}s]"
+              + (f"  {problems}" if problems else ""))
+        if problems:
+            failures.append((name, problems, spark_pdf, oracle_pdf))
+
+    for name, problems, spark_pdf, oracle_pdf in failures:
+        print(f"\n=== {name}: {problems}")
+        s = _normalize(spark_pdf)
+        o = _normalize(oracle_pdf)
+        key = sorted(s.columns)
+        s = s.sort_values(key).reset_index(drop=True)
+        o = o.sort_values(key).reset_index(drop=True)
+        if len(s) == len(o):
+            for c in s.columns:
+                neq = (s[c].astype(str) != o[c].astype(str))
+                if neq.any():
+                    i = neq.idxmax()
+                    print(f"  col {c}: {int(neq.sum())} diffs; first at row {i}: "
+                          f"spark={s[c][i]!r} oracle={o[c][i]!r}")
+        else:
+            print(s.head(3), "\n--- oracle:\n", o.head(3))
+
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
