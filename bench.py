@@ -1,0 +1,58 @@
+"""Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Headline set = queries tagged "bench" in the registry (scan-heavy aggregate,
+join chains, pivot, window, dedup, text, similarity) — the queries whose plan
+shape matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY, bench_queries  # noqa: E402
+from data_lake_medallion_architecture_project_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches with a trivial action so the first
+    # measured query doesn't pay session startup.
+    REGISTRY["top_orders"].build(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries().items():
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
