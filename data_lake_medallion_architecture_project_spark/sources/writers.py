@@ -1,0 +1,62 @@
+"""Layer writers — the medallion storage layout, Spark-native.
+
+Replaces ``/root/reference/storage/local_storage.py``:
+
+* Hive path builder (:33-41) → ``partitionBy("year","month","day")`` — Spark
+  writes the same ``year=YYYY/month=MM/day=DD`` tree and gets partition
+  pruning on read for free. Partitions derive from *processing* date, like the
+  reference (ingest-time, not event-time).
+* Silver parquet sink (:111-126) → partitioned append.
+* Gold snapshot sink (:144-155) → append with a run-constant ``generated_at``
+  column instead of timestamped filenames; readers select the latest run.
+
+At scale the append-only layout keeps writes conflict-free across executors;
+compaction/Delta is the upgrade path, not required for parity.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_ingest_partitions(df: DataFrame, ingest_time: datetime | None = None) -> DataFrame:
+    t = ingest_time or datetime.now(timezone.utc)
+    return (
+        df.withColumn("year", F.lit(f"{t.year:04d}"))
+        .withColumn("month", F.lit(f"{t.month:02d}"))
+        .withColumn("day", F.lit(f"{t.day:02d}"))
+    )
+
+
+def write_silver(
+    df: DataFrame, silver_root: str, domain: str, ingest_time: datetime | None = None
+) -> str:
+    """Append a cleaned batch into the partitioned Silver tree."""
+    path = os.path.join(silver_root, domain)
+    (
+        _with_ingest_partitions(df, ingest_time)
+        .write.mode("append")
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+    )
+    return path
+
+
+def write_gold_snapshot(df: DataFrame, gold_root: str, table: str) -> str:
+    """Append a full Gold snapshot; ``generated_at`` (already stamped by the
+    builder) identifies the run, mirroring the timestamped-file convention."""
+    path = os.path.join(gold_root, table)
+    df.write.mode("append").parquet(path)
+    return path
+
+
+def read_latest_gold(spark, gold_root: str, table: str) -> DataFrame:
+    """Read only the most recent snapshot of a Gold table."""
+    path = os.path.join(gold_root, table)
+    df = spark.read.parquet(path)
+    latest = df.select(F.max("generated_at").alias("g")).first()["g"]
+    return df.filter(F.col("generated_at") == latest)

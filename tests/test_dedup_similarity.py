@@ -1,0 +1,106 @@
+"""Property tests for the dedup and similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_near_dup,
+)
+from data_lake_medallion_architecture_project_spark.operators.similarity import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox leaps over the lazy dog",  # near dup of 0
+        "completely different content about spark engines",
+        "spark engines about content different completely",  # permutation of 3
+        "a totally unrelated sentence with unique words here",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups_identical_content(docs):
+    out = {r["canonical_id"]: r["dup_count"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0] == 2  # docs 0 and 1 share a hash, canonical = min id
+    assert 1 not in out
+    assert sum(out.values()) == 6
+
+
+def test_exact_dedup_idempotent(docs):
+    once = exact_dedup(docs, "doc_id", "text")
+    again = exact_dedup(
+        once.selectExpr("canonical_id as doc_id", "content_hash as text"), "doc_id", "text"
+    )
+    assert again.count() == once.count()
+
+
+def test_jaccard_pairs_find_near_duplicates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert pairs[(0, 2)] >= 0.7  # one-word swap
+    assert pairs[(3, 4)] == 1.0  # word permutation, same set
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_minhash_matches_exact_jaccard_on_high_threshold(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    # LSH verification step makes precision exact; recall may drop pairs whose
+    # bands all miss, but identical sets always collide in every band.
+    assert approx <= exact
+    assert (0, 1) in approx and (3, 4) in approx
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(df.filter(F.col("vec_id") < 3), df, k=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["cid"]))
+
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for qid in range(3):
+        cos = (v @ v[qid]) / (norms * norms[qid])
+        order = [
+            int(i)
+            for i in sorted(range(30), key=lambda i: (-cos[i], i))
+            if i != qid
+        ][:4]
+        expect = [(rank + 1, cid) for rank, cid in enumerate(order)]
+        assert sorted(got[qid]) == expect
+
+
+def test_topk_rank_bounds(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    out = brute_force_topk(df.limit(2), df, k=3).toPandas()
+    assert out.groupby("qid")["rank"].max().le(3).all()
+    assert (out.qid != out.cid).all()
