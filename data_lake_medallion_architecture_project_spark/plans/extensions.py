@@ -71,16 +71,26 @@ FROM t
 
 @register("doc_token_stats", oracle=_TOKEN_STATS_ORACLE, tags=("bench", "text"))
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics via JVM-side array folds (no UDFs)."""
+    """Per-document token statistics via JVM-side array folds (no UDFs).
+
+    Tokenize once into an intermediate projection, then derive every stat from
+    the materialized array/counters — the naive form re-runs the regex split
+    per output column."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    return docs.select(
+    with_toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    counted = with_toks.select(
         "doc_id",
-        token_count(toks).alias("n_tokens"),
-        distinct_token_count(toks).alias("n_unique_tokens"),
-        total_token_chars(toks).alias("n_token_chars"),
-        (total_token_chars(toks) / token_count(toks)).alias("avg_token_len"),
-        (distinct_token_count(toks) / token_count(toks)).alias("type_token_ratio"),
+        token_count(F.col("toks")).alias("n_tokens"),
+        distinct_token_count(F.col("toks")).alias("n_unique_tokens"),
+        total_token_chars(F.col("toks")).alias("n_token_chars"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        "n_token_chars",
+        (F.col("n_token_chars") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("n_unique_tokens") / F.col("n_tokens")).alias("type_token_ratio"),
     )
 
 
@@ -134,17 +144,20 @@ FROM t
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality gates: stopword ratio, lexical diversity, length band."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    ttr = distinct_token_count(toks) / token_count(toks)
-    return docs.select(
+    counted = docs.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select(
         "doc_id",
-        (stopword_count(toks) / token_count(toks)).alias("stopword_ratio"),
+        token_count(F.col("toks")).alias("n_tokens"),
+        distinct_token_count(F.col("toks")).alias("n_distinct"),
+        stopword_count(F.col("toks")).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    return counted.select(
+        "doc_id",
+        (F.col("n_stop") / F.col("n_tokens")).alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
-        (
-            F.col("doc_id").isNotNull()  # keep expression shape parallel to SQL
-            & token_count(toks).between(10, 1000)
-            & (ttr > 0.2)
-        ).alias("passes_quality"),
+        (F.col("n_tokens").between(10, 1000) & (ttr > 0.2)).alias("passes_quality"),
     )
 
 
