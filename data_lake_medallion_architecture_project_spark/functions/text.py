@@ -15,12 +15,34 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# A small English stopword list used by quality scoring and language-ID.
-# Public-knowledge list (most frequent function words).
+# Small per-language stopword lists (most frequent function words — public
+# knowledge) used by quality scoring and the n-gram/stopword language-ID
+# heuristic. Overlapping words ("la", "un", "en") are fine: language-ID takes
+# the argmax of hit counts, not exclusive membership.
 EN_STOPWORDS = (
     "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
     "is", "are", "was", "be", "with", "by", "at", "as", "it", "that",
 )
+DE_STOPWORDS = (
+    "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+    "zu", "den", "von", "für", "auf", "im", "sich",
+)
+FR_STOPWORDS = (
+    "le", "la", "les", "et", "est", "un", "une", "dans", "de", "du",
+    "que", "pour", "pas", "sur", "avec", "au",
+)
+ES_STOPWORDS = (
+    "el", "la", "los", "las", "y", "es", "un", "una", "en", "de",
+    "que", "por", "con", "para", "no", "se",
+)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "de": DE_STOPWORDS,
+    "fr": FR_STOPWORDS,
+    "es": ES_STOPWORDS,
+}
+# Deterministic precedence for argmax ties.
+LANG_PRECEDENCE = ("en", "de", "fr", "es")
 
 
 def tokenize(col: Column | str) -> Column:
@@ -48,6 +70,42 @@ def total_token_chars(tokens: Column) -> Column:
 
 def stopword_count(tokens: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*stopwords))).cast("long")
+
+
+def predict_language(tokens: Column) -> Column:
+    """Stopword-overlap language ID: argmax of per-language hit counts with
+    deterministic precedence (en > de > fr > es); zero hits → 'unknown'."""
+    # NB: the lambda must take exactly one arg — PySpark passes the array
+    # index as a second arg to two-parameter lambdas, which would shadow a
+    # default-arg capture. A factory function closes over the word list.
+    def _hits(words: tuple[str, ...]):
+        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+    hits = {lang: _hits(ws) for lang, ws in LANG_STOPWORDS.items()}
+    expr = F.lit("unknown")
+    # Build the CASE chain in reverse precedence so earlier languages win ties.
+    for lang in reversed(LANG_PRECEDENCE):
+        others = [hits[o] for o in LANG_PRECEDENCE if o != lang]
+        cond = (hits[lang] > 0)
+        for o in others:
+            cond = cond & (hits[lang] >= o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings: positions 0..len−n joined by space."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+
+
+def min_shingle_hash(tokens: Column, n: int = 3) -> Column:
+    """Rolling-shingle document fingerprint: lexicographic min of the md5
+    hashes of all word n-grams — a winnowing-style signature; documents
+    sharing any minimal shingle collide."""
+    return F.array_min(F.transform(shingles(tokens, n), F.md5))
 
 
 def bag_fingerprint(tokens: Column) -> Column:

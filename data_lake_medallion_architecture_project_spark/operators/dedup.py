@@ -80,17 +80,116 @@ def jaccard_similar_pairs(
     )
 
 
+SIMHASH_BITS = 32
+
+
+def _simhash_counters(tokens: Column) -> Column:
+    """Per-bit ±1 accumulators of the 32-bit SimHash: one array fold over the
+    tokens; bit positions are Python-level constants (shift amounts must be
+    ints, not Columns)."""
+
+    def _bit_signs(t: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(SIMHASH_BITS)
+            ]
+        )
+
+    return F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(acc, _bit_signs(t), lambda a, b: a + b),
+    )
+
+
+def _pack_simhash(counters: Column) -> Column:
+    """Sign vector → packed long (bit j set iff counter j > 0)."""
+    bits = [
+        F.when(F.element_at(counters, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("long")
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance ≤ max_hamming.
+
+    Candidate generation by band-equality (pigeonhole: distance ≤ bands−1
+    guarantees at least one equal band), then exact Hamming verification via
+    bit_count of the XOR. Shuffle carries (band, band-bits, id, sig) only.
+    """
+    rows = SIMHASH_BITS // bands
+    sets = _token_sets(df, id_col, text_col).filter(F.size("tokens") > 0)
+    # Materialize the counter array before packing — packing references it
+    # 32×, and inlining would duplicate the token fold 32× in the plan.
+    sig = sets.select(
+        "id", _simhash_counters(F.col("tokens")).alias("counters")
+    ).select("id", _pack_simhash(F.col("counters")).alias("sig"))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * rows)
+                        .bitwiseAND(F.lit((1 << rows) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bits")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bits") == F.col("y.bits"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def _minhash_signature(tokens: Column, num_perms: int) -> Column:
     """num_perms MinHash values: for perm i, min over tokens of
-    xxhash64("i|" + token). Seeded by prefix → deterministic everywhere."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(tokens, lambda t, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), t)))
-            )
-            for i in range(num_perms)
-        ]
-    )
+    xxhash64("i|" + token). Seeded by prefix → deterministic everywhere.
+
+    NB: the transform lambda must be single-arg (a two-arg lambda would
+    receive the array index as its second argument); the perm index is closed
+    over via a factory function.
+    """
+
+    def _perm_min(i: int) -> Column:
+        prefix = F.lit(f"{i}|")
+        return F.array_min(F.transform(tokens, lambda t: F.xxhash64(F.concat(prefix, t))))
+
+    return F.array(*[_perm_min(i) for i in range(num_perms)])
 
 
 def minhash_near_dup(

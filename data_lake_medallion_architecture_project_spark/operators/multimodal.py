@@ -1,0 +1,93 @@
+"""Multimodal column support — image/audio/video as opaque binary + metadata.
+
+The pattern a 100 TB training-data pipeline needs: payloads travel as
+``binary`` columns with typed metadata; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so bytes stream executor-side in columnar
+batches and never hit the driver.
+
+The decode step itself is STUBBED: real image/audio libs are not available in
+this environment, so ``extract_payload_features`` computes deterministic
+byte-level features (length, digest, fake dimensions derived from the digest)
+and ``decode_image`` raises ``NotImplementedError`` to mark the integration
+point. The Spark-side plumbing — schema, batch iteration, Arrow binary round
+trip, partition-parallel execution — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_len", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - explicit stub
+    """Real decoder integration point (PIL/libvips/ffmpeg)."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; extract_payload_features uses deterministic byte-level "
+        "features instead"
+    )
+
+
+def attach_text_payloads(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stand-in payload source: UTF-8 bytes of the text column as a binary
+    payload with a media_type tag. Real pipelines read binary files or
+    parquet BLOB columns the same way — the downstream plumbing is identical."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def extract_payload_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Deterministic fake "decode": byte length, md5 digest, and pseudo
+    width/height derived from the digest (the stub for real decoders).
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = [hashlib.md5(b).hexdigest() for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_len": [len(b) for b in pdf["payload"]],
+                    "payload_md5": digests,
+                    "fake_width": [int(d[:4], 16) % 1920 + 1 for d in digests],
+                    "fake_height": [int(d[4:8], 16) % 1080 + 1 for d in digests],
+                }
+            )
+
+    return payloads.mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -4,3 +4,5 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 from . import medallion  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import temporal  # noqa: F401,E402
+from . import sqlops  # noqa: F401,E402

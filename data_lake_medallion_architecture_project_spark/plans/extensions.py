@@ -17,14 +17,24 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     EN_STOPWORDS,
+    LANG_PRECEDENCE,
+    LANG_STOPWORDS,
     bag_fingerprint,
     distinct_token_count,
+    min_shingle_hash,
+    predict_language,
     stopword_count,
     token_count,
     tokenize,
     total_token_chars,
 )
-from ..operators.dedup import exact_dedup, jaccard_similar_pairs, minhash_near_dup
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_near_dup,
+    simhash_near_dup,
+)
+from ..operators.multimodal import attach_text_payloads, extract_payload_features
 from ..operators.similarity import brute_force_topk
 from ..sources.readers import load_table
 from .registry import register
@@ -282,4 +292,162 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.min(F.size("embedding")).cast("long").alias("min_dim"),
         F.max(F.size("embedding")).cast("long").alias("max_dim"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Language identification — stopword-overlap heuristic with argmax+precedence.
+# --------------------------------------------------------------------------- #
+
+def _langid_oracle() -> str:
+    hit = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    cases = []
+    for lang in LANG_PRECEDENCE:
+        others = " AND ".join(
+            f"{hit[lang]} >= {hit[o]}" for o in LANG_PRECEDENCE if o != lang
+        )
+        cases.append(f"WHEN {hit[lang]} > 0 AND {others} THEN '{lang}'")
+    case_sql = "\n    ".join(cases)
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  CASE
+    {case_sql}
+    ELSE 'unknown'
+  END AS predicted_lang
+FROM t
+"""
+
+
+@register("language_id", oracle=_langid_oracle(), tags=("text",))
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID per document, next to the stored label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_language(tokenize("text")).alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Rolling-shingle (winnowing-style) fingerprint groups.
+# --------------------------------------------------------------------------- #
+
+_SHINGLE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (
+  SELECT
+    doc_id,
+    list_min(
+      list_transform(
+        generate_series(1, len(toks) - 2),
+        i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      )
+    ) AS min_shingle
+  FROM t
+  WHERE len(toks) >= 3
+)
+SELECT min_shingle, MIN(doc_id) AS canonical_id, COUNT(*) AS member_count
+FROM s
+GROUP BY min_shingle
+"""
+
+
+@register("shingle_fingerprint_groups", oracle=_SHINGLE_ORACLE, tags=("dedup", "text"))
+def shingle_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents grouped by minimal 3-gram shingle hash (rolling fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return (
+        docs.select("doc_id", min_shingle_hash(toks, 3).alias("min_shingle"))
+        .filter(F.col("min_shingle").isNotNull())
+        .groupBy("min_shingle")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("member_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Embedding-cosine near-duplicate pairs (brute force, exact).
+# --------------------------------------------------------------------------- #
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e), t -> t[1] * t[2])) / (a.nrm * b.nrm)
+      >= 0.85
+"""
+
+
+@register("embedding_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity"))
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector pairs with cosine ≥ 0.85 — embedding-space near-dedup.
+
+    Brute-force O(n²) pair scan (exact); the LSH-bucketed variant in
+    operators/dedup.py is the recall-tradeoff scale path."""
+    from ..functions.vectors import cosine, l2_norm, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.85
+        )
+        .select("id_a", "id_b")
+    )
+
+
+@register("simhash_near_dup_pairs", oracle=None, tags=("dedup",))
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 32 bits). Rows-only check:
+    xxhash64 is not available in the DuckDB oracle; precision/recall are
+    covered by unit tests against exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+# --------------------------------------------------------------------------- #
+# Multimodal: binary payload plumbing via Arrow-batched mapInPandas.
+# --------------------------------------------------------------------------- #
+
+_PAYLOAD_ORACLE = """
+SELECT
+  doc_id,
+  'text/plain' AS media_type,
+  octet_length(encode(text)) AS payload_len,
+  md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@register("binary_payload_features", oracle=_PAYLOAD_ORACLE, tags=("multimodal",))
+def binary_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the multimodal mapInPandas
+    operator; the oracle independently recomputes length+digest, verifying
+    the Arrow binary round trip byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_text_payloads(docs)
+    return extract_payload_features(payloads).select(
+        "doc_id", "media_type", "payload_len", "payload_md5"
     )

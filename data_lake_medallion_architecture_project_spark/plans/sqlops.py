@@ -1,0 +1,217 @@
+"""SQL-surface operators: rollup/cube/grouping sets, set operations,
+deterministic sampling, exact quantiles — plus the engine's Spark SQL entry
+point (temp views + ``spark.sql``).
+
+Declared absent in the reference (SURVEY.md §2.7); part of the complete-engine
+surface. Money columns follow the functions/money.py exact-decimal discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_sum, oracle_dec_sum
+from ..sources.readers import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------- #
+# ROLLUP — subtotal hierarchy over (returnflag, linestatus).
+# --------------------------------------------------------------------------- #
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dec_sum("l_extendedprice", "revenue")},
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_pricing", oracle=_ROLLUP_ORACLE, tags=("sqlops",))
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with subtotal + grand-total rows (NULL group markers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_extendedprice", "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# CUBE — all grouping combinations of (orderstatus, orderpriority).
+# --------------------------------------------------------------------------- #
+
+_CUBE_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  {oracle_dec_sum("o_totalprice", "revenue")},
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_order_status", oracle=_CUBE_ORACLE, tags=("sqlops",))
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        dec_sum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# GROUPING SETS via the Spark SQL surface (temp views + spark.sql).
+# --------------------------------------------------------------------------- #
+
+_GSETS_SQL_BODY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dec_sum("l_extendedprice", "revenue")}
+FROM {{table}}
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register(
+    "grouping_sets_pricing",
+    oracle=_GSETS_SQL_BODY.format(table="lineitem"),
+    tags=("sqlops", "sql"),
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS issued through the engine's SQL surface: the same ANSI
+    text runs on spark.sql (temp view) and on the DuckDB oracle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(_GSETS_SQL_BODY.format(table="li_gsets"))
+
+
+# --------------------------------------------------------------------------- #
+# Set operations: INTERSECT / EXCEPT.
+# --------------------------------------------------------------------------- #
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+@register("building_active_intersect", oracle=_INTERSECT_ORACLE, tags=("sqlops", "setop"))
+def building_active_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets (distinct semantics)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    active = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.intersect(active)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+@register("building_inactive_except", oracle=_EXCEPT_ORACLE, tags=("sqlops", "setop"))
+def building_inactive_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — the complement of the intersect above."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    active = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(active).distinct()
+
+
+# --------------------------------------------------------------------------- #
+# Deterministic hash sampling — reproducible across engines and runs.
+# --------------------------------------------------------------------------- #
+
+_SAMPLE_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  COUNT(*) AS sampled_orders,
+  {oracle_dec_sum("o_totalprice", "sampled_revenue")}
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY o_orderstatus
+"""
+
+
+@register("hash_sampled_orders", oracle=_SAMPLE_ORACLE, tags=("sqlops", "sampling"))
+def hash_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~12.5% deterministic sample via md5 prefix of the key — unlike
+    ``df.sample``, identical membership on every engine/run, so downstream
+    metrics are reproducible and oracle-checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_orders"),
+            dec_sum("o_totalprice", "sampled_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Exact quantiles (interpolated) per group.
+# --------------------------------------------------------------------------- #
+
+_QUANTILE_ORACLE = """
+SELECT
+  o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS p50_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("order_price_quantiles", oracle=_QUANTILE_ORACLE, tags=("sqlops",))
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (linear interpolation) — Spark
+    ``percentile`` vs DuckDB ``quantile_cont`` on identical value sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Approximate distinct — sketch-based, rows-only (no cross-engine oracle:
+# HLL implementations differ by design; tests assert relative error instead).
+# --------------------------------------------------------------------------- #
+
+
+@register("approx_distinct_users", oracle=None, tags=("sqlops", "approx"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type (rsd 1%)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for as-of join, SimHash, multimodal plumbing, language-ID."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.functions.text import predict_language, tokenize
+from data_lake_medallion_architecture_project_spark.operators.asof import asof_join
+from data_lake_medallion_architecture_project_spark.operators.dedup import simhash_near_dup
+from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+    attach_text_payloads,
+    decode_image,
+    extract_payload_features,
+)
+
+
+def test_asof_join_hand_computed(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "key long, t long, tag string",
+    ).select("key", F.timestamp_seconds("t").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 10), (1, 18), (2, 99), (9, 1)], "key long, t long"
+    ).select("key", F.timestamp_seconds("t").alias("ts"))
+    out = {
+        r["tag"]: r["asof_ts"]
+        for r in asof_join(left, right, key="key", ts="ts").collect()
+    }
+    assert out["a"].timestamp() == 10  # equal ts counts (<=)
+    assert out["b"].timestamp() == 18  # latest earlier right row
+    assert out["c"] is None  # right row is later than left
+    assert out["d"] is None  # no right rows for key
+
+
+def test_simhash_identical_and_disjoint(spark):
+    # Near-dup = small token-weight change on a longish doc (1 of 30 tokens);
+    # a 1-of-8 swap flips ~6/32 bits, beyond the ≤bands−1 recall guarantee.
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " other"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, "x y z w v u t s r q")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(df, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical → distance 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 6  # near-identical → close
+    assert not any({a, b} == {0, 3} for a, b in pairs)  # disjoint → far
+
+
+def test_multimodal_features_match_hashlib(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "héllo ünicode")], "doc_id long, text string"
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in extract_payload_features(attach_text_payloads(df)).collect()
+    }
+    for doc_id, text in [(1, "hello world"), (2, "héllo ünicode")]:
+        raw = text.encode("utf-8")
+        assert feats[doc_id]["payload_len"] == len(raw)
+        assert feats[doc_id]["payload_md5"] == hashlib.md5(raw).hexdigest()
+        assert 1 <= feats[doc_id]["fake_width"] <= 1920
+        assert feats[doc_id]["media_type"] == "text/plain"
+
+
+def test_decode_image_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "der hund ist nicht mit der katze im haus"),
+            (3, "le chat est dans la maison avec le chien"),
+            (4, "el perro es un animal y la casa es grande"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", predict_language(tokenize("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "unknown"
+
+
+def test_approx_distinct_within_error(spark):
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["approx_distinct_users"].build(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
