@@ -91,3 +91,57 @@ def extract_payload_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(payloads: DataFrame, frame_size: int = 256, stride: int = 4) -> DataFrame:
+    """Video-style frame sampling plumbing: one input payload row explodes to
+    ~len/(frame_size·stride) output frame rows via ``mapInPandas`` (a 1→N
+    Arrow-batched flatMap — the shape a real ffmpeg frame sampler needs).
+
+    The "decode" is a deterministic stand-in: the payload is treated as a
+    concatenation of ``frame_size``-byte frames and every ``stride``-th one is
+    emitted. Swap the slicing loop for ffmpeg/PyAV keyframe extraction and
+    nothing else changes — schema, batching, and partition parallelism are the
+    real contract here."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, len(b) // frame_size)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": frames,
+                    "frame_md5": [hashlib.md5(f).hexdigest() for f in frames],
+                }
+            )
+
+    return payloads.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - explicit stub
+    """Real resize integration point (PIL ``Image.resize`` / libvips
+    ``thumbnail_buffer``); wire it through ``extract_payload_features``-style
+    mapInPandas when an image library is present."""
+    raise NotImplementedError(
+        "image resizing requires an image library not present in this environment"
+    )

@@ -13,8 +13,13 @@ bucketed join; see operators/dedup.py for the banded-LSH machinery it reuses.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vectors import cosine, l2_norm, to_double_array
 
@@ -43,6 +48,123 @@ def brute_force_topk(
     ).withColumn("cnorm", l2_norm(F.col("cvec")))
     scored = (
         c.crossJoin(q)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            cosine(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.select("qid", "cid", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int, n_iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample.
+
+    Rows are L2-normalized so 'nearest centroid' under dot product == cosine.
+    Seeded init + fixed iteration count + argmax tie-broken-by-index make the
+    centroid set a pure function of (sample, n_centroids, seed)."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the 100 TB scale path.
+
+    Brute force is O(|Q|·|C|) per query; IVF prunes the corpus to the n_probe
+    partitions nearest each query:
+
+    1. Train spherical k-means centroids on a deterministic driver-side sample
+       (centroids are tiny: n_centroids × dim doubles — closure-broadcast to
+       every executor inside the Arrow UDF).
+    2. Assign every corpus vector to its nearest centroid — a map-only
+       Arrow-batched pandas UDF (numpy matmul per batch), no shuffle. At scale
+       this assignment is computed once and the corpus is *written bucketed by
+       centroid*, so probes become partition-pruned scans.
+    3. Explode each query into its n_probe nearest centroids and join on
+       centroid id — the query side is broadcast, so the corpus never shuffles.
+    4. Exact JVM-side cosine + per-query window top-k over the ~n_probe/
+       n_centroids fraction of the corpus that survives pruning.
+
+    With n_probe == n_centroids nothing is pruned and the result equals
+    ``brute_force_topk`` exactly (tested); smaller n_probe trades recall for
+    a proportional scan reduction."""
+    # orderBy+limit = distributed TakeOrdered on the id — a deterministic
+    # sample regardless of partitioning (plain limit() is partition-order
+    # dependent and would make the centroids, hence the result, unstable).
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("i"), to_double_array(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+        .collect()
+    )
+    cent = _kmeans_centroids(
+        np.array([r["v"] for r in sample_rows], dtype=np.float64), n_centroids, seed
+    )
+    n_probe = min(n_probe, len(cent))
+    cent_bc = cent  # captured in UDF closures; ~n_centroids*dim doubles
+
+    @F.pandas_udf(IntegerType())
+    def assign_centroid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.array(s.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms == 0, 1.0, norms)
+            yield pd.Series(np.argmax(x @ cent_bc.T, axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_centroids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.array(s.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms == 0, 1.0, norms)
+            order = np.argsort(-(x @ cent_bc.T), axis=1, kind="stable")
+            yield pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("cid"), to_double_array(vec_col).alias("cvec")
+        )
+        .withColumn("cnorm", l2_norm(F.col("cvec")))
+        .withColumn("centroid", assign_centroid(F.col("cvec")))
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"), to_double_array(vec_col).alias("qvec")
+        )
+        .withColumn("qnorm", l2_norm(F.col("qvec")))
+        .withColumn("centroid", F.explode(probe_centroids(F.col("qvec"))))
+    )
+    scored = (
+        c.join(q, "centroid")
         .filter(F.col("qid") != F.col("cid"))
         .select(
             "qid",

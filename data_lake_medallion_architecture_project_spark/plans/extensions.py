@@ -34,8 +34,12 @@ from ..operators.dedup import (
     minhash_near_dup,
     simhash_near_dup,
 )
-from ..operators.multimodal import attach_text_payloads, extract_payload_features
-from ..operators.similarity import brute_force_topk
+from ..operators.multimodal import (
+    attach_text_payloads,
+    extract_payload_features,
+    sample_frames,
+)
+from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources.readers import load_table
 from .registry import register
 
@@ -272,6 +276,23 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
 
 
+@register("ivf_similarity_topk", oracle=None, tags=("similarity", "approx"))
+def ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine top-5 (the ANN scale path: spherical
+    k-means partitioning + n_probe pruning). Approximate by design → no SQL
+    oracle; tests/test_dedup_similarity.py asserts exact equality to brute
+    force at full probe and recall ≥ 0.9 at n_probe=12/16. The testdata
+    embeddings are near-isotropic (little cluster structure — the worst case
+    for IVF), so the probe fraction is high; clustered real-world corpora
+    prune much harder at the same recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(
+        queries, emb, id_col="vec_id", vec_col="embedding",
+        k=5, n_centroids=16, n_probe=12,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Embedding corpus statistics.
 # --------------------------------------------------------------------------- #
@@ -450,4 +471,26 @@ def binary_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = attach_text_payloads(docs)
     return extract_payload_features(payloads).select(
         "doc_id", "media_type", "payload_len", "payload_md5"
+    )
+
+
+_FRAME_STATS_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+SELECT doc_id,
+  CASE WHEN len < 256 THEN 1 ELSE (len // 256 + 3) // 4 END AS n_frames,
+  CASE WHEN len < 256 THEN len ELSE 256 * ((len // 256 + 3) // 4) END AS frame_bytes
+FROM d
+"""
+
+
+@register("frame_sample_stats", oracle=_FRAME_STATS_ORACLE, tags=("multimodal",))
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (1 payload row → N frame rows through the
+    mapInPandas flatMap) verified by aggregate: the oracle recomputes the
+    expected frame count and byte volume per document arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_text_payloads(docs), frame_size=256, stride=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_payload")).alias("frame_bytes"),
     )

@@ -61,6 +61,7 @@ def read_bronze_csv(
         spark.read.schema(schema)
         .option("header", True)
         .option("mode", "PERMISSIVE")
+        .option("recursiveFileLookup", "true")
         .csv(paths)
     )
 

@@ -23,6 +23,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def write_staging_csv(df: DataFrame, staging_root: str, domain: str, batch_id: str) -> str:
+    """S4 staging CSV sink (sales_generator.py:117-119): one headered CSV
+    batch per generator tick. coalesce(1) mirrors the reference's
+    one-file-per-batch contract (batches are tens of rows)."""
+    path = os.path.join(staging_root, domain, f"{domain}_{batch_id}.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf = df.toPandas()
+    pdf.to_csv(path, index=False)
+    return path
+
+
+def ingest_to_bronze(
+    staging_path: str, bronze_root: str, domain: str, ingest_time: datetime | None = None
+) -> str:
+    """S5 Bronze ingest (local_storage.py:52-67): byte-for-byte copy of the
+    staging file into the Hive-partitioned Bronze tree, partitioned by
+    *processing* date (ingest time, not event time — local_storage.py:44-45).
+    Raw fidelity is the Bronze contract ('nothing is ever deleted here'), so
+    this stays a filesystem copy even in Spark-land."""
+    import shutil
+
+    t = ingest_time or datetime.now(timezone.utc)
+    dest_dir = os.path.join(
+        bronze_root, domain, f"year={t.year:04d}", f"month={t.month:02d}", f"day={t.day:02d}"
+    )
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, os.path.basename(staging_path))
+    shutil.copy2(staging_path, dest)
+    return dest
+
+
 def _with_ingest_partitions(df: DataFrame, ingest_time: datetime | None = None) -> DataFrame:
     t = ingest_time or datetime.now(timezone.utc)
     return (

@@ -54,6 +54,10 @@ def run_incremental_ingest(
         spark.readStream.schema(BRONZE_SCHEMAS[domain])
         .option("header", True)
         .option("mode", "PERMISSIVE")
+        # Bronze is a Hive-partitioned tree (year=/month=/day=); recursive
+        # lookup reads the leaves without partition-column inference, keeping
+        # the stream schema identical to the flat-directory case.
+        .option("recursiveFileLookup", "true")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

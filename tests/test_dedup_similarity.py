@@ -104,3 +104,67 @@ def test_topk_rank_bounds(spark):
     out = brute_force_topk(df.limit(2), df, k=3).toPandas()
     assert out.groupby("qid")["rank"].max().le(3).all()
     assert (out.qid != out.cid).all()
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from data_lake_medallion_architecture_project_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    exact = sorted(tuple(r) for r in brute_force_topk(q, df, k=4).collect())
+    # n_probe == n_centroids → no pruning → must be IDENTICAL to brute force.
+    full = sorted(
+        tuple(r)
+        for r in ivf_topk(q, df, k=4, n_centroids=8, n_probe=8).collect()
+    )
+    assert full == exact
+
+
+def test_ivf_pruned_recall(spark):
+    from data_lake_medallion_architecture_project_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["qid"], r["cid"]) for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(q, emb, k=5, n_centroids=16, n_probe=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    # determinism: same inputs, same centroids, same answer
+    approx2 = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(q, emb, k=5, n_centroids=16, n_probe=12).collect()
+    }
+    assert approx == approx2
+
+
+def test_frame_sampling_explodes_and_matches_arithmetic(spark):
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        attach_text_payloads,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 2600), (3, "c" * 256)],
+        "doc_id long, text string",
+    )
+    frames = sample_frames(attach_text_payloads(docs), frame_size=256, stride=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 bytes < frame → 1 partial frame of 100 bytes
+    assert len(by_doc[1]) == 1 and len(by_doc[1][0]["frame_payload"]) == 100
+    # doc 2: 2600//256 = 10 frames, stride 4 → idx 0,4,8, each full 256
+    assert sorted(r["frame_idx"] for r in by_doc[2]) == [0, 4, 8]
+    assert all(len(r["frame_payload"]) == 256 for r in by_doc[2])
+    # doc 3: exactly one full frame
+    assert len(by_doc[3]) == 1 and len(by_doc[3][0]["frame_payload"]) == 256
