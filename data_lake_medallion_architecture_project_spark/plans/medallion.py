@@ -35,6 +35,21 @@ from ..schemas import EVENTS_EVENT_TYPES
 from ..sources.readers import load_table
 from .registry import register
 
+
+def _day(col: str) -> F.Column:
+    """Day-grain group key as DateType (4-byte comparison, cheap hash)."""
+    return F.to_date(col).alias("date")
+
+
+def _finish_date(df: DataFrame) -> DataFrame:
+    """Render the day key as yyyy-MM-dd AFTER aggregation.
+
+    Grouping on the DateType value and formatting only the result rows moves
+    the (timezone-aware, pattern-parsing) date_format from |input| rows to
+    |groups| rows — at 100 TB that's a per-row string build on billions of
+    rows traded for thousands."""
+    return df.withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+
 # --------------------------------------------------------------------------- #
 # A1 — daily_sales_summary (silver_to_gold.py:47-59)
 # --------------------------------------------------------------------------- #
@@ -55,9 +70,9 @@ GROUP BY strftime(o_orderdate, '%Y-%m-%d')
 def daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: revenue / order count / AOV / distinct customers per day."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    return _finish_date(
         orders.select(
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+            _day("o_orderdate"),
             "o_totalprice",
             "o_orderkey",
             "o_custkey",
@@ -65,7 +80,12 @@ def daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("date")
         .agg(
             dec_sum("o_totalprice", "total_revenue"),
-            F.countDistinct("o_orderkey").alias("order_count"),
+            # o_orderkey is the orders PK (one row per key), so
+            # COUNT(DISTINCT o_orderkey) ≡ COUNT(o_orderkey); the plain count
+            # avoids a second distinct aggregate (multi-distinct → Expand
+            # multiplies the shuffle by #distinct-aggs — at 100 TB that's the
+            # difference between one exchange and three).
+            F.count("o_orderkey").alias("order_count"),
             dec_avg("o_totalprice", "avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
@@ -93,10 +113,10 @@ GROUP BY strftime(l.l_shipdate, '%Y-%m-%d'), p.p_brand
 def category_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-day, per-brand revenue; exercises the fact⋈dim join."""
     lineitem = load_table(spark, sf_dir, "lineitem").select(
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"), "l_partkey", "l_orderkey", "l_extendedprice"
+        _day("l_shipdate"), "l_partkey", "l_orderkey", "l_extendedprice"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
-    return (
+    return _finish_date(
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("date", F.col("p_brand").alias("category"))
         .agg(
@@ -126,9 +146,9 @@ GROUP BY strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 def payment_method_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: revenue and order count per day per priority class."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    return _finish_date(
         orders.select(
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+            _day("o_orderdate"),
             F.col("o_orderpriority").alias("payment_method"),
             "o_totalprice",
             "o_orderkey",
@@ -136,7 +156,8 @@ def payment_method_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("date", "payment_method")
         .agg(
             dec_sum("o_totalprice", "payment_revenue"),
-            F.countDistinct("o_orderkey").alias("payment_count"),
+            # orders-PK rewrite: COUNT(DISTINCT pk) ≡ COUNT(pk), no Expand.
+            F.count("o_orderkey").alias("payment_count"),
         )
     )
 
@@ -161,8 +182,8 @@ GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 def customer_activity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: event count + distinct users/props per day per event type."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.select(F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type", "event_id", "user_id", "props")
+    return _finish_date(
+        events.select(_day("ts"), "event_type", "event_id", "user_id", "props")
         .groupBy("date", "event_type")
         .agg(
             F.count("event_id").alias("event_count"),
@@ -191,8 +212,8 @@ GROUP BY strftime(ts, '%Y-%m-%d')
 def daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 analog: whole-day event rollup (count, distinct users, value sum)."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.select(F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_id", "user_id", "value")
+    return _finish_date(
+        events.select(_day("ts"), "event_id", "user_id", "value")
         .groupBy("date")
         .agg(
             F.count("event_id").alias("event_count"),
@@ -223,9 +244,9 @@ GROUP BY strftime(l_shipdate, '%Y-%m-%d'), l_returnflag, l_linestatus
 def inventory_movement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 analog: quantity/cost/count over a compound grouping key."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    return _finish_date(
         li.select(
-            F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"),
+            _day("l_shipdate"),
             "l_returnflag",
             "l_linestatus",
             "l_quantity",
@@ -269,7 +290,7 @@ def event_net_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     pivoted = (
         events.select(
-            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            _day("ts"),
             "event_type",
             F.col("value").cast("decimal(18,2)").alias("value_dec"),
         )
@@ -282,7 +303,9 @@ def event_net_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for t in EVENTS_EVENT_TYPES:
         pivoted = pivoted.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("double"))
-    return pivoted.withColumn("net_position", F.col("purchase") - F.col("error"))
+    return _finish_date(
+        pivoted.withColumn("net_position", F.col("purchase") - F.col("error"))
+    )
 
 
 # --------------------------------------------------------------------------- #
