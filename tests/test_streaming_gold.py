@@ -1,0 +1,56 @@
+"""Incremental Silver→Gold maintenance: the streamed, partition-grain refresh
+must keep every Gold table identical to a full recompute, while only touching
+affected day partitions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.plans.gold import GOLD_BUILDERS
+from data_lake_medallion_architecture_project_spark.sources.synthetic import GENERATORS
+from data_lake_medallion_architecture_project_spark.streaming.ingest import run_incremental_ingest
+from data_lake_medallion_architecture_project_spark.streaming.refresh import run_incremental_gold_refresh
+from tests.test_streaming import RUN_TS, _write_bronze_csv
+
+DOMAIN = "sales"
+
+
+def _gold_equals_full_recompute(spark, silver, gold):
+    silver_df = spark.read.parquet(os.path.join(silver, DOMAIN))
+    for table, (domain, builder) in GOLD_BUILDERS.items():
+        if domain != DOMAIN:
+            continue
+        expect = builder(silver_df)
+        got = spark.read.parquet(os.path.join(gold, table)).drop("generated_at")
+        # partitionBy writes `date` back as a read-time partition column; align
+        # types and column order before comparing.
+        got = got.select(*[F.col(c).cast(dict(expect.dtypes)[c]) for c in expect.columns])
+        e = sorted(map(tuple, expect.collect()))
+        g = sorted(map(tuple, got.collect()))
+        assert g == e, table
+
+
+def test_incremental_gold_matches_full_recompute(spark, tmp_path):
+    bronze, silver, ckpt, gold = (
+        str(tmp_path / p) for p in ("bronze", "silver", "ckpt", "gold")
+    )
+    gen = GENERATORS[DOMAIN]
+
+    _write_bronze_csv(bronze, DOMAIN, gen(seed=21, n=40), "b1")
+    run_incremental_ingest(spark, bronze, silver, ckpt, DOMAIN, processed_at=RUN_TS)
+    days1 = run_incremental_gold_refresh(spark, silver, gold, ckpt, DOMAIN, generated_at=RUN_TS)
+    assert days1
+    _gold_equals_full_recompute(spark, silver, gold)
+
+    # No new Silver files → nothing refreshed (checkpoint idempotence).
+    days_again = run_incremental_gold_refresh(spark, silver, gold, ckpt, DOMAIN, generated_at=RUN_TS)
+    assert days_again == []
+
+    # A second batch folds in incrementally and still equals a full recompute.
+    _write_bronze_csv(bronze, DOMAIN, gen(seed=22, n=40), "b2")
+    run_incremental_ingest(spark, bronze, silver, ckpt, DOMAIN, processed_at=RUN_TS)
+    days2 = run_incremental_gold_refresh(spark, silver, gold, ckpt, DOMAIN, generated_at=RUN_TS)
+    assert days2
+    _gold_equals_full_recompute(spark, silver, gold)
