@@ -366,3 +366,180 @@ def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "total_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q13 flavor — customer order-count distribution via LEFT OUTER JOIN.
+# --------------------------------------------------------------------------- #
+
+_Q13_ORACLE = """
+SELECT order_count, COUNT(*) AS customer_count
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY order_count
+"""
+
+
+@register("order_count_distribution", oracle=_Q13_ORACLE, tags=("tpch", "join"))
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of orders-per-customer, customers with zero orders
+    included via the outer join. Two-level aggregation: the first groups on
+    the join key (map-side combinable after the shuffle the join already
+    needs — no extra exchange), the second is a tiny rollup over the
+    distinct-count domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count(F.lit(1)).alias("customer_count")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q18 flavor — large orders: join against a HAVING-filtered aggregate.
+# --------------------------------------------------------------------------- #
+
+_Q18_THRESHOLD = 250
+
+_Q18_ORACLE = f"""
+SELECT o.o_orderkey, o.o_orderdate, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(t.total_qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_THRESHOLD}
+) t ON o.o_orderkey = t.l_orderkey
+"""
+
+
+@register("large_orders", oracle=_Q18_ORACLE, tags=("tpch", "join"))
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose lineitems sum past a quantity threshold.
+    The aggregate-then-filter side shrinks to a tiny key set BEFORE the join,
+    so AQE demotes the orders join to broadcast at runtime — aggregation as a
+    join-input reducer, the shape that matters when both inputs are facts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > _Q18_THRESHOLD)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q22 flavor — above-average balance, never ordered: scalar subquery +
+# anti join.
+# --------------------------------------------------------------------------- #
+
+_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+_Q22_ORACLE = f"""
+SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal)
+  FROM customer WHERE c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+)
+"""
+
+
+@register("rich_inactive_customers", oracle=_Q22_ORACLE, tags=("tpch", "join"))
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    recent orders (every customer in this testdata has SOME order, so the
+    anti join is time-scoped to stay non-vacuous). The scalar average is
+    computed once and injected as a literal predicate (one tiny job, then
+    full pushdown into the scan); the NOT EXISTS is a left_anti join whose
+    right side is date-filtered BEFORE the join — no correlated per-row
+    subquery execution anywhere."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_avg("c_acctbal", "a"))
+        .first()["a"]
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Cheapest supplier per part — argmin via window over a fact⋈dim join (Q2's
+# core shape on the tables available here).
+# --------------------------------------------------------------------------- #
+
+_ARGMIN_ORACLE = """
+SELECT l_partkey, s_suppkey, s_name, CAST(min_price AS DOUBLE) AS min_price
+FROM (
+  SELECT l.l_partkey, s.s_suppkey, s.s_name,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY l.l_partkey) AS part_min,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS min_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.l_partkey
+           ORDER BY CAST(l.l_extendedprice AS DECIMAL(18,2)), s.s_suppkey
+         ) AS rn
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)
+WHERE rn = 1
+"""
+
+
+@register("cheapest_supplier_per_part", oracle=_ARGMIN_ORACLE, tags=("tpch", "window"))
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin per group (TPC-H Q2's core): the supplier offering each part at
+    the lowest price, ties broken by suppkey. One window over the joined fact
+    — the shuffle partitions on l_partkey once and both the min and the
+    row_number ride the same sort, no self-join back."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy(F.col("price_dec"), F.col("s_suppkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("price_dec").cast("double").alias("min_price"),
+        )
+    )
