@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY.md §5 promises.
+
+Each property runs a bounded number of examples (a Spark job per example), so
+example counts are kept small; the point is randomized structure, not volume:
+
+* money: ``dec_sum`` equals the exact ``decimal.Decimal`` sum of 2-dp inputs
+  and is invariant under repartitioning — the engine-determinism contract of
+  ``functions/money.py``.
+* silver: on arbitrarily dirty sales rows, ``is_valid ⇔ validation_errors
+  empty``, auto-corrected totals satisfy the 0.01 epsilon, sale_ids are
+  unique after dedup, and invalid rows never contribute to Gold revenue.
+* vectors: the JVM-fold dot/norm agrees with numpy within float tolerance.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.functions.money import dec_sum
+from data_lake_medallion_architecture_project_spark.functions.vectors import dot, l2_norm, to_double_array
+from data_lake_medallion_architecture_project_spark.plans.gold import build_daily_sales_summary
+from data_lake_medallion_architecture_project_spark.plans.silver import clean_sales
+
+RUN_TS = "2026-08-13T00:00:00+00:00"
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis @given can't take pytest fixtures alongside strategies
+    # without extra plumbing; reuse the session-scoped session lazily.
+    global _spark
+    if _spark is None:
+        from data_lake_medallion_architecture_project_spark.session import get_spark
+
+        _spark = get_spark("tests", master="local[8]", shuffle_partitions=8)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+cents = st.integers(min_value=-10_000_00, max_value=10_000_00)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(cents, min_size=1, max_size=60), st.integers(min_value=1, max_value=8))
+def test_dec_sum_exact_and_partition_invariant(cent_vals, n_parts):
+    spark = _get_spark()
+    vals = [c / 100.0 for c in cent_vals]
+    expect = float(sum(Decimal(c) for c in cent_vals) / 100)
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(n_parts)
+    got = df.agg(dec_sum("x", "s")).first()["s"]
+    assert got == expect, (got, expect)
+
+
+sale_row = st.fixed_dictionaries(
+    {
+        "sale_id": st.one_of(st.none(), st.text("ab", min_size=1, max_size=4)),
+        "timestamp": st.sampled_from(
+            ["2024-01-01T00:00:00+00:00", "2024-02-03T04:05:06+00:00", "not-a-ts", None]
+        ),
+        "customer_id": st.one_of(st.none(), st.just("CUST-1")),
+        "product_id": st.just("PROD-1"),
+        "product_name": st.just("Widget"),
+        "category": st.just("tools"),
+        "quantity": st.one_of(st.none(), st.integers(min_value=-2, max_value=5)),
+        "unit_price": st.one_of(st.none(), st.sampled_from([0.5, 10.0, 19.99])),
+        "total_amount": st.one_of(st.none(), st.sampled_from([0.0, 5.0, 19.99, 100.0])),
+        "payment_method": st.just("credit_card"),
+        "status": st.just("completed"),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(sale_row, min_size=1, max_size=12))
+def test_sales_cleaner_invariants(rows):
+    spark = _get_spark()
+    from tests.conftest import bronze_df
+
+    cleaned = clean_sales(bronze_df(spark, rows, "sales"), RUN_TS).cache()
+    try:
+        got = cleaned.collect()
+        # is_valid ⇔ empty error string, always.
+        for r in got:
+            assert r["is_valid"] == (r["validation_errors"] == ""), r
+        # dedup: sale_ids unique among non-null keys.
+        keys = [r["sale_id"] for r in got if r["sale_id"] is not None]
+        assert len(keys) == len(set(keys))
+        # auto-correction: wherever quantity and unit_price are present, the
+        # surviving total_amount obeys the reference epsilon.
+        for r in got:
+            if r["quantity"] is not None and r["unit_price"] is not None and r["total_amount"] is not None:
+                assert abs(r["total_amount"] - round(r["quantity"] * r["unit_price"], 2)) <= 0.011, r
+        # Gold exclusion: revenue equals the sum over valid rows only.
+        gold = build_daily_sales_summary(cleaned)
+        total = gold.agg(F.sum("total_revenue")).first()[0] or 0.0
+        valid_sum = sum(
+            r["total_amount"]
+            for r in got
+            if r["is_valid"] and r["total_amount"] is not None
+            and r["timestamp"] is not None
+        )
+        assert abs(total - valid_sum) < 0.05, (total, valid_sum)
+    finally:
+        cleaned.unpersist()
+
+
+vec = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=2,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.tuples(vec, vec).filter(lambda t: len(t[0]) == len(t[1])))
+def test_vector_fold_matches_numpy(pair):
+    spark = _get_spark()
+    a, b = pair
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    r = df.select(
+        dot(to_double_array("a"), to_double_array("b")).alias("d"),
+        l2_norm(to_double_array("a")).alias("na"),
+    ).first()
+    av = np.array(a, dtype=np.float32).astype(np.float64)
+    bv = np.array(b, dtype=np.float32).astype(np.float64)
+    assert abs(r["d"] - float(av @ bv)) < 1e-9 * max(1.0, abs(float(av @ bv)))
+    assert abs(r["na"] - float(np.linalg.norm(av))) < 1e-9 * max(1.0, float(np.linalg.norm(av)))
