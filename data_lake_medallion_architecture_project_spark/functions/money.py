@@ -29,7 +29,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _scaled_long_sum(c: Column, scale: int) -> Column:
+def scaled_long_sum(c: Column, scale: int) -> Column:
     """SUM as scaled-long integer arithmetic — exact and order-independent,
     like the decimal cast, but a primitive codegen sum (~40% faster measured).
 
@@ -47,13 +47,13 @@ def _scaled_long_sum(c: Column, scale: int) -> Column:
 def dec_sum(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:
     """Exact, order-independent SUM of a fixed-point double column."""
     c = F.col(col) if isinstance(col, str) else col
-    return _scaled_long_sum(c, scale).alias(alias)
+    return scaled_long_sum(c, scale).alias(alias)
 
 
 def dec_avg(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:
     """AVG as exact-double-sum / non-null count (matches SQL AVG null handling)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (_scaled_long_sum(c, scale) / F.count(c)).alias(alias)
+    return (scaled_long_sum(c, scale) / F.count(c)).alias(alias)
 
 
 def oracle_dec_sum(expr: str, alias: str, scale: int = 2, precision: int = 18) -> str:

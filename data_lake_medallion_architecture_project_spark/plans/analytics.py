@@ -20,15 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum
+from ..functions.money import (
+    dec_avg,
+    dec_sum,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    scaled_long_sum,
+)
 from ..sources.readers import load_table
 from .registry import register
 
-# disc_price as an exact DECIMAL(18,4): the double product is within ~1e-12 of
-# the true 4-decimal value, so the cast recovers it exactly in both engines.
+# disc_price is an exact 4-decimal fixed-point value (2-dp price × 2-dp
+# multiplier); the double product is within ~1e-12 of it, so summing through
+# money.scaled_long_sum(·, 4) recovers exactly what the oracle's DECIMAL(18,4)
+# cast sums. charge adds a 2-dp tax multiplier → 6 decimals.
 # (Built lazily — Column construction needs an active SparkSession.)
 def _disc_price() -> F.Column:
-    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
 def _charge() -> F.Column:
@@ -36,7 +44,7 @@ def _charge() -> F.Column:
         F.col("l_extendedprice")
         * (F.lit(1.0) - F.col("l_discount"))
         * (F.lit(1.0) + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+    )
 
 
 _DISC_PRICE_SQL = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
@@ -75,8 +83,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dec_sum("l_quantity", "sum_qty"),
         dec_sum("l_extendedprice", "sum_base_price"),
-        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-        F.sum(_charge()).cast("double").alias("sum_charge"),
+        scaled_long_sum(_disc_price(), 4).alias("sum_disc_price"),
+        scaled_long_sum(_charge(), 6).alias("sum_charge"),
         dec_avg("l_quantity", "avg_qty"),
         dec_avg("l_extendedprice", "avg_price"),
         dec_avg("l_discount", "avg_disc"),
@@ -124,7 +132,7 @@ def customer_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum("disc_price").cast("double").alias("revenue"),
+            scaled_long_sum(F.col("disc_price"), 4).alias("revenue"),
             F.countDistinct("o_orderkey").alias("order_count"),
         )
     )
@@ -171,7 +179,7 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("disc_price").cast("double").alias("revenue"),
+            scaled_long_sum(F.col("disc_price"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("lineitem_count"),
         )
     )
@@ -325,8 +333,8 @@ def discount_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         (
-            F.sum(_disc_price()).cast("double")
-            / F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            scaled_long_sum(_disc_price(), 4)
+            / scaled_long_sum(F.col("l_extendedprice"), 2)
         ).alias("discounted_share"),
         dec_sum("l_extendedprice", "gross_revenue"),
     )
