@@ -122,3 +122,55 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Native session windows — F.session_window, the batch twin of the streaming
+# sessionizer in streaming/windows.py.
+# --------------------------------------------------------------------------- #
+
+# Spark's session_window is a half-open interval [start, last+gap): an event
+# exactly gap seconds after the previous one starts a NEW session, so the
+# gaps-and-islands oracle must break on diff >= 1800 (not > 1800, which is
+# the contract of the hand-rolled `sessionize_events` above).
+_NATIVE_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS sno
+  FROM ordered
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_event,
+  COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sno
+"""
+
+
+@register("native_session_windows", oracle=_NATIVE_SESSION_ORACLE, tags=("temporal", "window"))
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the built-in ``F.session_window`` aggregation —
+    one hash aggregate with window-merge, no lag/cumsum window pair; the same
+    operator Structured Streaming uses for streaming session aggregation.
+    The oracle recomputes sessions with gaps-and-islands SQL."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
