@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.rangejoin import events_in_window_counts
 from ..sources.readers import load_table
 from .registry import register
 
@@ -173,4 +174,36 @@ def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Range join — clicks within one hour after each purchase, via the bucketed
+# range-join operator (operators/rangejoin.py).
+# --------------------------------------------------------------------------- #
+
+_RANGE_ORACLE = """
+SELECT p.event_id, COUNT(c.ts) AS n_in_window
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+@register("clicks_after_purchase", oracle=_RANGE_ORACLE, tags=("temporal", "join"))
+def clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): per purchase, clicks in the next hour.
+    A naive inequality join is a BroadcastNestedLoopJoin scanning |P|·|C|
+    pairs; the bucketed operator quantizes to hour buckets, equi-joins on the
+    bucket (probe side exploded to its ≤2 candidate buckets), and refines
+    with the exact predicate — O(co-bucketed pairs) and hash-join
+    parallelism. Exact integer-microsecond arithmetic on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    return events_in_window_counts(
+        purchases, clicks, anchor_id="event_id", ts_col="ts"
     )

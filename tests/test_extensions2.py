@@ -104,3 +104,27 @@ def test_approx_distinct_within_error(spark):
     rows = REGISTRY["approx_distinct_users"].build(spark, "/root/testdata/sf0.001").collect()
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from data_lake_medallion_architecture_project_spark.operators.rangejoin import events_in_window_counts
+    from pyspark.sql import functions as F
+
+    anchors = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 05:00:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    probes = spark.createDataFrame(
+        [
+            ("2024-01-01 00:30:00",),  # == anchor1 ts → inside (>=)
+            ("2024-01-01 01:29:59",),  # inside, crosses the hour bucket
+            ("2024-01-01 01:30:00",),  # exactly +1h → OUTSIDE (half-open)
+            ("2024-01-01 04:59:59",),  # before anchor2 → outside
+        ],
+        "ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["n_in_window"]
+        for r in events_in_window_counts(anchors, probes, "event_id").collect()
+    }
+    assert got == {1: 2, 2: 0}
