@@ -1,0 +1,82 @@
+"""Physical-plan audit over the whole query registry.
+
+For every registered query, prints the plan facts that matter at 100 TB:
+which join strategies Catalyst picked, which filters reached the parquet
+scans, how many columns each scan reads, and whether any scan reads the
+whole schema (pruning failure). Red flags are listed at the end:
+
+* CartesianProduct / BroadcastNestedLoopJoin — an accidental cross join
+  (the bucketed range join in operators/rangejoin.py exists to avoid these);
+* scans with no pushed filters on queries that filter;
+* scans reading >8 columns (pruning not reaching the reader).
+
+Usage: python tools/explain_all.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY  # noqa: E402
+from data_lake_medallion_architecture_project_spark.session import get_spark  # noqa: E402
+
+JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)"
+)
+
+# Queries whose nested-loop plan is the documented intent: exact brute-force
+# baselines whose bucketed/LSH scale path exists as a separate operator.
+NESTED_LOOP_OK = {
+    "similarity_topk",  # exact baseline; scale path = ivf_similarity_topk
+    "embedding_near_dup_pairs",  # exact O(n²) pairs; scale path = MinHash-LSH
+}
+PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("explain_all")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flags: list[str] = []
+    for name, q in sorted(REGISTRY.items()):
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                q.build(spark, sf_dir).explain("formatted")
+        except Exception as ex:  # pragma: no cover - audit tool
+            print(f"{name:34s} EXPLAIN FAILED: {ex}")
+            flags.append(f"{name}: explain failed")
+            continue
+        plan = buf.getvalue()
+        joins = JOIN_RE.findall(plan)
+        scan_widths = [len(s.split(",")) for s in SCHEMA_RE.findall(plan)]
+        pushed = [p for p in PUSHED_RE.findall(plan) if p.strip()]
+        print(
+            f"{name:34s} joins={','.join(joins) or '-':40s} "
+            f"scan_cols={scan_widths} pushed={len(pushed)}"
+        )
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in joins and name not in NESTED_LOOP_OK:
+                flags.append(f"{name}: {bad}")
+        if any(w > 8 for w in scan_widths):
+            flags.append(f"{name}: scan reads {max(scan_widths)} columns")
+
+    print()
+    if flags:
+        print("RED FLAGS:")
+        for f in flags:
+            print(" -", f)
+        sys.exit(1)
+    print("no red flags")
+
+
+if __name__ == "__main__":
+    main()
