@@ -391,7 +391,7 @@ GROUP BY order_count
 """
 
 
-@register("order_count_distribution", oracle=_Q13_ORACLE, tags=("tpch", "join"))
+@register("order_count_distribution", oracle=_Q13_ORACLE, tags=("bench", "tpch", "join"))
 def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: histogram of orders-per-customer, customers with zero orders
     included via the outer join. Two-level aggregation: the first groups on
@@ -429,7 +429,7 @@ JOIN (
 """
 
 
-@register("large_orders", oracle=_Q18_ORACLE, tags=("tpch", "join"))
+@register("large_orders", oracle=_Q18_ORACLE, tags=("bench", "tpch", "join"))
 def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose lineitems sum past a quantity threshold.
     The aggregate-then-filter side shrinks to a tiny key set BEFORE the join,

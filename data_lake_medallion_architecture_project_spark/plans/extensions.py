@@ -238,10 +238,48 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_near_dup_pairs", oracle=None, tags=("dedup",))
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact verification (rows-only check:
-    the seeded hash family is not expressible in the DuckDB oracle)."""
+    the seeded hash family is not expressible in the DuckDB oracle).
+
+    Not bench-tagged: this testdata corpus is near-dup dense (~1M true pairs
+    at jaccard ≥ 0.9 among 5K docs at sf0.1), so pair enumeration is
+    output-bound — it measures corpus density, not engine throughput. The
+    bounded-output production shape is ``minhash_dedup_keep_list`` below."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup(
         docs, id_col="doc_id", text_col="text", threshold=0.9, num_perms=32, bands=8
+    )
+
+
+@register("minhash_dedup_keep_list", oracle=None, tags=("dedup",))
+def minhash_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup as a keep/drop decision per document — the 100 TB product.
+
+    One row per doc: its canonical near-dup representative (the smallest
+    verified neighbor id, itself if none). Output is O(corpus) — a
+    training-data pipeline keeps rows where doc_id == keep_id. Work is still
+    bounded below by the corpus's true near-dup pair count (~1M here), so
+    like the pairs query it stays un-bench-tagged on this dup-dense
+    testdata. Rows-only check (seeded hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(
+        docs, id_col="doc_id", text_col="text", threshold=0.9, num_perms=32, bands=8
+    )
+    # Smallest neighbor over both pair orientations, then min against self.
+    neighbors = (
+        pairs.select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr"))
+        .union(pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")))
+        .groupBy("doc_id")
+        .agg(F.min("nbr").alias("min_nbr"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(neighbors, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce(F.col("min_nbr"), F.col("doc_id"))).alias(
+                "keep_id"
+            ),
+        )
     )
 
 
@@ -276,7 +314,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
 
 
-@register("ivf_similarity_topk", oracle=None, tags=("similarity", "approx"))
+@register("ivf_similarity_topk", oracle=None, tags=("bench", "similarity", "approx"))
 def ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate cosine top-5 (the ANN scale path: spherical
     k-means partitioning + n_probe pruning). Approximate by design → no SQL

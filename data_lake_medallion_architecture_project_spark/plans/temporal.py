@@ -159,7 +159,7 @@ GROUP BY user_id, sno
 """
 
 
-@register("native_session_windows", oracle=_NATIVE_SESSION_ORACLE, tags=("temporal", "window"))
+@register("native_session_windows", oracle=_NATIVE_SESSION_ORACLE, tags=("bench", "temporal", "window"))
 def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions via the built-in ``F.session_window`` aggregation —
     one hash aggregate with window-merge, no lag/cumsum window pair; the same
@@ -193,7 +193,7 @@ GROUP BY p.event_id
 """
 
 
-@register("clicks_after_purchase", oracle=_RANGE_ORACLE, tags=("temporal", "join"))
+@register("clicks_after_purchase", oracle=_RANGE_ORACLE, tags=("bench", "temporal", "join"))
 def clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (no equi key): per purchase, clicks in the next hour.
     A naive inequality join is a BroadcastNestedLoopJoin scanning |P|·|C|

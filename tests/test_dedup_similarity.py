@@ -168,3 +168,24 @@ def test_frame_sampling_explodes_and_matches_arithmetic(spark):
     assert all(len(r["frame_payload"]) == 256 for r in by_doc[2])
     # doc 3: exactly one full frame
     assert len(by_doc[3]) == 1 and len(by_doc[3][0]["frame_payload"]) == 256
+
+
+def test_minhash_keep_list_contract(spark, docs):
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+    import tempfile, os
+
+    # Route the registry query at a tiny parquet corpus built from the fixture.
+    with tempfile.TemporaryDirectory() as d:
+        docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("t").alias("source"), F.length("text").alias("n_chars"),
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["keep_id"]
+            for r in REGISTRY["minhash_dedup_keep_list"].build(spark, d).collect()
+        }
+    assert set(out) == {0, 1, 2, 3, 4, 5}          # one row per doc
+    assert all(k <= i for i, k in out.items())      # canonical is the min id
+    assert out[1] == 0                              # exact dup folds to 0
+    assert out[4] == 3                              # permutation folds to 3
+    assert out[5] == 5                              # unique doc keeps itself
