@@ -215,3 +215,43 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# JSON column functions — typed extraction from the events.props JSON string.
+# --------------------------------------------------------------------------- #
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(k) AS n_with_k,
+  MIN(k) AS min_k,
+  MAX(k) AS max_k,
+  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+  COUNT(*) FILTER (WHERE k > 50) AS n_high
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", oracle=_JSON_ORACLE, tags=("sqlops", "json"))
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (``from_json`` — vectorized Jackson parse,
+    no per-row Python) with typed aggregation over the extracted field. The
+    avg is an exact integer-sum / count division, engine-deterministic."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json("props", StructType([StructField("k", LongType())]))["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+    )
