@@ -177,3 +177,74 @@ def ivf_topk(
         scored.select("qid", "cid", F.row_number().over(w).cast("long").alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    bands: int = 16,
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (sign) LSH — the scale
+    path beside the O(n²) brute-force pair scan.
+
+    Each vector gets bands × bits sign bits (dot products against seeded
+    Gaussian hyperplanes, computed in one Arrow-batched numpy matmul); each
+    band's bits pack into a bucket key; candidate pairs share any (band,
+    bucket); exact JVM-side cosine verifies. For cos θ ≥ 0.85 with (16, 6):
+    per-band collision (1 − θ/π)^6 ≈ 0.31 → recall ≈ 1 − 0.69^16 ≈ 0.997.
+    Shuffle carries only (band, bucket, id) — signatures never leave the map
+    side, mirroring operators/dedup.py:minhash_near_dup.
+    """
+    first = df.select(F.size(to_double_array(vec_col)).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * bits, dim))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def bucket_keys(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.array(s.tolist(), dtype=np.float64)
+            signs = (x @ planes.T) > 0  # (n, bands*bits)
+            weights = (1 << np.arange(bits)).astype(np.int64)
+            keys = signs.reshape(len(x), bands, bits) @ weights  # (n, bands)
+            yield pd.Series(list(keys.astype("int32")))
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    banded = sig.select(
+        "id",
+        F.posexplode(bucket_keys(F.col("v"))).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -39,7 +39,7 @@ from ..operators.multimodal import (
     extract_payload_features,
     sample_frames,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import brute_force_topk, cosine_lsh_pairs, ivf_topk
 from ..sources.readers import load_table
 from .registry import register
 
@@ -475,6 +475,19 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
+
+
+@register("embedding_lsh_near_dup_pairs", oracle=None, tags=("dedup", "similarity"))
+def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH variant of embedding near-dedup — the scale path
+    (bucketed equi-join on sign signatures + exact-cosine verification,
+    recall ≈ 0.997 at these params). Rows-only check: the seeded hyperplanes
+    are not expressible in SQL; recall/precision are unit-tested against
+    planted near-duplicates (tests/test_dedup_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.85, bands=16, bits=6
+    ).select("id_a", "id_b")
 
 
 @register("simhash_near_dup_pairs", oracle=None, tags=("dedup",))

@@ -189,3 +189,26 @@ def test_minhash_keep_list_contract(spark, docs):
     assert out[1] == 0                              # exact dup folds to 0
     assert out[4] == 3                              # permutation folds to 3
     assert out[5] == 5                              # unique doc keeps itself
+
+
+def test_cosine_lsh_finds_planted_near_dups(spark):
+    from data_lake_medallion_architecture_project_spark.operators.similarity import cosine_lsh_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16)).astype(np.float64)
+    vecs = list(base)
+    # Plant near-duplicates: ids 40..49 are ids 0..9 plus tiny noise.
+    for i in range(10):
+        vecs.append(base[i] + rng.normal(scale=0.01, size=16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_lsh_pairs(df, threshold=0.95).collect()}
+    planted = {(i, 40 + i) for i in range(10)}
+    # Recall: every planted pair found (≈0.999 per-pair probability at these
+    # LSH params and cosine ≈ 0.9999).
+    assert planted <= pairs, planted - pairs
+    # Precision is exact by construction (candidates verified with true
+    # cosine); random 16-dim pairs essentially never reach 0.95.
+    assert pairs == planted or len(pairs - planted) <= 1
