@@ -255,3 +255,57 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
         F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Statistical aggregates — exact Pearson correlation from integer moments.
+# --------------------------------------------------------------------------- #
+
+# Built-in corr()/stddev() stream doubles in partition order → last-ulp drift
+# between engines. Instead every moment is an exact scaled-long sum (price has
+# 2 decimals, quantity is integral; their product has 2), and the correlation
+# is derived from those identical exact values with identical double
+# arithmetic on both sides — deterministic at any parallelism.
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy,
+    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS qty_price_corr
+FROM m
+"""
+
+
+@register("qty_price_correlation", oracle=_CORR_ORACLE, tags=("sqlops", "stats"))
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag, computed
+    from exact integer moments (order-independent, unlike F.corr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        # second moments overflow BIGINT at scale (price-cents² ~1e14 per
+        # row); DECIMAL(38,0) sums are exact to 38 digits on both engines.
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select("l_returnflag", "n", (num / den).alias("qty_price_corr"))
