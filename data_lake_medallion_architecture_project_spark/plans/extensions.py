@@ -545,3 +545,34 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame_payload")).alias("frame_bytes"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Sentence segmentation — 1→N explode on a JVM regex split (no UDTF needed).
+# --------------------------------------------------------------------------- #
+
+_SENTENCES_ORACLE = """
+SELECT doc_id, sentence_idx, sentence FROM (
+  SELECT doc_id,
+         unnest(range(len(parts))) AS sentence_idx,
+         trim(unnest(parts)) AS sentence
+  FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts FROM documents)
+)
+WHERE sentence <> ''
+"""
+
+
+@register("doc_sentences", oracle=_SENTENCES_ORACLE, tags=("text",))
+def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation as a lateral explode of a JVM regex split —
+    the idiomatic Spark form of a table function (1 row → N rows), staying
+    inside whole-stage codegen instead of a Python UDTF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"[.!?]+")).alias("sentence_idx", "raw"),
+        )
+        .select("doc_id", F.col("sentence_idx").cast("long").alias("sentence_idx"), F.trim("raw").alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )

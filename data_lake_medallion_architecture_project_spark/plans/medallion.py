@@ -371,3 +371,50 @@ def silver_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors.alias("validation_errors"),
         (errors == "").alias("is_valid"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Unpivot — melt the A7 pivot back to long form (pivot⁻¹ round trip).
+# --------------------------------------------------------------------------- #
+
+def _unpivot_oracle() -> str:
+    vals = ", ".join(f"('{t}')" for t in EVENTS_EVENT_TYPES)
+    return f"""
+WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events),
+t(event_type) AS (VALUES {vals}),
+agg AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT d.date, t.event_type, COALESCE(agg.total_value, 0) AS total_value
+FROM d CROSS JOIN t
+LEFT JOIN agg ON agg.date = d.date AND agg.event_type = t.event_type
+"""
+
+
+@register("event_value_long", oracle=_unpivot_oracle(), tags=("gold", "pivot"))
+def event_value_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot: the wide per-type value matrix melted back to
+    (date, event_type, total_value) rows via DataFrame.unpivot — missing
+    combinations survive as explicit zeros (the pivot's fill-0 contract).
+    The oracle rebuilds the dense long form with a date×type cross join."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.select(
+            _day("ts"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        )
+        .groupBy("date")
+        .pivot("event_type", list(EVENTS_EVENT_TYPES))
+        .agg(F.sum("value_dec"))
+    )
+    for t in EVENTS_EVENT_TYPES:
+        pivoted = pivoted.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("double"))
+    return _finish_date(pivoted).unpivot(
+        ids=["date"],
+        values=list(EVENTS_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="total_value",
+    )
