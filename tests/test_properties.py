@@ -131,3 +131,50 @@ def test_vector_fold_matches_numpy(pair):
     bv = np.array(b, dtype=np.float32).astype(np.float64)
     assert abs(r["d"] - float(av @ bv)) < 1e-9 * max(1.0, abs(float(av @ bv)))
     assert abs(r["na"] - float(np.linalg.norm(av))) < 1e-9 * max(1.0, float(np.linalg.norm(av)))
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=0, max_value=100),   # ts (seconds)
+        st.booleans(),                             # is_left
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_events)
+def test_asof_join_matches_python_reference(rows):
+    spark = _get_spark()
+    from data_lake_medallion_architecture_project_spark.operators.asof import asof_join
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    lefts = [
+        (i, k, base + datetime.timedelta(seconds=t))
+        for i, (k, t, is_l) in enumerate(rows)
+        if is_l
+    ]
+    rights = [
+        (k, base + datetime.timedelta(seconds=t))
+        for (k, t, is_l) in rows
+        if not is_l
+    ]
+    if not lefts:
+        return
+    ldf = spark.createDataFrame(lefts, "row_id long, key long, ts timestamp")
+    rdf = (
+        spark.createDataFrame(rights, "key long, ts timestamp")
+        if rights
+        else spark.createDataFrame([], "key long, ts timestamp")
+    )
+    got = {
+        r["row_id"]: r["asof_ts"]
+        for r in asof_join(ldf, rdf, key="key", ts="ts").collect()
+    }
+    for row_id, k, lts in lefts:
+        candidates = [rts for rk, rts in rights if rk == k and rts <= lts]
+        expect = max(candidates) if candidates else None
+        assert got[row_id] == expect, (row_id, got[row_id], expect)
