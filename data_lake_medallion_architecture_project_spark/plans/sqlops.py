@@ -309,3 +309,34 @@ def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     )
     return m.select("l_returnflag", "n", (num / den).alias("qty_price_corr"))
+
+
+# --------------------------------------------------------------------------- #
+# SQL-text surface + correlated subquery decorrelation.
+# --------------------------------------------------------------------------- #
+
+# ONE SQL string, TWO engines: Spark runs it via spark.sql over a temp view,
+# DuckDB runs it as the oracle verbatim. The correlated scalar subquery
+# ("orders 1.5x above their customer's average") is decorrelated by Catalyst
+# into an aggregate + join — no per-row subquery execution (.explain shows a
+# plain Aggregate⋈Join, which is what survives at 100 TB). The comparison is
+# pure integer arithmetic (cents × counts), so both engines evaluate the
+# predicate exactly.
+_ABOVE_AVG_SQL = """
+SELECT o.o_orderkey,
+       o.o_custkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) * 2
+      > (SELECT SUM(CAST(ROUND(o3.o_totalprice * 100) AS BIGINT))
+         FROM orders o3 WHERE o3.o_custkey = o.o_custkey) * 3
+"""
+
+
+@register("above_avg_orders", oracle=_ABOVE_AVG_SQL, tags=("sqlops", "sql"))
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5x their customer's average — the same SQL text the
+    DuckDB oracle runs, executed through spark.sql over a temp view."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ABOVE_AVG_SQL)
