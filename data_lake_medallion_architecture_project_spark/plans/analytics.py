@@ -551,3 +551,57 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_dec").cast("double").alias("min_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q7 flavor — bilateral volume: one dim table joined in two roles.
+# --------------------------------------------------------------------------- #
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+@register("bilateral_trade_volume", oracle=_Q7_ORACLE, tags=("tpch", "join"))
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: cross-nation shipping volume per year. The nation dim joins
+    in TWO roles (supplier side and customer side) via independent aliases;
+    nation/supplier/customer broadcast, lineitem⋈orders is the one big
+    shuffle. The cross-nation filter applies post-join on broadcast columns
+    (a row-level predicate over two dim attributes can't push below the
+    joins, but it costs nothing map-side)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        _disc_price().alias("disc_price"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(scaled_long_sum(F.col("disc_price"), 4).alias("volume"))
+    )
