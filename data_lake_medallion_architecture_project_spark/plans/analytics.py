@@ -605,3 +605,40 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "ship_year")
         .agg(scaled_long_sum(F.col("disc_price"), 4).alias("volume"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# Argmax via struct-max — single-pass latest-row-per-group, no window.
+# --------------------------------------------------------------------------- #
+
+_LATEST_ORACLE = """
+SELECT o_custkey, o_orderdate AS latest_date, o_orderkey AS latest_orderkey
+FROM (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+@register("latest_order_per_customer", oracle=_LATEST_ORACLE, tags=("sqlops", "topk"))
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer as MAX(struct(ts, key)) — one partial-
+    aggregating hash aggregate instead of a window (no per-partition sort,
+    map-side combine shrinks the shuffle to one row per group per task; the
+    window form shuffles every row). Struct comparison is lexicographic, so
+    the orderkey tiebreak makes the argmax deterministic; the oracle computes
+    the same row with a window, proving the two forms agree."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_orderdate").alias("latest_date"),
+            F.col("m.o_orderkey").alias("latest_orderkey"),
+        )
+    )
