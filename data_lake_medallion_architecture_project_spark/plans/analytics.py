@@ -642,3 +642,57 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.o_orderkey").alias("latest_orderkey"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q8 flavor — market-share ratio via conditional aggregation.
+# --------------------------------------------------------------------------- #
+
+_Q8_ORACLE = """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+         n.n_name AS supp_nation,
+         SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS v
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY EXTRACT(year FROM o.o_orderdate), n.n_name
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN v ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(v) AS DOUBLE) AS focal_share
+FROM vol
+GROUP BY order_year
+"""
+
+
+@register("nation_market_share", oracle=_Q8_ORACLE, tags=("tpch", "join"))
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's (NATION_0) share of yearly revenue — conditional
+    aggregation as a ratio of two exact integer sums (both operands exact →
+    the double division is engine-deterministic). Two-level aggregate: the
+    per-(year, nation) rollup shrinks the join output before the tiny
+    share computation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _disc_price().alias("disc_price")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v = F.sum(F.round(F.col("disc_price") * 10000).cast("long")).alias("v")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("order_year", F.col("n_name").alias("supp_nation"))
+        .agg(v)
+    )
+    return vol.groupBy("order_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_0", F.col("v")).otherwise(0)).cast("double")
+            / F.sum("v").cast("double")
+        ).alias("focal_share")
+    )

@@ -576,3 +576,63 @@ def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("sentence_idx").cast("long").alias("sentence_idx"), F.trim("raw").alias("sentence"))
         .filter(F.col("sentence") != "")
     )
+
+
+# --------------------------------------------------------------------------- #
+# TF-IDF — corpus-weighted term scoring, top terms per document.
+# --------------------------------------------------------------------------- #
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, term_rank FROM (
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, token
+         ) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= 3
+"""
+
+
+@register("doc_top_terms_tfidf", oracle=_TFIDF_ORACLE, tags=("text",))
+def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Term frequencies and document
+    frequencies are two aggregations over one exploded projection; the doc
+    count broadcasts as a literal; ranking is a per-doc window. Determinism:
+    tf and df are exact integers, n_docs a literal, so the tfidf doubles are
+    identical IEEE expressions on both engines, and rank ties break on the
+    token string. Rank (not the score) is the emitted contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df")))).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.select(
+            "doc_id", "token", F.row_number().over(w).cast("long").alias("term_rank")
+        )
+        .filter(F.col("term_rank") <= 3)
+    )
