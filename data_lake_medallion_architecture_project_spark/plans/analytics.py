@@ -696,3 +696,72 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("v").cast("double")
         ).alias("focal_share")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Rolling window frame — 3-order moving average per customer.
+# --------------------------------------------------------------------------- #
+
+_ROLLING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+         / (100.0 * COUNT(*) OVER w) AS moving_avg_price
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("customer_order_moving_avg", oracle=_ROLLING_ORACLE, tags=("window",))
+def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order average price per customer — a bounded ROWS frame
+    (2 preceding .. current). The frame sum is exact integer cents and the
+    divisor an exact count, so the emitted double is engine-deterministic;
+    ordering ties break on the order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("moving_avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Collection aggregation — distinct order years per customer as a sorted list.
+# --------------------------------------------------------------------------- #
+
+_YEARS_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))), ',') AS order_years,
+       COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("customer_order_years", oracle=_YEARS_ORACLE, tags=("sqlops",))
+def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation: each customer's distinct order years,
+    sorted and joined to a string (array renderings differ between engines;
+    the joined form hashes identically). At scale collect_set state is
+    bounded by the value domain (#years), not the row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set(yr)), ",").alias("order_years"),
+            F.countDistinct(yr).alias("n_years"),
+        )
+    )
