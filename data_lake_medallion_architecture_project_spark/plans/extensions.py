@@ -636,3 +636,34 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term_rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Regex / string search — declared absent in the reference (SURVEY §2.7).
+# --------------------------------------------------------------------------- #
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       regexp_matches(text, '[A-Z][a-z]+') AS has_capitalized,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       left(text, 20) AS prefix20
+FROM documents
+"""
+
+
+@register("doc_regex_stats", oracle=_REGEX_ORACLE, tags=("text",))
+def doc_regex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex and string-search functions over documents: match counting
+    (regexp_extract_all), boolean search (rlike), replace-based character
+    counting, and prefix slicing — all JVM expressions inside whole-stage
+    codegen; simple character-class patterns behave identically in Java and
+    RE2-style engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).cast("long").alias("n_numbers"),
+        F.col("text").rlike("[A-Z][a-z]+").alias("has_capitalized"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).cast("long").alias("n_spaces"),
+        F.substring("text", 1, 20).alias("prefix20"),
+    )
