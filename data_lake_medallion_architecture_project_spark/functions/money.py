@@ -39,9 +39,18 @@ def scaled_long_sum(c: Column, scale: int) -> Column:
     .5 rounding boundary, so HALF_UP round recovers the exact fixed-point
     value the decimal cast would. The oracle SQL keeps the decimal form —
     the sf0.01 value-hash sweep is the cross-check that both sides agree.
+
+    Overflow envelope: the per-row long conversion is the fast codegen path,
+    but the ACCUMULATOR is DECIMAL(38,0), not long — a long accumulator would
+    wrap silently with ANSI off once the scaled sum exceeds ~9.2e18 (reachable
+    at 100 TB: ~1e10 rows of a scale-6 column averaging 1e3 is 1e19). The
+    decimal accumulator is exact to 38 digits, which no physical dataset
+    approaches, and stays order-independent. Per-row values themselves are
+    bounded by the fixed-point input contract (≤ DECIMAL(18,s)), so only the
+    sum — not the rounded row value — needed widening.
     """
     factor = 10**scale
-    return F.sum(F.round(c * factor).cast("long")) / float(factor)
+    return F.sum(F.round(c * factor).cast("long").cast("decimal(38,0)")) / float(factor)
 
 
 def dec_sum(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:

@@ -446,16 +446,20 @@ n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FRO
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.e, b.e), t -> t[1] * t[2])) / (a.nrm * b.nrm)
-      >= 0.85
+      >= 0.4
 """
 
 
 @register("embedding_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity"))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector pairs with cosine ≥ 0.85 — embedding-space near-dedup.
+    """Vector pairs with cosine ≥ 0.4 — embedding-space near-dedup.
 
-    Brute-force O(n²) pair scan (exact); the LSH-bucketed variant in
-    operators/dedup.py is the recall-tradeoff scale path."""
+    Brute-force O(n²) pair scan (exact baseline); ``embedding_lsh_near_dup_pairs``
+    is the bucketed scale path, oracled against this same pair set. The 0.4
+    threshold is deliberate: the synthetic embeddings are near-isotropic (max
+    pairwise cosine ≈ 0.51 at sf0.01), so a production-style 0.85 cut returns
+    the empty set and the oracle comparison degenerates to 0 = 0; at 0.4 the
+    gate corpus yields 59 real pairs, making the value-hash check substantive."""
     from ..functions.vectors import cosine, l2_norm, to_double_array
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -471,22 +475,28 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.85
+            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.4
         )
         .select("id_a", "id_b")
     )
 
 
-@register("embedding_lsh_near_dup_pairs", oracle=None, tags=("dedup", "similarity"))
+@register("embedding_lsh_near_dup_pairs", oracle=_EMB_NEAR_DUP_ORACLE, tags=("dedup", "similarity"))
 def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH variant of embedding near-dedup — the scale path
-    (bucketed equi-join on sign signatures + exact-cosine verification,
-    recall ≈ 0.997 at these params). Rows-only check: the seeded hyperplanes
-    are not expressible in SQL; recall/precision are unit-tested against
-    planted near-duplicates (tests/test_dedup_similarity.py)."""
+    """Random-hyperplane LSH near-dedup — the scale path, oracled against the
+    *exact* pair SQL. Sound because the operator ends in an exact-cosine
+    verify of candidates, so its output is a subset of the brute-force pairs
+    by construction (precision 1.0); the oracle hash-match therefore proves
+    recall 1.0 on the gate corpus with these seeded hyperplanes (32 bands ×
+    4 bits: per-band collision at cos 0.4 is (1 − θ/π)⁴ ≈ 0.159 → miss
+    probability per pair ≈ 0.841³² ≈ 0.004; measured recall on sf0.01 is
+    59/59). Parameter scaling: ``bits`` sets bucket granularity (2^bits
+    buckets per band — raise toward 16–20 on web-scale corpora so bucket
+    sizes stay bounded) and ``bands`` buys back recall; signatures never
+    leave the map side, the shuffle carries only (band, bucket, id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_lsh_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.85, bands=16, bits=6
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, bands=32, bits=4
     ).select("id_a", "id_b")
 
 

@@ -27,15 +27,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame.
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's reader rejects
-    unless the legacy nanos-as-long conf is set; we set it dynamically (it is
-    a runtime SQL conf, so this works on any caller-provided session) and
-    rebuild the timestamp at microsecond precision with integer arithmetic —
-    nano values (~1.7e18) overflow double, so the division must stay integral.
+    unless the legacy nanos-as-long conf is set; we set it only when the plain
+    read actually fails (so a session that never touches nanos parquet is
+    never mutated), and rebuild the timestamp at microsecond precision with
+    integer arithmetic — nano values (~1.7e18) overflow double, so the
+    division must stay integral.
+
+    The conf deliberately stays set afterwards: the returned DataFrame is
+    lazy, and the scan re-reads the conf at execution time, so restoring it
+    here would break the very plan we return. The one observable side effect
+    is that later nanos-parquet reads in the same session also come back as
+    bigint — which this function already normalizes.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
@@ -74,7 +84,13 @@ def read_silver(spark: SparkSession, silver_root: str, domain: str) -> DataFrame
     """
     path = os.path.join(silver_root, domain)
     try:
-        return spark.read.option("mergeSchema", "false").parquet(path)
+        df = spark.read.option("mergeSchema", "false").parquet(path)
     except Exception:
         # Path does not exist yet — the reference returns an empty frame here.
         return spark.createDataFrame([], StructType([]))
+    # Streaming ingest writes each micro-batch under ingest_batch=<id> for
+    # idempotent replay; that bookkeeping partition is not part of the Silver
+    # row contract.
+    if "ingest_batch" in df.columns:
+        df = df.drop("ingest_batch")
+    return df

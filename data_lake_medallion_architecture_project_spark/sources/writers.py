@@ -77,6 +77,34 @@ def write_silver(
     return path
 
 
+def write_silver_batch(
+    df: DataFrame,
+    silver_root: str,
+    domain: str,
+    batch_id: int,
+    ingest_time: datetime | None = None,
+) -> str:
+    """Idempotent micro-batch Silver write for streaming ingest.
+
+    Each micro-batch lands under its own ``ingest_batch=<id>`` partition
+    subtree with ``overwrite`` mode. foreachBatch is at-least-once: a crash
+    between the Silver write and the checkpoint commit replays the batch (same
+    batchId, same input files) on restart — with a blind append that would
+    duplicate rows; here the replay overwrites the very same directory and
+    converges to identical bytes, making the sink exactly-once end to end.
+    ``ingest_batch`` is discovered as an ordinary Hive partition column on
+    read and dropped by :func:`readers.read_silver`.
+    """
+    path = os.path.join(silver_root, domain, f"ingest_batch={int(batch_id)}")
+    (
+        _with_ingest_partitions(df, ingest_time)
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+    )
+    return path
+
+
 def write_gold_snapshot(df: DataFrame, gold_root: str, table: str) -> str:
     """Append a full Gold snapshot; ``generated_at`` (already stamped by the
     builder) identifies the run, mirroring the timestamped-file convention."""

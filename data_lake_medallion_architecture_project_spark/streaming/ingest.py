@@ -5,9 +5,13 @@ Replaces the reference's JSON processed-file ledger
 steps of ``pipeline/bronze_to_silver.py:190-219``) with a Structured Streaming
 file source + checkpoint:
 
-* exactly-once file tracking lives in the checkpoint (no ledger-after-write
-  crash window — the reference reprocesses files if it dies between the Silver
-  write and the ledger commit, SURVEY.md §3.2);
+* exactly-once end to end: file tracking lives in the checkpoint, and the
+  sink write is *idempotent* — each micro-batch overwrites its own
+  ``ingest_batch=<batchId>`` partition subtree (``write_silver_batch``), so a
+  crash between the Silver write and the checkpoint commit replays the batch
+  into the same directory instead of appending duplicates. (The reference
+  reprocesses files if it dies between the Silver write and the ledger
+  commit, SURVEY.md §3.2 — the crash window is removed here, not relocated.);
 * ``Trigger.AvailableNow`` gives the same scheduled-micro-batch cadence as the
   reference's 30-min Airflow DAG, but resumable and transactional;
 * each micro-batch runs the same domain cleaner used by batch mode —
@@ -27,7 +31,7 @@ from pyspark.sql import SparkSession
 
 from ..plans.silver import CLEANERS
 from ..schemas import BRONZE_SCHEMAS
-from ..sources.writers import write_silver
+from ..sources.writers import write_silver_batch
 
 
 def run_incremental_ingest(
@@ -69,7 +73,9 @@ def run_incremental_ingest(
         cleaned = cleaner(batch_df, processed_at)
         n = cleaned.count()
         if n:
-            write_silver(cleaned, silver_root, domain)
+            # Idempotent: overwrite of the batchId-keyed subtree, so replay
+            # after a crash-before-checkpoint converges instead of duplicating.
+            write_silver_batch(cleaned, silver_root, domain, batch_id)
             written["rows"] += n
 
     query = (

@@ -122,8 +122,22 @@ def _sessionize_group(
 
     ts_us: list[int] = []
     for pdf in pdfs:
-        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        # PERMISSIVE sources can deliver null event times; NaT.value is a huge
+        # negative int that would corrupt session start/gap math — drop them.
+        ts = pd.to_datetime(pdf["ts"], errors="coerce").dropna()
+        ts_us.extend(int(t.value // 1000) for t in ts)
     ts_us.sort()
+
+    if not ts_us:
+        # Nothing usable this batch. Preserve existing state (re-arming its
+        # timeout); with no prior state there is nothing to do — never seed a
+        # session from NaT.
+        if state.exists:
+            start_us, last_us, n = state.get
+            state.update((int(start_us), int(last_us), int(n)))
+            due_ms = int(last_us) // 1000 + _GAP_US // 1000
+            state.setTimeoutTimestamp(max(due_ms, state.getCurrentWatermarkMs() + 1))
+        return
 
     start_us, last_us, n = state.get if state.exists else (None, None, 0)
     closed: list[tuple[int, int, int, str]] = []

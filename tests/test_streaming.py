@@ -19,6 +19,10 @@ from data_lake_medallion_architecture_project_spark.streaming.ingest import run_
 
 RUN_TS = "2026-08-13T00:00:00+00:00"
 
+# Silver keeps every distinct domain key (invalid rows are flagged, not
+# dropped), so rows-written == distinct keys in the batch.
+DOMAIN_KEYS = {"sales": "sale_id", "customer_events": "event_id", "inventory": "movement_id"}
+
 
 def _write_bronze_csv(root: str, domain: str, batch: list[dict], name: str) -> str:
     d = os.path.join(root, domain)
@@ -40,7 +44,7 @@ def test_incremental_ingest_exactly_once(spark, tmp_path, domain):
     b1 = gen(seed=1)
     _write_bronze_csv(bronze, domain, b1, "batch1")
     n1 = run_incremental_ingest(spark, bronze, silver, ckpt, domain, processed_at=RUN_TS)
-    assert n1 == len({tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in map(dict, b1)}) or n1 <= len(b1)
+    assert n1 == len({r[DOMAIN_KEYS[domain]] for r in b1})
 
     silver_df = spark.read.parquet(os.path.join(silver, domain))
     first_count = silver_df.count()
@@ -59,6 +63,35 @@ def test_incremental_ingest_exactly_once(spark, tmp_path, domain):
     n2 = run_incremental_ingest(spark, bronze, silver, ckpt, domain, processed_at=RUN_TS)
     assert 0 < n2 <= len(b2)
     assert spark.read.parquet(os.path.join(silver, domain)).count() == first_count + n2
+
+
+def test_ingest_crash_replay_no_duplicates(spark, tmp_path):
+    """Exactly-once under foreachBatch replay: simulate a crash between the
+    Silver write and the checkpoint commit by deleting the commit marker of
+    the completed batch, forcing Structured Streaming to re-run it on restart.
+    The batchId-keyed overwrite (write_silver_batch) must converge instead of
+    appending duplicates — a blind append would double the row count here."""
+    domain = "sales"
+    bronze, silver, ckpt = (str(tmp_path / p) for p in ("bronze", "silver", "ckpt"))
+    b1 = GENERATORS[domain](seed=7, n=30)
+    _write_bronze_csv(bronze, domain, b1, "batch1")
+    n1 = run_incremental_ingest(spark, bronze, silver, ckpt, domain, processed_at=RUN_TS)
+    assert n1 > 0
+    silver_path = os.path.join(silver, domain)
+    count_before = spark.read.parquet(silver_path).count()
+
+    # Crash window: the Silver write happened, the checkpoint commit did not.
+    commits = os.path.join(ckpt, domain, "commits")
+    batch_files = [f for f in os.listdir(commits) if f.isdigit()]
+    latest = max(batch_files, key=int)
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    replayed = run_incremental_ingest(spark, bronze, silver, ckpt, domain, processed_at=RUN_TS)
+    assert replayed == n1  # the batch genuinely re-ran ...
+    assert spark.read.parquet(silver_path).count() == count_before  # ... idempotently
 
 
 def test_full_medallion_flow_to_gold(spark, tmp_path):
