@@ -5,10 +5,11 @@ Three tiers, increasing recall / cost:
 * ``exact_dedup`` — content-hash groupBy. One shuffle on a 128-bit hash;
   at 100 TB this is the cheapest possible dedup (hash is computed map-side,
   shuffle carries only (hash, id)).
-* ``jaccard_similar_pairs`` — exact token-set Jaccard via an inverted-index
-  self-join (explode tokens → join on token → count intersections). Exact but
-  quadratic in posting-list length; at scale, run it *after* LSH candidate
-  generation, not on the full corpus.
+* ``jaccard_similar_pairs`` — exact token-set Jaccard with *prefix
+  filtering* (PPJoin-style): the inverted-index self-join runs only over each
+  document's rarest-token prefix, so a stopword shared by 10⁶ documents never
+  enters the join. Exact by the prefix-filter lemma; candidates are verified
+  against the full token sets.
 * ``minhash_near_dup`` — MinHash + banded LSH. Deterministic seeded hash
   family (xxhash64 of seed-prefixed tokens), so signatures are reproducible
   across runs/executors. Candidates from band-bucket joins, then exact Jaccard
@@ -49,44 +50,85 @@ def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_similar_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact word-set Jaccard pairs ≥ threshold via inverted-index self-join.
+    """Exact word-set Jaccard pairs ≥ threshold. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
 
-    Plan shape: explode distinct tokens → shuffle on token → pairwise counts →
-    join back the set sizes (broadcast — one row per doc id). Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    ``prefix_filter=True`` (the scale path) generates candidates from each
+    document's *prefix* under the global rarest-first token order instead of
+    every token: sort each document's tokens by (document frequency, token)
+    and keep the first ``|A| − ⌈t·|A|⌉ + 1``. The prefix-filter lemma makes
+    this exact, not approximate: J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ (since
+    |A∩B| ≥ t·|A| from J = O/(|A|+|B|−O) ≥ t and |B| ≥ O), and a set sharing
+    ≥ α elements with A must hit A's first |A|−α+1 elements in any order both
+    sides sort by. Surviving candidate pairs are verified on the FULL token
+    sets, so the output is identical to the naive plan (unit-tested).
+
+    This is the defense against posting-list explosion: a stopword with
+    document frequency 10⁶ lands in a document's prefix only when the
+    document has essentially no rarer tokens, so the self-join's per-token
+    groups stay near the rare tail instead of quadratic in the corpus.
+    The df ranking costs one extra token-grain aggregation; the per-document
+    prefix cut is a window partitioned by document id (no global sort).
+
+    ``prefix_filter=False`` keeps the naive full inverted-index join — the
+    verification baseline.
     """
     sets = _token_sets(df, id_col, text_col)
-    sizes = sets.select("id", F.size("tokens").alias("set_size"))
     postings = sets.select("id", F.explode("tokens").alias("token"))
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        dfreq = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        sized = postings.join(
+            sets.select("id", F.size("tokens").alias("set_size")), "id"
+        ).join(dfreq, "token")
+        # Prefix length |A| − ⌈t·|A|⌉ + 1 under rarest-first canonical order.
+        w = Window.partitionBy("id").orderBy("df", "token")
+        prefix = (
+            sized.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1)
+            .select("id", "token")
+        )
+        cand_src = prefix
+    else:
+        cand_src = postings
+    a = cand_src.alias("a")
+    b = cand_src.alias("b")
+    cand = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("intersection"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
-    jaccard = F.col("intersection") / (
-        F.col("size_a") + F.col("size_b") - F.col("intersection")
-    )
+    # Exact verification on the full token sets (same arithmetic as the naive
+    # count-based formula: integer sizes divided in double).
+    ta = sets.select(F.col("id").alias("id_a"), F.col("tokens").alias("tokens_a"))
+    tb = sets.select(F.col("id").alias("id_b"), F.col("tokens").alias("tokens_b"))
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    union = F.size(F.array_union("tokens_a", "tokens_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
-SIMHASH_BITS = 32
+# 64-bit signatures: 32 bits saturate on web-scale corpora (collision-heavy
+# beyond ~10⁸ documents); 64 is the standard SimHash width (Manku et al.,
+# WWW'07) and fits exactly in one Spark long.
+SIMHASH_BITS = 64
 
 
 def _simhash_counters(tokens: Column) -> Column:
-    """Per-bit ±1 accumulators of the 32-bit SimHash: one array fold over the
-    tokens; bit positions are Python-level constants (shift amounts must be
-    ints, not Columns)."""
+    """Per-bit ±1 accumulators of the SIMHASH_BITS-bit SimHash: one array fold
+    over the tokens; bit positions are Python-level constants (shift amounts
+    must be ints, not Columns)."""
 
     def _bit_signs(t: Column) -> Column:
         return F.array(
@@ -106,9 +148,20 @@ def _simhash_counters(tokens: Column) -> Column:
 
 
 def _pack_simhash(counters: Column) -> Column:
-    """Sign vector → packed long (bit j set iff counter j > 0)."""
+    """Sign vector → packed long (bit j set iff counter j > 0).
+
+    Bit 63 is the long's sign bit: its addend is −2⁶³ (two's complement) —
+    ``1 << 63`` itself does not fit a signed long literal. Partial sums stay
+    in range: positives total ≤ 2⁶³−1 and the single negative addend brings
+    the result to exactly the intended bit pattern, no wraparound."""
+
+    def _addend(j: int) -> int:
+        return -(1 << 63) if j == 63 else (1 << j)
+
     bits = [
-        F.when(F.element_at(counters, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        F.when(F.element_at(counters, j + 1) > 0, F.lit(_addend(j)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         for j in range(SIMHASH_BITS)
     ]
     total = bits[0]
@@ -129,7 +182,13 @@ def simhash_near_dup(
     Candidate generation by band-equality (pigeonhole: distance ≤ bands−1
     guarantees at least one equal band), then exact Hamming verification via
     bit_count of the XOR. Shuffle carries (band, band-bits, id, sig) only.
+    ``bands`` must divide SIMHASH_BITS and exceed ``max_hamming`` for the
+    pigeonhole guarantee (default 4 bands × 16 bits covers max_hamming ≤ 3).
     """
+    if SIMHASH_BITS % bands != 0:
+        raise ValueError("bands must divide SIMHASH_BITS")
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for exact candidate recall")
     rows = SIMHASH_BITS // bands
     sets = _token_sets(df, id_col, text_col).filter(F.size("tokens") > 0)
     # Materialize the counter array before packing — packing references it

@@ -502,7 +502,7 @@ def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_near_dup_pairs", oracle=None, tags=("dedup",))
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 of 32 bits). Rows-only check:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits). Rows-only check:
     xxhash64 is not available in the DuckDB oracle; precision/recall are
     covered by unit tests against exact Jaccard."""
     docs = load_table(spark, sf_dir, "documents")

@@ -57,6 +57,27 @@ def test_jaccard_pairs_find_near_duplicates(docs):
     assert not any({a, b} == {0, 3} for a, b in pairs)
 
 
+def test_prefix_filter_identical_to_naive_join(spark):
+    """The prefix-filter lemma makes pruning exact: candidate generation over
+    rarest-token prefixes plus full-set verification must reproduce the naive
+    full inverted-index join bit-for-bit on a real corpus (500 docs, ~90k
+    qualifying pairs — near-dup dense, so a recall loss would be visible)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pruned = sorted(
+        map(tuple, jaccard_similar_pairs(docs, "doc_id", "text", 0.5).collect())
+    )
+    naive = sorted(
+        map(
+            tuple,
+            jaccard_similar_pairs(
+                docs, "doc_id", "text", 0.5, prefix_filter=False
+            ).collect(),
+        )
+    )
+    assert pruned == naive
+    assert len(pruned) > 0
+
+
 def test_minhash_matches_exact_jaccard_on_high_threshold(docs):
     exact = {
         (r["id_a"], r["id_b"])

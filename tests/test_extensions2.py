@@ -36,8 +36,9 @@ def test_asof_join_hand_computed(spark):
 
 
 def test_simhash_identical_and_disjoint(spark):
-    # Near-dup = small token-weight change on a longish doc (1 of 30 tokens);
-    # a 1-of-8 swap flips ~6/32 bits, beyond the ≤bands−1 recall guarantee.
+    # Near-dup = small token-weight change on a longish doc (1 of 30 tokens)
+    # flips 6 of the 64 signature bits; disjoint docs sit at distance ~28-30.
+    # bands=8 (> max_hamming) keeps the pigeonhole recall guarantee.
     base = " ".join(f"tok{i}" for i in range(30))
     near = " ".join(f"tok{i}" for i in range(29)) + " other"
     df = spark.createDataFrame(
@@ -46,11 +47,19 @@ def test_simhash_identical_and_disjoint(spark):
     )
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_dup(df, "doc_id", "text", max_hamming=6).collect()
+        for r in simhash_near_dup(df, "doc_id", "text", max_hamming=6, bands=8).collect()
     }
     assert pairs[(0, 1)] == 0  # identical → distance 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 6  # near-identical → close
     assert not any({a, b} == {0, 3} for a, b in pairs)  # disjoint → far
+
+
+def test_simhash_band_guards(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_near_dup(df, "doc_id", "text", max_hamming=6)  # bands=4 ≤ 6
+    with pytest.raises(ValueError):
+        simhash_near_dup(df, "doc_id", "text", max_hamming=3, bands=5)  # 5 ∤ 64
 
 
 def test_multimodal_features_match_hashlib(spark):
