@@ -1,0 +1,239 @@
+"""Minimal Delta-style transactional table layer over parquet.
+
+The north star is "DataFrame transformations over Delta/Parquet"; delta-rs is
+not available in this environment, so this module implements the subset of the
+Delta Lake protocol the Gold maintenance path actually needs, from scratch and
+Spark-first:
+
+* **Atomic versioned commits** — a table is a ``_txn_log/`` of JSON commit
+  files ``%020d.json`` plus immutable parquet data files under ``_data/``.
+  A commit becomes visible by an O_EXCL exclusive create of the next version
+  file (the same atomicity primitive delta-rs uses on local/HDFS stores);
+  readers never see half-written state because data files are written *before*
+  the commit that references them.
+* **Idempotent writer transactions** — each commit may carry a
+  ``{"app_id", "batch_id"}`` marker (Delta's ``txn`` action). A replayed
+  Structured Streaming micro-batch (same app_id, batch_id ≤ last committed)
+  is skipped, which upgrades foreachBatch from at-least-once to exactly-once.
+* **MERGE-style partition upsert** — ``merge_overwrite_partitions`` adds the
+  new files and removes the superseded files of exactly the partitions present
+  in the incoming DataFrame, in one atomic commit (Delta's
+  ``replaceWhere``/MERGE-by-partition pattern).
+* **File skipping** — the log stores each file's partition value, so readers
+  prune files driver-side from log metadata alone, like Delta data skipping
+  (no directory listing on the read path).
+* **Time travel** — ``read(spark, version=N)`` reconstructs any historical
+  snapshot, because removed files are logically deleted (dropped from the
+  snapshot) but physically retained until ``vacuum()``.
+
+Scale notes: the log is O(commits + live files) JSON — the same driver-side
+metadata cost Delta pays before checkpointing; data files never move or
+rewrite except for the partitions a MERGE touches, and concurrent writers are
+serialized by the exclusive-create commit race (optimistic concurrency: losers
+re-read the log, re-validate their transaction, and retry).
+
+Reference behavior being replaced: the reference's Gold sink is a bare
+timestamped-file append with no transactionality at all
+(``/root/reference/storage/local_storage.py:144-155``); its ingest ledger has
+a write-then-commit crash window (SURVEY.md §3.2). Both failure modes are
+closed here rather than ported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txn_log"
+_DATA_DIR = "_data"
+
+
+@dataclass
+class Snapshot:
+    """Materialized table state at one log version."""
+
+    version: int = -1
+    # relative file path -> partition value (string form, or None)
+    files: dict = field(default_factory=dict)
+    # app_id -> highest committed batch_id
+    txns: dict = field(default_factory=dict)
+    schema_json: str | None = None
+    partition_col: str | None = None
+
+
+class TxnTable:
+    """A single transactional parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+        self.data_dir = os.path.join(path, _DATA_DIR)
+
+    # ------------------------------------------------------------------ log
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        )
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Replay the log up to (and including) ``version`` (default: head)."""
+        snap = Snapshot()
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                commit = json.load(fh)
+            for add in commit.get("add", []):
+                snap.files[add["path"]] = add.get("partition")
+            for rm in commit.get("remove", []):
+                snap.files.pop(rm, None)
+            txn = commit.get("txn")
+            if txn:
+                prev = snap.txns.get(txn["app_id"], -1)
+                snap.txns[txn["app_id"]] = max(prev, int(txn["batch_id"]))
+            if commit.get("schema_json"):
+                snap.schema_json = commit["schema_json"]
+            if commit.get("partition_col"):
+                snap.partition_col = commit["partition_col"]
+            snap.version = v
+        return snap
+
+    def _try_commit(self, version: int, commit: dict) -> bool:
+        """Exclusive-create of the version file — the atomicity point. Returns
+        False if another writer won this version (optimistic-concurrency
+        loser retries against the fresh log)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        try:
+            with open(target, "x") as fh:
+                json.dump(commit, fh)
+            return True
+        except FileExistsError:
+            return False
+
+    # ----------------------------------------------------------------- write
+
+    def merge_overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> list[str]:
+        """MERGE-by-partition upsert: atomically replace exactly the
+        ``partition_col`` partitions present in ``df``.
+
+        Returns the list of partition values written, or ``[]`` when the
+        (app_id, batch_id) transaction was already committed — the replayed
+        micro-batch no-op that makes foreachBatch exactly-once. Data files are
+        written before the commit, so a crash anywhere before the O_EXCL
+        rename-equivalent leaves only invisible orphans (cleaned by
+        ``vacuum``), never partial table state.
+        """
+        snap = self.snapshot()
+        if app_id is not None and batch_id is not None:
+            if snap.txns.get(app_id, -1) >= int(batch_id):
+                return []
+
+        # Stage the new files under a unique dir; __part mirrors the partition
+        # column so the directory layout carries the value while the original
+        # column stays inside the data files (readers need no path inference).
+        staging = os.path.join(self.data_dir, uuid.uuid4().hex)
+        (
+            df.withColumn("__part", F.col(partition_col).cast("string"))
+            .write.partitionBy("__part")
+            .parquet(staging)
+        )
+        adds = []
+        for root, _dirs, names in os.walk(staging):
+            part = None
+            base = os.path.basename(root)
+            if base.startswith("__part="):
+                part = base.split("=", 1)[1]
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n), self.path)
+                    adds.append({"path": rel, "partition": part})
+        new_parts = sorted({a["partition"] for a in adds})
+
+        while True:
+            commit = {
+                "add": adds,
+                "remove": [p for p, pv in snap.files.items() if pv in new_parts],
+                "partition_col": partition_col,
+            }
+            if app_id is not None and batch_id is not None:
+                commit["txn"] = {"app_id": app_id, "batch_id": int(batch_id)}
+            if snap.version < 0:
+                commit["schema_json"] = df.drop("__part").schema.json()
+            if self._try_commit(snap.version + 1, commit):
+                return new_parts
+            # Lost the commit race: re-read, re-validate idempotency, retry.
+            snap = self.snapshot()
+            if app_id is not None and batch_id is not None:
+                if snap.txns.get(app_id, -1) >= int(batch_id):
+                    return []
+
+    # ------------------------------------------------------------------ read
+
+    def read(
+        self,
+        spark: SparkSession,
+        partition_values: list | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the committed snapshot (optionally time-traveled / pruned).
+
+        ``partition_values`` prunes at FILE granularity from log metadata —
+        the scan never lists or touches other partitions' files.
+        """
+        snap = self.snapshot(version)
+        wanted = (
+            None
+            if partition_values is None
+            else {str(v) for v in partition_values}
+        )
+        files = [
+            os.path.join(self.path, rel)
+            for rel, pv in sorted(snap.files.items())
+            if wanted is None or pv in wanted
+        ]
+        if not files:
+            schema = (
+                StructType.fromJson(json.loads(snap.schema_json))
+                if snap.schema_json
+                else StructType([])
+            )
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*files)
+
+    # --------------------------------------------------------------- vacuum
+
+    def vacuum(self) -> int:
+        """Physically delete data files not referenced by the CURRENT
+        snapshot: superseded versions and crash orphans. Forfeits time travel
+        (like Delta VACUUM with retention 0). Returns number of files
+        removed."""
+        live = {
+            os.path.normpath(os.path.join(self.path, rel))
+            for rel in self.snapshot().files
+        }
+        removed = 0
+        for root, _dirs, names in os.walk(self.data_dir):
+            for n in names:
+                p = os.path.normpath(os.path.join(root, n))
+                if n.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed += 1
+        return removed

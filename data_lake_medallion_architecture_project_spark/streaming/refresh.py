@@ -1,31 +1,40 @@
-"""Incremental Silver→Gold maintenance — bounded-work refresh of the Gold
-aggregates.
+"""Incremental Silver→Gold maintenance — bounded-work, transactional refresh
+of the Gold aggregates.
 
 The reference rebuilds every Gold table from ALL Silver history every 30
 minutes (``/root/reference/pipeline/silver_to_gold.py:219-235`` reading the
 whole tree via ``storage/local_storage.py:129-137``) — O(history) per run,
 its biggest scalability cliff (SURVEY.md §4.1). This module replaces that
-with partition-grain incremental view maintenance:
+with partition-grain incremental view maintenance over a transactional table:
 
 1. Stream the Silver parquet tree (file-source checkpoint = exactly-once
    accounting of which Silver files have been folded in).
 2. Per micro-batch, derive the set of **affected day partitions** from the
    new rows' event dates.
-3. Re-aggregate ONLY those days from Silver and dynamically overwrite just
-   those ``date=`` partitions of each Gold table.
+3. Re-aggregate ONLY those days from Silver and MERGE them into each Gold
+   table: one atomic ``TxnTable.merge_overwrite_partitions`` commit per
+   (table, batch) that adds the recomputed day files and removes the
+   superseded ones (storage/txnlog.py — the Delta-style layer).
+
+Exactly-once, not just idempotent-by-convergence: every commit carries the
+streaming (app_id, batch_id) transaction marker, so a foreachBatch replay
+after a crash between the Gold write and the checkpoint commit is *skipped*
+at the table layer, and a crash before the log commit leaves only invisible
+orphan files (readers see the previous consistent snapshot). The old
+dynamic-partition-overwrite path converged on replay but exposed readers to
+torn state mid-overwrite; the txn log removes that window too.
 
 Work per refresh is O(new data + affected partitions), independent of total
-history, while the on-disk Gold stays bit-identical to a full recompute (the
-invariant the tests assert). All Gold aggregates are day-grain, so a day is
-recomputable in isolation; overwriting whole day partitions makes the fold
-idempotent under micro-batch replay (no read-modify-write of aggregate rows).
+history, while the committed Gold stays bit-identical to a full recompute
+(the invariant the tests assert). All Gold aggregates are day-grain, so a day
+is recomputable in isolation.
 
 At 100 TB the same code holds: affected-day re-aggregation scans only those
 days' Silver files (partition pruning needs Silver laid out by *event* date —
 ``write_silver`` partitions by processing date for Bronze fidelity, so the
 batch filter here is a scan-filter, not a partition prune; an event-date
-layout or a Delta/ZORDER index is the upgrade), and dynamic partition
-overwrite touches only the changed Gold directories.
+layout is the upgrade), Gold reads prune at file granularity from log
+metadata, and the commit race serializes concurrent writers.
 """
 
 from __future__ import annotations
@@ -37,10 +46,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.gold import GOLD_BUILDERS
+from ..storage import TxnTable
 
 
 def _domain_tables(domain: str):
     return {t: b for t, (d, b) in GOLD_BUILDERS.items() if d == domain}
+
+
+def gold_table(gold_root: str, table: str) -> TxnTable:
+    """The transactional handle for one Gold table."""
+    return TxnTable(os.path.join(gold_root, table))
 
 
 def refresh_affected_dates(
@@ -50,12 +65,14 @@ def refresh_affected_dates(
     domain: str,
     affected_dates: list,
     generated_at: str,
+    batch_id: int | None = None,
 ) -> list[str]:
     """Recompute the given day partitions of every Gold table of a domain.
 
     Reads Silver once (filtered to the affected days), runs the normal Gold
-    builders — identical aggregation code to the full batch path — and
-    dynamic-partition-overwrites only those ``date=`` partitions.
+    builders — identical aggregation code to the full batch path — and MERGEs
+    the results into each table's transaction log. ``batch_id`` (when driven
+    from a stream) makes the merge a no-op on micro-batch replay.
     """
     if not affected_dates:
         return []
@@ -65,11 +82,11 @@ def refresh_affected_dates(
     written = []
     for table, builder in _domain_tables(domain).items():
         out = builder(scoped).withColumn("generated_at", F.lit(generated_at))
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("date")
-            .parquet(os.path.join(gold_root, table))
+        gold_table(gold_root, table).merge_overwrite_partitions(
+            out,
+            partition_col="date",
+            app_id=f"gold-refresh/{domain}/{table}",
+            batch_id=batch_id,
         )
         written.append(table)
     return written
@@ -87,8 +104,8 @@ def run_incremental_gold_refresh(
 
     Returns the sorted list of day partitions refreshed this invocation.
     Re-running with the same checkpoint and no new Silver files refreshes
-    nothing (idempotence). Crash-safe: a batch that dies mid-write re-runs
-    whole-partition overwrites, which converge to the same bytes.
+    nothing (idempotence); a crashed-and-replayed micro-batch is skipped by
+    its (app_id, batch_id) transaction marker (exactly-once).
     """
     generated_at = generated_at or datetime.now(timezone.utc).isoformat()
     silver_dir = os.path.join(silver_root, domain)
@@ -107,7 +124,7 @@ def run_incremental_gold_refresh(
             .collect()
         ]
         refresh_affected_dates(
-            spark, silver_dir, gold_root, domain, days, generated_at
+            spark, silver_dir, gold_root, domain, days, generated_at, batch_id=batch_id
         )
         refreshed.update(days)
 

@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 from data_lake_medallion_architecture_project_spark.plans.gold import GOLD_BUILDERS
 from data_lake_medallion_architecture_project_spark.sources.synthetic import GENERATORS
 from data_lake_medallion_architecture_project_spark.streaming.ingest import run_incremental_ingest
-from data_lake_medallion_architecture_project_spark.streaming.refresh import run_incremental_gold_refresh
+from data_lake_medallion_architecture_project_spark.streaming.refresh import (
+    gold_table,
+    run_incremental_gold_refresh,
+)
 from tests.test_streaming import RUN_TS, _write_bronze_csv
 
 DOMAIN = "sales"
@@ -23,9 +26,7 @@ def _gold_equals_full_recompute(spark, silver, gold):
         if domain != DOMAIN:
             continue
         expect = builder(silver_df)
-        got = spark.read.parquet(os.path.join(gold, table)).drop("generated_at")
-        # partitionBy writes `date` back as a read-time partition column; align
-        # types and column order before comparing.
+        got = gold_table(gold, table).read(spark).drop("generated_at")
         got = got.select(*[F.col(c).cast(dict(expect.dtypes)[c]) for c in expect.columns])
         e = sorted(map(tuple, expect.collect()))
         g = sorted(map(tuple, got.collect()))
@@ -53,4 +54,33 @@ def test_incremental_gold_matches_full_recompute(spark, tmp_path):
     run_incremental_ingest(spark, bronze, silver, ckpt, DOMAIN, processed_at=RUN_TS)
     days2 = run_incremental_gold_refresh(spark, silver, gold, ckpt, DOMAIN, generated_at=RUN_TS)
     assert days2
+    _gold_equals_full_recompute(spark, silver, gold)
+
+
+def test_gold_refresh_crash_replay_exactly_once(spark, tmp_path):
+    """Crash between the Gold MERGE commit and the stream checkpoint commit:
+    deleting the checkpoint's commit marker forces the micro-batch to re-run,
+    and the (app_id, batch_id) transaction marker in the Gold log must skip
+    the replay — no new log versions, still equal to a full recompute."""
+    bronze, silver, ckpt, gold = (
+        str(tmp_path / p) for p in ("bronze", "silver", "ckpt", "gold")
+    )
+    _write_bronze_csv(bronze, DOMAIN, GENERATORS[DOMAIN](seed=31, n=40), "b1")
+    run_incremental_ingest(spark, bronze, silver, ckpt, DOMAIN, processed_at=RUN_TS)
+    days = run_incremental_gold_refresh(spark, silver, gold, ckpt, DOMAIN, generated_at=RUN_TS)
+    assert days
+    tables = [t for t, (d, _) in GOLD_BUILDERS.items() if d == DOMAIN]
+    versions_before = {t: gold_table(gold, t).snapshot().version for t in tables}
+
+    commits = os.path.join(ckpt, f"gold_{DOMAIN}", "commits")
+    latest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    replayed = run_incremental_gold_refresh(spark, silver, gold, ckpt, DOMAIN, generated_at=RUN_TS)
+    assert sorted(replayed) == sorted(days)  # the batch genuinely re-ran ...
+    for t in tables:  # ... but every table-level merge was skipped
+        assert gold_table(gold, t).snapshot().version == versions_before[t], t
     _gold_equals_full_recompute(spark, silver, gold)
