@@ -765,3 +765,84 @@ def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(yr).alias("n_years"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q20 shape — double-nested semi-join with a correlated aggregate
+# threshold (testdata has no partsupp, so availqty > ½·shipped becomes
+# supplier-share-of-part > ½·part-total — same nesting, same decorrelation).
+# --------------------------------------------------------------------------- #
+
+_Q20_PART_PREFIX = "small%"
+_Q20_YEAR_LO, _Q20_YEAR_HI = "1996-01-01", "1997-01-01"
+
+_Q20_ORACLE = f"""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l1.l_suppkey
+  FROM lineitem l1
+  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PART_PREFIX}')
+    AND l1.l_shipdate >= TIMESTAMP '{_Q20_YEAR_LO}'
+    AND l1.l_shipdate <  TIMESTAMP '{_Q20_YEAR_HI}'
+  GROUP BY l1.l_suppkey, l1.l_partkey
+  HAVING 2 * SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) > (
+    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+    FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '{_Q20_YEAR_LO}'
+      AND l2.l_shipdate <  TIMESTAMP '{_Q20_YEAR_HI}'
+  )
+)
+"""
+
+
+@register("dominant_part_suppliers", oracle=_Q20_ORACLE, tags=("tpch", "join"))
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of a filtered
+    part's 1996 volume (IN-subquery → grouped HAVING → correlated scalar
+    subquery — cf. /root/reference has no joins at all; this is north-star
+    extension surface).
+
+    Decorrelation, Spark-first: the correlated per-part total does NOT rescan
+    lineitem — it's a window SUM over the (supplier, part) aggregate, so the
+    whole query is ONE scan of lineitem (filters + the part semi-join pushed
+    to it), one shuffle on (suppkey, partkey), a partkey-local window, and two
+    broadcast joins. The ×2 integer-decimal comparison avoids a 0.5 multiply
+    so both engines compare exact fixed-point values. At 100 TB: part filter
+    broadcast-semi-prunes the scan, the window reuses the aggregate's
+    partitioning (partkey ⊂ (suppkey, partkey) needs one AQE-sized shuffle),
+    and the final supplier join broadcasts a tiny qualified-key set."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q20_PART_PREFIX))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _Q20_YEAR_LO) & (F.col("l_shipdate") < _Q20_YEAR_HI)
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
+    )
+    part_total = Window.partitionBy("l_partkey")
+    dominant = (
+        sp.withColumn("part_qty", F.sum("supp_qty").over(part_total))
+        .filter(F.lit(2) * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supplier.join(
+            F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
