@@ -2,23 +2,27 @@
 
 The pattern a 100 TB training-data pipeline needs: payloads travel as
 ``binary`` columns with typed metadata; decode / feature-extraction runs as
-Arrow-batched ``mapInPandas`` so bytes stream executor-side in columnar
-batches and never hit the driver.
+Arrow-batched ``mapInPandas`` / ``mapInArrow`` so bytes stream executor-side
+in columnar batches and never hit the driver.
 
-The decode step itself is STUBBED: real image/audio libs are not available in
-this environment, so ``extract_payload_features`` computes deterministic
-byte-level features (length, digest, fake dimensions derived from the digest)
-and ``decode_image`` raises ``NotImplementedError`` to mark the integration
-point. The Spark-side plumbing — schema, batch iteration, Arrow binary round
-trip, partition-parallel execution — is real and tested.
+Decode is REAL for uncompressed 24-bit BMP (``decode_image`` /
+``encode_bmp`` — a pure-stdlib codec, no image library needed), and
+``resize_image`` is a real numpy nearest-neighbor resampler. Formats that
+genuinely need external codecs (JPEG/PNG/video) raise ``NotImplementedError``
+at the same dispatch point — swap in PIL/libvips/ffmpeg there and nothing
+else changes. ``extract_payload_features`` keeps the format-agnostic
+byte-level path (length, digest) for opaque payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -49,13 +53,58 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - explicit stub
-    """Real decoder integration point (PIL/libvips/ffmpeg)."""
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up, BGR, rows padded to 4 bytes) — pure stdlib."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    img[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    body = img.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return file_header + info_header + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if flip else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a binary image payload to an (h, w, 3) uint8 RGB array.
+
+    Real for BMP (pure-stdlib codec above). JPEG/PNG/etc. need external
+    codecs not present in this environment — this dispatch point is where
+    PIL/libvips plugs in; downstream operators are format-agnostic."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; extract_payload_features uses deterministic byte-level "
-        "features instead"
+        "only BMP decoding is built in; JPEG/PNG/video require an external "
+        "codec (PIL/libvips/ffmpeg) wired in at this dispatch point"
     )
+
+
+def resize_image(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array to (height, width, 3):
+    pure numpy index-gather, the deterministic baseline resampler."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return pixels[rows][:, cols]
 
 
 def attach_text_payloads(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -138,10 +187,74 @@ def sample_frames(payloads: DataFrame, frame_size: int = 256, stride: int = 4) -
     return payloads.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - explicit stub
-    """Real resize integration point (PIL ``Image.resize`` / libvips
-    ``thumbnail_buffer``); wire it through ``extract_payload_features``-style
-    mapInPandas when an image library is present."""
-    raise NotImplementedError(
-        "image resizing requires an image library not present in this environment"
+def _fake_bmp_params(doc_id: int) -> tuple[int, int, tuple, tuple]:
+    """Deterministic two-tone image parameters for a doc id — modular
+    arithmetic only, so an SQL oracle can recompute every decoded statistic."""
+    w = 16 + doc_id % 13
+    h = 2 * (8 + doc_id % 11)  # even height → exact two-tone channel means
+    top = (doc_id * 7 % 256, doc_id * 11 % 256, doc_id * 13 % 256)
+    bottom = (doc_id * 17 % 256, doc_id * 19 % 256, doc_id * 23 % 256)
+    return w, h, top, bottom
+
+
+def attach_fake_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real BMP payload per row (two-tone: top half one color,
+    bottom half another, both derived from the id). Arrow-batched encode —
+    the executor-side stand-in for reading image files at scale."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                w, h, top, bottom = _fake_bmp_params(int(doc_id))
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[: h // 2] = top
+                px[h // 2 :] = bottom
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
     )
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, img_width long, img_height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_decode_stats(payloads: DataFrame, thumb: tuple[int, int] | None = None) -> DataFrame:
+    """Decode images and emit per-image statistics via ``mapInArrow`` —
+    RecordBatches in, RecordBatches out, zero pandas materialization of the
+    binary column (the lowest-overhead Python hook Spark offers; contrast the
+    ``mapInPandas`` operators above).
+
+    Optionally resizes to ``thumb=(w, h)`` (nearest-neighbor) before the
+    stats, exercising the full decode→transform path. Partition-parallel and
+    streaming per batch: peak memory is one Arrow batch of payloads plus one
+    decoded image."""
+
+    def _stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id")
+            bufs = batch.column("payload")
+            out = {k: [] for k in ("doc_id", "img_width", "img_height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, buf in zip(ids, bufs):
+                img = decode_image(buf.as_py())
+                h, w = img.shape[:2]
+                if thumb is not None:
+                    img = resize_image(img, *thumb)
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["doc_id"].append(doc_id.as_py())
+                out["img_width"].append(w)
+                out["img_height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pa.RecordBatch.from_pydict(out)
+
+    return payloads.mapInArrow(_stats, schema=IMAGE_STATS_SCHEMA)

@@ -558,6 +558,38 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Real image decode through mapInArrow: synthesize a two-tone BMP per doc,
+# decode it with the pure-stdlib BMP codec, emit per-image pixel statistics.
+# The image parameters are modular arithmetic on doc_id, so the oracle
+# recomputes every decoded stat exactly — a full value-hash check on an
+# actual binary decode path (not just plumbing).
+# --------------------------------------------------------------------------- #
+
+_IMAGE_STATS_ORACLE = """
+SELECT doc_id,
+       16 + doc_id % 13 AS img_width,
+       2 * (8 + doc_id % 11) AS img_height,
+       ((doc_id * 7) % 256 + (doc_id * 17) % 256) / 2.0 AS mean_r,
+       ((doc_id * 11) % 256 + (doc_id * 19) % 256) / 2.0 AS mean_g,
+       ((doc_id * 13) % 256 + (doc_id * 23) % 256) / 2.0 AS mean_b
+FROM documents
+"""
+
+
+@register("image_decode_stats", oracle=_IMAGE_STATS_ORACLE, tags=("multimodal",))
+def image_decode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary image path: encode (mapInPandas) → decode + stats
+    (mapInArrow, pyarrow RecordBatches, no pandas materialization of the
+    payload column). The BMP codec is real (operators/multimodal.py:encode_bmp
+    /decode_bmp); two-tone images with even height make the channel means
+    exact, so DuckDB reproduces them from the id arithmetic alone."""
+    from ..operators.multimodal import attach_fake_bmp_payloads, image_decode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_decode_stats(attach_fake_bmp_payloads(docs))
+
+
+# --------------------------------------------------------------------------- #
 # Sentence segmentation — 1→N explode on a JVM regex split (no UDTF needed).
 # --------------------------------------------------------------------------- #
 

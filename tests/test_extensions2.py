@@ -62,6 +62,73 @@ def test_simhash_band_guards(spark):
         simhash_near_dup(df, "doc_id", "text", max_hamming=3, bands=5)  # 5 ∤ 64
 
 
+def test_bmp_codec_roundtrip():
+    import numpy as np
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    # Odd width exercises the 4-byte row padding.
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_decode_image_dispatch():
+    import numpy as np
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_image, encode_bmp
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert (decode_image(encode_bmp(px)) == px).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # real codec integration point
+
+
+def test_resize_nearest_matches_manual_gather():
+    import numpy as np
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import resize_image
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    out = resize_image(px, 3, 4)
+    assert out.shape == (4, 3, 3)
+    for r in range(4):
+        for c in range(3):
+            assert (out[r, c] == px[(r * 10) // 4, (c * 6) // 3]).all()
+
+
+def test_image_decode_stats_mapinarrow(spark):
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        _fake_bmp_params,
+        attach_fake_bmp_payloads,
+        image_decode_stats,
+    )
+
+    df = spark.createDataFrame([(i,) for i in (0, 5, 100, 12345)], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in image_decode_stats(attach_fake_bmp_payloads(df)).collect()
+    }
+    for doc_id in (0, 5, 100, 12345):
+        w, h, top, bottom = _fake_bmp_params(doc_id)
+        r = rows[doc_id]
+        assert (r["img_width"], r["img_height"]) == (w, h)
+        assert r["mean_r"] == (top[0] + bottom[0]) / 2.0
+        assert r["mean_g"] == (top[1] + bottom[1]) / 2.0
+        assert r["mean_b"] == (top[2] + bottom[2]) / 2.0
+    # Thumbnailing goes through the same decode: a two-tone image stays
+    # two-tone under nearest-neighbor at even thumb height → same means.
+    thumbed = {
+        r["doc_id"]: r
+        for r in image_decode_stats(
+            attach_fake_bmp_payloads(df), thumb=(8, 8)
+        ).collect()
+    }
+    for doc_id in (0, 5, 100, 12345):
+        assert thumbed[doc_id]["mean_r"] == rows[doc_id]["mean_r"]
+
+
 def test_multimodal_features_match_hashlib(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "héllo ünicode")], "doc_id long, text string"
