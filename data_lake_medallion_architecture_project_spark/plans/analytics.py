@@ -846,3 +846,78 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins ("suppliers who were the
+# sole cause of a late order"), decorrelated into pure aggregates.
+# --------------------------------------------------------------------------- #
+
+_Q21_LATE_DAYS = 90
+
+_Q21_ORACLE = f"""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("sole_blame_suppliers", oracle=_Q21_ORACLE, tags=("tpch", "join"))
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a late multi-supplier
+    order — the textbook EXISTS + NOT EXISTS correlated self-join pair.
+
+    Decorrelated Spark-first into aggregates instead of semi/anti joins: per
+    order, count distinct suppliers (all lineitems) and distinct LATE
+    suppliers; an order with exactly one late supplier and ≥ 2 suppliers
+    total charges that late supplier. Equivalent to the EXISTS pair on
+    distinct (order, supplier) grain — "another supplier exists" ⇔
+    n_suppliers > 1, "no other late supplier" ⇔ n_late_suppliers = 1 — and a
+    strictly better plan at 100 TB: the self-joins become two orderkey-grain
+    aggregations feeding one broadcast-sized join, no correlated re-probes of
+    lineitem, and AQE sizes the tiny qualified set automatically."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late"),
+        F.min("l_suppkey").alias("sole_suppkey"),  # well-defined when n_late = 1
+    )
+    supp_per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    blamed = (
+        late_per_order.filter(F.col("n_late") == 1)
+        .join(supp_per_order, "l_orderkey")
+        .filter(F.col("n_supp") > 1)
+        .groupBy("sole_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supplier.join(
+        blamed, supplier.s_suppkey == blamed.sole_suppkey
+    ).select("s_suppkey", "s_name", "numwait")

@@ -590,6 +590,64 @@ def image_decode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Python UDTF — the table-valued-function surface (SQL LATERAL), demonstrated
+# on bigram expansion. For hot paths the JVM explode/mapInArrow routes above
+# are preferred; a UDTF is the composable SQL-facing form of the same 1→N
+# shape (user-defined operators callable from plain SQL text).
+# --------------------------------------------------------------------------- #
+
+try:  # pyspark ≥ 3.5
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="doc_id: bigint, bigram: string")
+    class _BigramUDTF:
+        """Emit one row per adjacent token pair of the document text
+        (tokenization identical to functions/text.py:tokenize)."""
+
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            if text is None:
+                return
+            toks = text.lower().split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield doc_id, f"{a} {b}"
+
+except ImportError:  # pragma: no cover
+    _BigramUDTF = None
+
+_BIGRAM_ORACLE = """
+SELECT t[i] || ' ' || t[i + 1] AS bigram,
+       COUNT(*) AS freq,
+       COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+     LATERAL unnest(range(1, len(t))) AS u(i)
+GROUP BY bigram
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("bigram_frequencies", oracle=_BIGRAM_ORACLE, tags=("text", "udtf"))
+def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary (freq ≥ 5) through a Python UDTF invoked from
+    SQL with LATERAL — the user-defined table function surface. The UDTF row
+    path is Python-per-row by design (this is the flexibility tier, not the
+    throughput tier — token_frequencies shows the JVM explode equivalent);
+    the aggregation on top is ordinary JVM hash aggregation."""
+    if _BigramUDTF is None:  # pragma: no cover
+        raise NotImplementedError("Python UDTFs require pyspark >= 3.5")
+    spark.udtf.register("bigrams_udtf", _BigramUDTF)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_bigrams")
+    return spark.sql(
+        """
+        SELECT b.bigram, COUNT(*) AS freq, COUNT(DISTINCT d.doc_id) AS doc_freq
+        FROM __docs_for_bigrams d, LATERAL bigrams_udtf(d.doc_id, d.text) b
+        GROUP BY b.bigram
+        HAVING COUNT(*) >= 5
+        """
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Sentence segmentation — 1→N explode on a JVM regex split (no UDTF needed).
 # --------------------------------------------------------------------------- #
 

@@ -62,6 +62,24 @@ def test_simhash_band_guards(spark):
         simhash_near_dup(df, "doc_id", "text", max_hamming=3, bands=5)  # 5 ∤ 64
 
 
+def test_bigram_udtf_lateral(spark):
+    from data_lake_medallion_architecture_project_spark.plans.extensions import _BigramUDTF
+
+    spark.udtf.register("bigrams_udtf_test", _BigramUDTF)
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, None), (4, "p q")], "doc_id long, text string"
+    ).createOrReplaceTempView("__udtf_docs")
+    rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT b.doc_id, b.bigram FROM __udtf_docs d, "
+            "LATERAL bigrams_udtf_test(d.doc_id, d.text) b"
+        ).collect()
+    )
+    # 1→N expansion: 2 bigrams for 3 tokens, none for 1 token or NULL text.
+    assert rows == [(1, "a b"), (1, "b c"), (4, "p q")]
+
+
 def test_bmp_codec_roundtrip():
     import numpy as np
 
