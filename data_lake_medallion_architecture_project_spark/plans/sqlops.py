@@ -340,3 +340,122 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs, executed through spark.sql over a temp view."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+# --------------------------------------------------------------------------- #
+# Stratified deterministic sampling — per-stratum rates (the sampleBy shape,
+# made engine-reproducible via key hashing instead of RNG).
+# --------------------------------------------------------------------------- #
+
+# Keep-rate sixteenths per order status: completed-ish strata downsampled
+# harder than the rare ones — the usual imbalanced-training-data move.
+_STRATA_RATES = {"O": 2, "F": 4, "P": 8}
+
+_STRATified_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  COUNT(*) AS sampled_orders,
+  {oracle_dec_sum("o_totalprice", "sampled_revenue")}
+FROM orders
+WHERE CASE o_orderstatus
+        WHEN 'O' THEN 2 WHEN 'F' THEN 4 WHEN 'P' THEN 8 ELSE 0 END
+      > CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) AS INT)
+GROUP BY o_orderstatus
+"""
+
+
+@register("stratified_sampled_orders", oracle=_STRATified_ORACLE, tags=("sqlops", "sampling"))
+def stratified_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` semantics): each
+    status keeps its own fraction (2/16, 4/16, 8/16), membership decided by
+    an md5 nibble of the key — identical sample on every engine/run, unlike
+    RNG-based ``DataFrame.sampleBy``. At 100 TB this is a map-only scan
+    filter; no shuffle is added by the sampling itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    nibble = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10).cast("int")
+    rate = (
+        F.when(F.col("o_orderstatus") == "O", F.lit(2))
+        .when(F.col("o_orderstatus") == "F", F.lit(4))
+        .when(F.col("o_orderstatus") == "P", F.lit(8))
+        .otherwise(F.lit(0))
+    )
+    return (
+        orders.filter(rate > nibble)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_orders"),
+            dec_sum("o_totalprice", "sampled_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Rank-family window functions — percent_rank / cume_dist / ntile.
+# --------------------------------------------------------------------------- #
+
+_RANKS_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("order_price_ranks", oracle=_RANKS_ORACLE, tags=("window",))
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window trio per status stratum. The ORDER BY includes
+    the unique key so ntile's row order (and thus the whole result) is
+    engine-deterministic; percent_rank/cume_dist are value-determined but the
+    tie-break costs nothing and future-proofs the hash check."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# RANGE frame over event time — trailing 30-day order count per customer.
+# --------------------------------------------------------------------------- #
+
+_TRAILING_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS orders_30d
+FROM orders
+"""
+
+
+@register("orders_trailing_30d", oracle=_TRAILING_ORACLE, tags=("window", "temporal"))
+def orders_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time (not row position): for each order,
+    how many orders its customer placed in the trailing 30 days, current row
+    inclusive. Value-based frames are position-independent, so ties need no
+    break and the result is engine-deterministic. Spark expresses day-valued
+    RANGE bounds as a rangeBetween over the date's epoch-day integer."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
