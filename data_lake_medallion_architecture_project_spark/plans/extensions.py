@@ -767,3 +767,74 @@ def doc_regex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).cast("long").alias("n_spaces"),
         F.substring("text", 1, 20).alias("prefix20"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Data-quality constraint suite (operators/quality.py) — one agg pass per
+# table + an anti-join FK check, reported as (check_name, violations, passed).
+# --------------------------------------------------------------------------- #
+
+_QUALITY_ORACLE = """
+SELECT 'unique(o_orderkey)' AS check_name,
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS violations,
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null(o_custkey)',
+       COUNT(*) - COUNT(o_custkey),
+       COUNT(*) - COUNT(o_custkey) = 0
+FROM orders
+UNION ALL
+SELECT 'in_set(o_orderstatus)',
+       SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
+       SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'in_range(l_quantity)',
+       SUM(CASE WHEN l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END),
+       SUM(CASE WHEN l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount)',
+       SUM(CASE WHEN l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END),
+       SUM(CASE WHEN l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'fk(l_orderkey)',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+"""
+
+
+@register("data_quality_report", oracle=_QUALITY_ORACLE, tags=("quality",))
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders + lineitem: uniqueness,
+    null-freedom, enum domain, numeric ranges (one aggregation pass per
+    table) and lineitem→orders referential integrity (anti-join). The engine
+    feature the reference's hard-coded per-domain cleaners generalize into."""
+    from ..operators.quality import fk_report, in_range, in_set, not_null, quality_report, unique
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        quality_report(
+            orders,
+            [unique("o_orderkey"), not_null("o_custkey"), in_set("o_orderstatus", ("O", "F", "P"))],
+        )
+        .unionAll(
+            quality_report(
+                li, [in_range("l_quantity", 1, 50), in_range("l_discount", 0.0, 0.1)]
+            )
+        )
+        .unionAll(fk_report(li, "l_orderkey", orders, "o_orderkey"))
+    )

@@ -218,6 +218,54 @@ class TxnTable:
             return spark.createDataFrame([], schema)
         return spark.read.parquet(*files)
 
+    # -------------------------------------------------------------- compact
+
+    def compact(self, spark: SparkSession, partition_values: list | None = None) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite each targeted
+        partition's live files into one file, in a single atomic commit per
+        run (readers see either all old files or all new ones — never a mix).
+
+        Streaming MERGE refreshes leave one file set per micro-batch; without
+        compaction a long-lived Gold table accretes thousands of small files
+        and the scan becomes listing-bound. Returns the number of files
+        replaced. Old files stay on disk for time travel until ``vacuum``.
+        """
+        snap = self.snapshot()
+        by_part: dict = {}
+        for rel, pv in snap.files.items():
+            by_part.setdefault(pv, []).append(rel)
+        targets = {
+            pv: rels
+            for pv, rels in by_part.items()
+            if len(rels) > 1
+            and (partition_values is None or pv in {str(v) for v in partition_values})
+        }
+        if not targets:
+            return 0
+        adds, removes = [], []
+        for pv, rels in sorted(targets.items()):
+            staging = os.path.join(self.data_dir, uuid.uuid4().hex)
+            (
+                spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
+                .coalesce(1)
+                .write.parquet(staging)
+            )
+            for root, _dirs, names in os.walk(staging):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        adds.append(
+                            {
+                                "path": os.path.relpath(os.path.join(root, n), self.path),
+                                "partition": pv,
+                            }
+                        )
+            removes.extend(rels)
+        while True:
+            if self._try_commit(
+                self.snapshot().version + 1, {"add": adds, "remove": removes}
+            ):
+                return len(removes)
+
     # --------------------------------------------------------------- vacuum
 
     def vacuum(self) -> int:

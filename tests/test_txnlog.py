@@ -101,6 +101,34 @@ def test_commit_race_loser_retries(spark, tmp_path):
     assert t.snapshot().version == 2  # v0 initial, v1 rival, v2 retried merge
 
 
+def test_compact_merges_small_files_preserving_data(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    # A 3-task write produces multiple files inside the d1 partition.
+    rows = [("d1", k, i) for i, k in enumerate("abcdef")] + [("d2", "x", 9)]
+    t.merge_overwrite_partitions(_df(spark, rows).repartition(3), "date")
+    before = _rows(t.read(spark))
+    files_d1 = [rel for rel, pv in t.snapshot().files.items() if pv == "d1"]
+    assert len(files_d1) > 1  # the small-files problem, reproduced
+    n_files_before = len(t.snapshot().files)
+
+    replaced = t.compact(spark)
+    after_snap = t.snapshot()
+    assert _rows(t.read(spark)) == before  # bit-identical data
+    # Every multi-file partition collapsed to one file.
+    per_part: dict = {}
+    for rel, pv in after_snap.files.items():
+        per_part.setdefault(pv, []).append(rel)
+    assert all(len(v) == 1 for v in per_part.values())
+    if replaced:
+        assert len(after_snap.files) < n_files_before or replaced > 0
+    # Idempotent: nothing left to compact.
+    assert t.compact(spark) == 0
+    # Time travel still works pre-compaction; vacuum then forfeits it.
+    assert _rows(t.read(spark, version=after_snap.version - 1)) == before
+    t.vacuum()
+    assert _rows(t.read(spark)) == before
+
+
 def test_generated_at_column_roundtrip(spark, tmp_path):
     """The Gold usage pattern: extra metadata columns survive the layer."""
     t = TxnTable(str(tmp_path / "t"))
