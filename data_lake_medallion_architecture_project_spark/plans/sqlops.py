@@ -409,7 +409,14 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-family window trio per status stratum. The ORDER BY includes
     the unique key so ntile's row order (and thus the whole result) is
     engine-deterministic; percent_rank/cume_dist are value-determined but the
-    tie-break costs nothing and future-proofs the hash check."""
+    tie-break costs nothing and future-proofs the hash check.
+
+    Scale note: a window partitioned by a 3-value key sorts each stratum in
+    ONE task — inherent to exact global ranks, fine at gate scale, a
+    deliberate non-goal at 100 TB. There the right tool is the approximate
+    rank: percentile_approx bucket edges per stratum (one pass, mergeable
+    sketches) joined back as a bucket id — `order_price_quantiles` is that
+    building block."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
