@@ -921,3 +921,54 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         blamed, supplier.s_suppkey == blamed.sole_suppkey
     ).select("s_suppkey", "s_name", "numwait")
+
+
+# --------------------------------------------------------------------------- #
+# FULL OUTER join — per-nation extreme-balance customer vs supplier counts;
+# thresholds chosen so BOTH unmatched sides are non-empty at sf0.01.
+# --------------------------------------------------------------------------- #
+
+_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, COUNT(*) AS rich_customers
+  FROM customer WHERE c_acctbal > 9950 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey, COUNT(*) AS poor_suppliers
+  FROM supplier WHERE s_acctbal < -400 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       c.rich_customers,
+       s.poor_suppliers
+FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+"""
+
+
+@register("nation_balance_extremes", oracle=_OUTER_ORACLE, tags=("join",))
+def nation_balance_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (the join type the
+    registry otherwise lacks): nations having very-rich customers, very-poor
+    suppliers, or either — unmatched sides surface as NULL counts (at sf0.01:
+    6 customer-only + 3 supplier-only nations, so both null patterns are
+    exercised, not vacuous). Aggregate-before-join shrinks each side to
+    ≤ |nation| rows, so the outer join is broadcast-sized at any corpus
+    scale; the filters push to the scans."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9950)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("rich_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -400)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("poor_suppliers"))
+    )
+    return cust.join(
+        supp, cust.c_nationkey == supp.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "rich_customers",
+        "poor_suppliers",
+    )

@@ -207,3 +207,51 @@ def clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_in_window_counts(
         purchases, clicks, anchor_id="event_id", ts_col="ts"
     )
+
+
+# --------------------------------------------------------------------------- #
+# Hopping (sliding) windows — 1 h window every 30 min; each event lands in
+# exactly two overlapping windows.
+# --------------------------------------------------------------------------- #
+
+_SLIDING_ORACLE = """
+SELECT
+  strftime(to_timestamp(ws), '%Y-%m-%d %H:%M') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT e.*, f.ws
+  FROM events e,
+       LATERAL (SELECT UNNEST([
+         CAST(floor(epoch(e.ts) / 1800) * 1800 AS BIGINT),
+         CAST(floor(epoch(e.ts) / 1800) * 1800 - 1800 AS BIGINT)
+       ]) AS ws) f
+)
+GROUP BY ws, event_type
+"""
+
+
+@register("sliding_event_windows", oracle=_SLIDING_ORACLE, tags=("temporal", "window"))
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (1 h long, 30 min slide) via F.window's slideDuration —
+    the overlap shape tumbling windows can't express (each event counted in
+    its two covering windows). Spark expands the event to its covering
+    windows before the aggregation exactly like the oracle's LATERAL unnest
+    of the two 30-min-aligned start times; the shuffle then carries
+    (window, event_type) keys — 2× the tumbling shuffle volume, the inherent
+    cost of overlap, still map-side-combined."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
