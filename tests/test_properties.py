@@ -117,7 +117,11 @@ vec = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+# derandomize: the tuple-length filter occasionally trips hypothesis's
+# health/replay machinery when the suite runs under full JVM load (observed
+# flaky in CI-style full runs, never in isolation); a fixed example set keeps
+# the numpy-parity spot check deterministic.
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(st.tuples(vec, vec).filter(lambda t: len(t[0]) == len(t[1])))
 def test_vector_fold_matches_numpy(pair):
     spark = _get_spark()
