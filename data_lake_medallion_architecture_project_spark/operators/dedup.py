@@ -84,6 +84,15 @@ def jaccard_similar_pairs(
     verification baseline.
     """
     sets = _token_sets(df, id_col, text_col)
+    return jaccard_pairs_from_sets(sets, threshold, prefix_filter=prefix_filter)
+
+
+def jaccard_pairs_from_sets(
+    sets: DataFrame, threshold: float, prefix_filter: bool = True
+) -> DataFrame:
+    """Core of :func:`jaccard_similar_pairs` over an arbitrary ``(id,
+    tokens)`` set table — reused by the word-set and shingle-set variants
+    (any element vocabulary works; 'token' below means set element)."""
     postings = sets.select("id", F.explode("tokens").alias("token"))
     if prefix_filter:
         from pyspark.sql import Window
@@ -313,3 +322,26 @@ def minhash_near_dup(
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Exact word n-gram (shingle) Jaccard pairs — order-sensitive near-dup
+    detection: unlike the word-set variant, a permuted document shares few
+    shingles with its source, so this catches copy-with-small-edits without
+    conflating bag-of-words rewrites. Same prefix-filtered exact machinery;
+    set elements are the distinct n-gram strings. Documents with fewer than
+    ``n`` tokens have no shingles and produce no pairs."""
+    from ..functions.text import shingles, tokenize
+
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(tokenize(text_col), n)).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    return jaccard_pairs_from_sets(sets, threshold, prefix_filter=prefix_filter)

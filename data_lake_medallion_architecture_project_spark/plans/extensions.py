@@ -838,3 +838,38 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(fk_report(li, "l_orderkey", orders, "o_orderkey"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# n-gram (shingle) Jaccard near-dup pairs — order-sensitive, vs the word-set
+# variant above; completes the dedup ladder (exact / word-Jaccard /
+# shingle-Jaccard / MinHash / SimHash / embedding).
+# --------------------------------------------------------------------------- #
+
+_SHINGLE_JACCARD_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh)) * 1.0
+         / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        / len(list_distinct(a.sh || b.sh)) >= 0.8
+"""
+
+
+@register("shingle_jaccard_pairs", oracle=_SHINGLE_JACCARD_ORACLE, tags=("dedup", "text"))
+def shingle_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard ≥ 0.8 — order-sensitive near-dedup (a permuted
+    rewrite shares vocabulary but not shingles). Prefix-filtered exact join
+    over shingle sets (operators/dedup.py:shingle_jaccard_pairs); the oracle
+    is the O(n²) list-ops equivalent, tractable at gate scale only."""
+    from ..operators.dedup import shingle_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
