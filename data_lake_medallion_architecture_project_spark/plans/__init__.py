@@ -6,3 +6,4 @@ from . import analytics  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import sqlops  # noqa: F401,E402
+from . import advanced  # noqa: F401,E402

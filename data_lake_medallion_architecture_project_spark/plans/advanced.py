@@ -1,0 +1,197 @@
+"""Advanced extension queries: skew-salted joins, time-series gap-filling,
+unpivot/melt, and near-duplicate cluster assignment.
+
+All extension surface beyond the reference (SURVEY.md §2.7): the reference's
+pandas pipeline has no joins, no calendar densification, no melt, and stops
+near-dup work at pair lists. Each query here is oracled against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import oracle_dec_sum, scaled_long_sum
+from ..operators.components import connected_components
+from ..operators.skew import salted_join
+from ..sources.readers import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------- #
+# Salted join — plan-time skew neutralization, verified against the plain join.
+# --------------------------------------------------------------------------- #
+
+_SALTED_ORACLE = f"""
+SELECT
+  c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  {oracle_dec_sum("o_totalprice", "revenue", 2)}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("salted_segment_revenue", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈customer through ``salted_join`` (operators/skew.py): the fact
+    side carries a salt hashed from its row id, the dim side is exploded
+    ×salts, and the join key becomes (custkey, salt) — a pathologically hot
+    customer spreads over 8 shuffle partitions instead of melting one
+    executor. The oracle is the PLAIN join: salting must not change results,
+    and this query proves it with a value-hash match. (AQE skew splitting
+    covers runtime-detected skew; salting is the plan-time defense for skew
+    you know about — see the operator docstring.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(orders, cust, "o_custkey", "c_custkey", salt_cols=["o_orderkey"], salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            scaled_long_sum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Time-series gap-filling — calendar densification via sequence + explode.
+# --------------------------------------------------------------------------- #
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+),
+c AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders GROUP BY 1
+)
+SELECT strftime(cal.day, '%Y-%m-%d') AS day, COALESCE(c.n, 0) AS n_orders
+FROM cal LEFT JOIN c ON cal.day = c.d
+"""
+
+
+@register("daily_orders_gapfilled", oracle=_GAPFILL_ORACLE, tags=("temporal",))
+def daily_orders_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts with zero-filled calendar gaps — the densification
+    step every downstream time-series model (forecasting, anomaly detection)
+    needs, and a shape plain GROUP BY cannot produce (absent days have no
+    rows to group). The calendar is built from a 1-row min/max aggregate via
+    ``sequence``+``explode`` — bounded by elapsed days, never by data volume —
+    and the day-grain counts (also calendar-bounded after their map-side-
+    combined aggregation) broadcast into the left join, so the plan carries
+    exactly one fact-table shuffle regardless of scale."""
+    days = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    counts = days.groupBy("d").agg(F.count(F.lit(1)).alias("n_orders"))
+    cal = (
+        days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return cal.join(F.broadcast(counts), cal["day"] == counts["d"], "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Unpivot / melt — wide measures to long (metric, value) rows.
+# --------------------------------------------------------------------------- #
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey % 25 = 0)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME metric VALUE value
+)
+"""
+
+
+@register("lineitem_metric_unpivot", oracle=_UNPIVOT_ORACLE, tags=("reshape",))
+def lineitem_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the four lineitem measures into (metric, value) long form —
+    the inverse of A7's pivot and the standard reshape feeding per-metric
+    profiling/quality dashboards. ``DataFrame.unpivot`` plans as a single
+    Expand (×4 row growth, zero shuffles, pipelined into the scan) — at any
+    scale this is a map-only pass whose only cost is the inherent output
+    multiplicity. Values pass through untouched (no arithmetic), so the
+    cross-engine hash matches bit-exactly on raw doubles. The deterministic
+    ``% 25`` key filter (pushed to the scan) keeps gate output bounded."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Near-duplicate clusters — connected components over the similarity graph.
+# --------------------------------------------------------------------------- #
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.a
+)
+SELECT d.doc_id, COALESCE(m.comp, d.doc_id) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT a, MIN(comp) AS comp FROM reach GROUP BY a) m ON d.doc_id = m.a
+"""
+
+
+@register("near_dup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup", "text"))
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-duplicate CLUSTER id — the step
+    that turns pair lists into a dedup policy ("keep the smallest doc_id per
+    cluster", a trivial filter on this output). Edges are the exact shingle-
+    Jaccard ≥ 0.8 pairs (prefix-filtered join, operators/dedup.py); cluster
+    ids come from min-label-propagation connected components
+    (operators/components.py — iterative join+min, O(diameter) rounds);
+    singletons re-attach by broadcast left join, cluster_id = own id. The
+    oracle recomputes the same components as a DuckDB recursive CTE
+    (transitive closure), so the min-id-per-component contract is verified
+    across engines. Scale: edges from LSH are near-linear in corpus size and
+    near-dup cliques have tiny diameter — see the operator docstring."""
+    from ..operators.dedup import shingle_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return docs.select("doc_id").join(
+        F.broadcast(comp), docs["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").cast("long").alias("cluster_id"),
+    )
