@@ -195,3 +195,99 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("comp", "doc_id").cast("long").alias("cluster_id"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Equal-width histogram — exact integer bucketing (no float boundary wobble).
+# --------------------------------------------------------------------------- #
+
+_HISTOGRAM_ORACLE = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+b AS (SELECT MIN(cents) AS lo, MAX(cents) - MIN(cents) + 1 AS span FROM c)
+SELECT
+  CAST((cents - lo) * 20 // span AS BIGINT) AS bucket,
+  COUNT(*) AS n_orders,
+  CAST(MIN(cents) AS DOUBLE) / 100 AS min_price,
+  CAST(MAX(cents) AS DOUBLE) / 100 AS max_price
+FROM c, b
+GROUP BY 1
+"""
+
+
+@register("order_price_histogram", oracle=_HISTOGRAM_ORACLE, tags=("sqlops",))
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width price histogram with EXACT bucket edges: prices are
+    scaled to integer cents (exact for <=2-decimal inputs, the money.py
+    precondition), and the bucket id is pure integer arithmetic
+    ((cents-lo)*20 div span) — identical in every engine, where the textbook
+    float formula floor((x-lo)/width) disagrees across engines for values
+    sitting on a boundary. The global (lo, span) pair comes from a 1-row
+    aggregate cross-joined back (broadcast, same shape as the gap-fill
+    calendar); the histogram itself is one map-side-combined aggregation over
+    20 keys. Per-bucket min/max report in dollars via exact integer /100."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = load_table(spark, sf_dir, "orders").select(cents.alias("cents"))
+    b = c.agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("span"),
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            F.expr("(cents - lo) * 20 div span").alias("bucket"), F.col("cents")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("cents").cast("double") / 100).alias("min_price"),
+            (F.max("cents").cast("double") / 100).alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Column profiling — per-column null/distinct census in one pass.
+# --------------------------------------------------------------------------- #
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, COUNT(*) - COUNT({c}) AS n_null,"
+    f" COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+@register("orders_column_profile", oracle=_PROFILE_ORACLE, tags=("quality",))
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven column census — (column, n_null, n_distinct) for every
+    orders column, the profiling pass a data catalog runs on ingest. One
+    aggregation computes all 12 metrics (Spark plans the multi-distinct via
+    a single Expand — one shuffle, not 6 scans), then a 1-row explode melts
+    the result long. At 100 TB the same shape swaps COUNT(DISTINCT) for
+    approx_count_distinct to drop the Expand; the quality suite
+    (operators/quality.py) consumes either form."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    one = orders.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select(
+        "p.col", "p.n_null", "p.n_distinct"
+    )
