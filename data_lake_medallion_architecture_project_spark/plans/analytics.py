@@ -972,3 +972,97 @@ def nation_balance_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rich_customers",
         "poor_suppliers",
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q17 flavor — correlated per-group average threshold.
+# --------------------------------------------------------------------------- #
+
+_Q17_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register("small_quantity_revenue", oracle=_Q17_ORACLE, tags=("tpch", "join"))
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is under 20% of
+    their part's average — a correlated aggregate threshold. Decorrelation:
+    the brand filter makes ``part`` broadcast-small; a broadcast semi-join
+    prunes lineitem to ~1/|brands| BEFORE the per-part average, which is then
+    one window over the pruned rows (partkey determines brand, so pruning
+    first loses no rows from any qualifying part's average — the correlated
+    subquery and the window see identical groups). Total cost: one broadcast
+    probe + one shuffle of the pruned fraction, vs the naive
+    re-aggregate-per-outer-row. The 0.2·avg threshold is the identical IEEE
+    double computation on both engines (integer-valued quantity sums)."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    small = pruned.withColumn("part_avg", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("part_avg")
+    )
+    return small.agg(
+        (scaled_long_sum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H Q19 flavor — disjunctive multi-attribute join predicates.
+# --------------------------------------------------------------------------- #
+
+_Q19_ORACLE = f"""
+SELECT
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+     (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15 AND l.l_quantity BETWEEN 1  AND 11)
+  OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+  OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("promo_bracket_revenue", oracle=_Q19_ORACLE, tags=("tpch", "join"))
+def promo_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three (brand, size-range, quantity-range)
+    brackets across the join — the classic disjunctive-predicate planning
+    test. Expressed as one equi-join plus the disjunction as a post-join
+    filter: Catalyst keeps the hash join on p_partkey (part broadcasts) and
+    derives the IMPLIED single-side ranges (l_quantity in [1,30], p_size in
+    [1,50]) to push below the join, so the disjunction never degrades to a
+    nested-loop join — the failure mode this query exists to catch."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _disc_price().alias("disc_price")
+    )
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            scaled_long_sum(F.col("disc_price"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

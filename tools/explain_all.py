@@ -35,6 +35,11 @@ JOIN_RE = re.compile(
 NESTED_LOOP_OK = {
     "similarity_topk",  # exact baseline; scale path = ivf_similarity_topk
     "embedding_near_dup_pairs",  # exact O(n²) pairs; scale path = MinHash-LSH
+    # Scalar broadcast: BNLJ whose build side is a broadcast 1-ROW aggregate
+    # (global min/span cross-joined back). O(n)·O(1) — the optimal plan for
+    # attaching global bounds; Catalyst constant-folds away any dummy
+    # equi-key, so a hash join is not reachable for this shape.
+    "order_price_histogram",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
