@@ -14,6 +14,8 @@ from data_lake_medallion_architecture_project_spark.plans.gold import (
 )
 from data_lake_medallion_architecture_project_spark.plans.silver import clean_inventory, clean_sales
 from data_lake_medallion_architecture_project_spark.schemas import BRONZE_SCHEMAS
+from datetime import datetime, timezone
+
 from data_lake_medallion_architecture_project_spark.sources.synthetic import gen_inventory_batch, gen_sales_batch
 
 RUN_TS = "2026-08-13T00:00:00+00:00"
@@ -21,9 +23,11 @@ RUN_TS = "2026-08-13T00:00:00+00:00"
 
 from tests.conftest import bronze_df as _spark_df
 
+GEN_NOW = datetime(2026, 8, 1, 12, 0, 0, tzinfo=timezone.utc)
+
 
 def _silver_sales(spark, seeds=(1, 2, 3), n=50):
-    rows = [r for s in seeds for r in gen_sales_batch(s, n=n)]
+    rows = [r for s in seeds for r in gen_sales_batch(s, n=n, now=GEN_NOW)]
     return clean_sales(_spark_df(spark, rows, "sales"), RUN_TS), rows
 
 
@@ -70,7 +74,7 @@ def test_invalid_rows_never_reach_gold(spark):
 
 
 def test_net_position_identity_and_pivot_columns(spark):
-    rows = [r for s in (5, 6, 7) for r in gen_inventory_batch(s, n=60)]
+    rows = [r for s in (5, 6, 7) for r in gen_inventory_batch(s, n=60, now=GEN_NOW)]
     silver = clean_inventory(_spark_df(spark, rows, "inventory"), RUN_TS)
     net = build_inventory_net_position(silver).toPandas()
     # All three pivot columns exist even if a movement type never appears.

@@ -12,6 +12,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from datetime import datetime, timezone
+
 from data_lake_medallion_architecture_project_spark.plans.silver import (
     clean_customer_events,
     clean_inventory,
@@ -32,6 +34,9 @@ from data_lake_medallion_architecture_project_spark.sources.synthetic import (
 )
 
 RUN_TS = "2026-08-13T00:00:00+00:00"
+# Pinned generation clock: wall-clock timestamps made one-in-a-million parse
+# divergences unreproducible; a fixed now makes every run byte-identical.
+GEN_NOW = datetime(2026, 8, 1, 12, 0, 0, tzinfo=timezone.utc)
 
 
 from tests.conftest import bronze_df as _spark_df
@@ -57,7 +62,7 @@ def _collect(df):
 
 @pytest.mark.parametrize("seed", [42, 7, 99])
 def test_sales_cleaner_matches_pandas_oracle(spark, seed):
-    rows = gen_sales_batch(seed, n=60)
+    rows = gen_sales_batch(seed, n=60, now=GEN_NOW)
     # hand-crafted edge rows
     rows += [
         {**rows[0], "sale_id": "edge-null-ts", "timestamp": "not-a-timestamp"},
@@ -94,7 +99,7 @@ def test_sales_cleaner_matches_pandas_oracle(spark, seed):
 
 @pytest.mark.parametrize("seed", [42, 7])
 def test_events_cleaner_matches_pandas_oracle(spark, seed):
-    rows = gen_customer_events_batch(seed, n=80)
+    rows = gen_customer_events_batch(seed, n=80, now=GEN_NOW)
     rows += [
         {**rows[0], "event_id": "edge-unknown", "event_type": "UNKNOWN"},
         {**rows[1], "event_id": "edge-null-cust", "customer_id": None},
@@ -120,7 +125,7 @@ def test_events_cleaner_matches_pandas_oracle(spark, seed):
 
 @pytest.mark.parametrize("seed", [42, 7])
 def test_inventory_cleaner_matches_pandas_oracle(spark, seed):
-    rows = gen_inventory_batch(seed, n=80)
+    rows = gen_inventory_batch(seed, n=80, now=GEN_NOW)
     rows += [
         {**rows[0], "movement_id": "edge-transfer", "movement_type": "TRANSFER"},
         {**rows[1], "movement_id": "edge-zero-qty", "quantity": 0.0},
@@ -149,7 +154,7 @@ def test_inventory_cleaner_matches_pandas_oracle(spark, seed):
 
 
 def test_dedup_removes_exact_duplicates(spark):
-    rows = gen_sales_batch(1, n=5)
+    rows = gen_sales_batch(1, n=5, now=GEN_NOW)
     rows.append(dict(rows[0]))  # force a duplicate
     cleaned = clean_sales(_spark_df(spark, rows, "sales"), RUN_TS)
     ids = [r["sale_id"] for r in cleaned.select("sale_id").collect()]

@@ -40,6 +40,11 @@ NESTED_LOOP_OK = {
     # attaching global bounds; Catalyst constant-folds away any dummy
     # equi-key, so a hash join is not reachable for this shape.
     "order_price_histogram",
+    # Q11-shape HAVING > scalar: the 1-row global threshold broadcast joins
+    # the 25-row nation aggregate on an inequality — no equi-key exists, and
+    # both sides are already post-aggregation small. (The Q15 twin becomes a
+    # BroadcastHashJoin because its predicate is an equality.)
+    "major_supply_nations",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
