@@ -39,7 +39,12 @@ from ..operators.multimodal import (
     extract_payload_features,
     sample_frames,
 )
-from ..operators.similarity import brute_force_topk, cosine_lsh_pairs, ivf_topk
+from ..operators.similarity import (
+    blocked_cosine_pairs,
+    brute_force_topk,
+    cosine_lsh_pairs,
+    ivf_topk,
+)
 from ..sources.readers import load_table
 from .registry import register
 
@@ -498,6 +503,24 @@ def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_lsh_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4, bands=32, bits=4
     ).select("id_a", "id_b")
+
+
+@register(
+    "embedding_blocked_near_dup_pairs",
+    oracle=_EMB_NEAR_DUP_ORACLE,
+    tags=("dedup", "similarity"),
+)
+def embedding_blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine ≥ 0.4 pair set — same contract and oracle as
+    ``embedding_near_dup_pairs``, but computed by the blocked-matmul operator:
+    B·n shuffle instead of an n² pair stream, one BLAS matmul per block pair
+    instead of a JVM fold per pair. This is the plan to run when an exact
+    (recall-guaranteed) answer is required at scale; see
+    ``blocked_cosine_pairs`` for the block-size arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, n_blocks=8
+    )
 
 
 @register("simhash_near_dup_pairs", oracle=None, tags=("dedup",))

@@ -1,13 +1,16 @@
-"""Second wave of TPC-H join shapes (Q4/Q9/Q10/Q11/Q12/Q15/Q16 analogs).
+"""Second wave of TPC-H shapes (Q4/Q6/Q9/Q10/Q11/Q12/Q14/Q15/Q16 analogs).
 
 The reference has no joins (SURVEY.md §2.7); these complete the classic
-decision-support shapes the round-1/2 registry didn't yet cover:
+decision-support shapes the round-1/2 registry didn't yet cover — with this
+module the registry covers an analog of every one of the 22 TPC-H queries:
 
 * Q4  — EXISTS correlated semi-join counted by a dimension attribute;
+* Q6  — single-table multi-predicate filter + aggregate (all pushed);
 * Q9  — multi-join profit rollup (fact ⋈ fact ⋈ 2 dims) by nation × year;
 * Q10 — returned-item revenue ranking (top-k over a 4-way join);
 * Q11 — GROUP BY ... HAVING > (scalar subquery over the same fact);
 * Q12 — two-way conditional CASE counts after a fact⋈fact join;
+* Q14 — conditional-numerator ratio over a fact ⋈ broadcast-dim month;
 * Q15 — argmax-by-scalar-subquery (revenue view joined to its own MAX);
 * Q16 — COUNT(DISTINCT) with a NOT IN exclusion subquery.
 
@@ -386,4 +389,98 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q6 shape — single-table forecasting-revenue filter + aggregate. No join at
+# all: the point of the shape is that EVERY predicate reaches the parquet
+# scan (shipdate range, discount band, quantity cap all appear in
+# PushedFilters) and the aggregation is a partial-final sum with no shuffle
+# wider than one row per partition.
+# --------------------------------------------------------------------------- #
+
+_Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_change", oracle=_Q6_ORACLE, tags=("tpch",))
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from dropping discounts in a band for a
+    year. All four predicates push to the scan (conjunctive range filters on
+    plain columns — `tools/explain_all.py` shows pushed=4-component filter and
+    a 3-column ReadSchema), the double comparisons are literal-vs-stored-double
+    on both engines (identical IEEE results), and the revenue sum is the
+    4-dp scaled-long split (price 2dp × discount 2dp)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        scaled_long_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q14 shape — promo-revenue share for one month: fact ⋈ broadcast dim, then a
+# conditional-numerator / total-denominator ratio in one aggregate pass.
+# Adapted: testdata p_type is a single token ('PROMO', 'ECONOMY', ...), so
+# TPC-H's ``p_type LIKE 'PROMO%'`` becomes equality.
+# --------------------------------------------------------------------------- #
+
+_Q14_ORACLE = f"""
+SELECT
+  100.0 * (
+    CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE)
+  ) AS promo_revenue_pct,
+  COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@register("promo_revenue_share", oracle=_Q14_ORACLE, tags=("tpch", "join"))
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of one month's revenue from promo parts. The month
+    filter pushes to the lineitem scan; part broadcasts (map-side hash join, no
+    fact shuffle); numerator and denominator are both exact 4-dp scaled-long
+    sums computed in the SAME single aggregation pass, so the whole query is
+    one scan + one 1-row reduce. The ratio is parenthesized identically on
+    both engines — 100.0 * (num / den) — because double arithmetic is
+    left-associative and (100·a)/b ≠ 100·(a/b) in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * (scaled_long_sum(promo, 4) / scaled_long_sum(disc, 4))
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )

@@ -233,3 +233,33 @@ def test_cosine_lsh_finds_planted_near_dups(spark):
     # Precision is exact by construction (candidates verified with true
     # cosine); random 16-dim pairs essentially never reach 0.95.
     assert pairs == planted or len(pairs - planted) <= 1
+
+
+def test_blocked_cosine_pairs_equals_crossjoin_exact(spark):
+    from data_lake_medallion_architecture_project_spark.operators.similarity import blocked_cosine_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 12)).astype(np.float32)
+    # Plant three near-duplicate pairs so the ≥-threshold set is non-trivial.
+    vecs[70] = vecs[10] + rng.normal(scale=0.01, size=12).astype(np.float32)
+    vecs[71] = vecs[20] + rng.normal(scale=0.01, size=12).astype(np.float32)
+    vecs[72] = vecs[30] * 1.5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    sim = (v @ v.T) / np.outer(norms, norms)
+    expect = {
+        (i, j) for i in range(80) for j in range(i + 1, 80) if sim[i, j] >= 0.4
+    }
+    assert len(expect) >= 3  # the planted pairs at minimum
+
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in blocked_cosine_pairs(df, threshold=0.4, n_blocks=n_blocks).collect()
+        }
+        assert got == expect, f"n_blocks={n_blocks}"
