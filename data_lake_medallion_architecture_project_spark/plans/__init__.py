@@ -8,3 +8,4 @@ from . import temporal  # noqa: F401,E402
 from . import sqlops  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import tpch2  # noqa: F401,E402
+from . import training  # noqa: F401,E402

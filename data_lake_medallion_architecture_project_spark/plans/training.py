@@ -1,0 +1,154 @@
+"""Training-data-pipeline shapes: document chunking and sequence packing.
+
+Neither exists in the reference (its documents never feed a trainer); both are
+core operations of an LLM data pipeline at 100 TB:
+
+* **chunking** — split each document's token stream into overlapping
+  fixed-size windows (the units a tokenizer/trainer actually consumes);
+* **packing** — assign whole documents to fixed-token-budget training
+  sequences so batch construction wastes no padding.
+
+Both are pure JVM column/window expressions — no Python boundary — and both
+are DuckDB-oracled (the chunk slicing and the prefix-sum packing have exact
+relational semantics).
+
+Scale notes:
+
+* chunking is embarrassingly parallel (per-row explode; output rows ≈
+  n_tokens/stride per doc). The explode multiplies row count, not bytes read;
+  column pruning keeps only (doc_id, toks) flowing into it.
+* packing needs a running sum, which is a global sequential dependency; the
+  scalable form shards the corpus (hash of doc_id) and packs each shard
+  independently — one window task per shard, so parallelism = n_shards and
+  the boundary effect is < budget tokens of slack per shard, not per corpus.
+  At 100 TB raise ``n_shards`` to O(cluster cores); packs remain
+  deterministic because shard assignment and intra-shard order key on doc_id
+  alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokenize
+from ..sources.readers import load_table
+from .registry import register
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # chunk start step (overlap = _CHUNK - _STRIDE)
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS chunk_start
+  FROM t
+  WHERE len(toks) > 0
+)
+SELECT
+  doc_id,
+  chunk_start,
+  len(toks[chunk_start + 1 : chunk_start + {_CHUNK}]) AS chunk_len,
+  array_to_string(toks[chunk_start + 1 : chunk_start + {_CHUNK}], ' ') AS chunk_text
+FROM e
+"""
+
+
+@register("doc_chunks", oracle=_CHUNK_ORACLE, tags=("text", "training"))
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: one output row per (doc, window).
+
+    Window starts step by ``_STRIDE`` (sequence with step — identical
+    inclusive-stop semantics to DuckDB's generate_series), each chunk is a
+    1-based ``slice`` of ``_CHUNK`` tokens that truncates at the document tail
+    (same clamping as DuckDB list slicing). All JVM: split → sequence →
+    explode → slice; the scan reads only (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    return (
+        toks.filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.slice(F.col("toks"), F.col("chunk_start") + 1, _CHUNK).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size("chunk").cast("long").alias("chunk_len"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_SHARDS = 8  # independent packing streams (→ window parallelism)
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT
+    doc_id,
+    len(string_split(lower(text), ' ')) AS n_tokens,
+    doc_id % {_PACK_SHARDS} AS shard
+  FROM documents
+),
+c AS (
+  SELECT
+    doc_id, n_tokens, shard,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_before
+  FROM t
+)
+SELECT
+  doc_id,
+  n_tokens,
+  shard,
+  CAST(FLOOR(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+@register("packed_sequences", oracle=_PACK_ORACLE, tags=("text", "training"))
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign every document to a pack.
+
+    Fixed-boundary packing: within a shard, docs are laid end-to-end in
+    doc_id order and ``pack_id = floor(tokens_before / budget)`` — each pack
+    holds whole documents and may overflow the budget by at most one
+    document's tokens (standard approximate packing; trainers truncate the
+    tail). The exclusive prefix sum is a ROWS-frame window per shard, so the
+    sort is per-shard and parallelism equals ``_PACK_SHARDS``."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        token_count(tokenize("text")).alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.floor(cum_before / F.lit(float(_PACK_BUDGET)))
+        .cast("long")
+        .alias("pack_id"),
+    )
