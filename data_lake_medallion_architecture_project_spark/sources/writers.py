@@ -105,6 +105,35 @@ def write_silver_batch(
     return path
 
 
+def write_silver_event_partitioned(
+    df: DataFrame, silver_root: str, domain: str, batch_id: int | None = None
+) -> str:
+    """Silver laid out by **event** date: ``event_date=YYYY-MM-DD`` partitions
+    derived from the row's ``timestamp``.
+
+    The processing-date layout (``write_silver``) preserves Bronze ingest
+    lineage but makes the incremental Gold refresh's affected-day filter a
+    full-tree scan filter. This layout turns that filter into a directory
+    prune (`refresh._scoped_silver` picks it up automatically): refreshing one
+    day reads one day, so refresh cost is O(new data + affected days' files)
+    at any history length — the property that matters at 100 TB of Silver.
+    Rows with a null/unparseable timestamp land in the Hive default partition
+    and are still visible to full scans.
+
+    ``batch_id`` keeps the streaming sink idempotent exactly like
+    ``write_silver_batch``: the micro-batch overwrites its own
+    ``ingest_batch=<id>`` subtree on replay instead of appending duplicates.
+    """
+    path = os.path.join(silver_root, domain)
+    mode = "append"
+    if batch_id is not None:
+        path = os.path.join(path, f"ingest_batch={int(batch_id)}")
+        mode = "overwrite"
+    out = df.withColumn("event_date", F.to_date("timestamp"))
+    out.write.mode(mode).partitionBy("event_date").parquet(path)
+    return path
+
+
 def write_gold_snapshot(df: DataFrame, gold_root: str, table: str) -> str:
     """Append a full Gold snapshot; ``generated_at`` (already stamped by the
     builder) identifies the run, mirroring the timestamped-file convention."""

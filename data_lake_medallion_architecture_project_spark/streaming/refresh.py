@@ -30,10 +30,13 @@ history, while the committed Gold stays bit-identical to a full recompute
 is recomputable in isolation.
 
 At 100 TB the same code holds: affected-day re-aggregation scans only those
-days' Silver files (partition pruning needs Silver laid out by *event* date —
-``write_silver`` partitions by processing date for Bronze fidelity, so the
-batch filter here is a scan-filter, not a partition prune; an event-date
-layout is the upgrade), Gold reads prune at file granularity from log
+days' Silver files when Silver is laid out by *event* date
+(``writers.write_silver_event_partitioned`` — ``_scoped_silver`` detects the
+``event_date`` partition column and filters on it, which Spark turns into a
+directory prune; the plan's scan node carries the date set in
+``PartitionFilters``, asserted by ``tests/test_streaming_gold.py``). Under
+the reference-fidelity processing-date layout the same filter degrades
+gracefully to a scan filter. Gold reads prune at file granularity from log
 metadata, and the commit race serializes concurrent writers.
 """
 
@@ -58,6 +61,22 @@ def gold_table(gold_root: str, table: str) -> TxnTable:
     return TxnTable(os.path.join(gold_root, table))
 
 
+def _scoped_silver(spark: SparkSession, silver_domain_dir: str, affected_dates: list):
+    """Silver restricted to the affected days — a *partition prune* when the
+    tree is event-date partitioned, a scan filter otherwise.
+
+    ``event_date`` is a Hive partition column in the
+    ``write_silver_event_partitioned`` layout, so the ``isin`` lands in the
+    scan's PartitionFilters and unaffected day directories are never listed
+    into tasks; with the processing-date layout the equivalent predicate on
+    ``to_date(timestamp)`` still bounds the recompute, at scan cost.
+    """
+    silver = spark.read.parquet(silver_domain_dir)
+    if "event_date" in silver.columns:
+        return silver.filter(F.col("event_date").isin(affected_dates))
+    return silver.filter(F.to_date("timestamp").isin(affected_dates))
+
+
 def refresh_affected_dates(
     spark: SparkSession,
     silver_domain_dir: str,
@@ -76,9 +95,7 @@ def refresh_affected_dates(
     """
     if not affected_dates:
         return []
-    silver = spark.read.parquet(silver_domain_dir)
-    day = F.to_date("timestamp")
-    scoped = silver.filter(day.isin(affected_dates))
+    scoped = _scoped_silver(spark, silver_domain_dir, affected_dates)
     written = []
     for table, builder in _domain_tables(domain).items():
         out = builder(scoped).withColumn("generated_at", F.lit(generated_at))

@@ -84,3 +84,67 @@ def test_gold_refresh_crash_replay_exactly_once(spark, tmp_path):
     for t in tables:  # ... but every table-level merge was skipped
         assert gold_table(gold, t).snapshot().version == versions_before[t], t
     _gold_equals_full_recompute(spark, silver, gold)
+
+
+def test_event_partitioned_silver_prunes_and_matches(spark, tmp_path):
+    """Event-date Silver layout: the affected-day restriction must appear in
+    the scan's PartitionFilters (directory prune, not scan filter), and the
+    refresh through it must equal the builders over a manually-filtered full
+    scan."""
+    import contextlib
+    import io
+
+    from data_lake_medallion_architecture_project_spark.sources.writers import (
+        write_silver_event_partitioned,
+    )
+    from data_lake_medallion_architecture_project_spark.streaming.refresh import (
+        _scoped_silver,
+        refresh_affected_dates,
+    )
+
+    bronze, silver, ckpt, silver2, gold = (
+        str(tmp_path / p) for p in ("bronze", "silver", "ckpt", "silver_ev", "gold")
+    )
+    _write_bronze_csv(bronze, DOMAIN, GENERATORS[DOMAIN](seed=41, n=60), "b1")
+    run_incremental_ingest(spark, bronze, silver, ckpt, DOMAIN, processed_at=RUN_TS)
+    base = spark.read.parquet(os.path.join(silver, DOMAIN)).drop(
+        "year", "month", "day", "ingest_batch"
+    )
+    # The generator's batch lands on one day; spread events across three days
+    # (deterministic per key) so pruning has something to prune.
+    base = base.withColumn(
+        "timestamp",
+        F.col("timestamp")
+        - F.make_interval(days=F.pmod(F.xxhash64("sale_id"), F.lit(3)).cast("int")),
+    )
+    write_silver_event_partitioned(base, silver2, DOMAIN)
+    dir2 = os.path.join(silver2, DOMAIN)
+
+    all_days = sorted(
+        r["d"]
+        for r in spark.read.parquet(dir2)
+        .filter(F.col("is_valid"))
+        .select(F.to_date("timestamp").alias("d"))
+        .filter(F.col("d").isNotNull())
+        .distinct()
+        .collect()
+    )
+    assert len(all_days) >= 2
+    days = all_days[:2]
+
+    scoped = _scoped_silver(spark, dir2, days)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scoped.explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0] and " IN " in pf[0], pf
+
+    refresh_affected_dates(spark, dir2, gold, DOMAIN, days, RUN_TS)
+    expect_src = spark.read.parquet(dir2).filter(F.to_date("timestamp").isin(days))
+    for table, (domain, builder) in GOLD_BUILDERS.items():
+        if domain != DOMAIN:
+            continue
+        expect = builder(expect_src)
+        got = gold_table(gold, table).read(spark).drop("generated_at")
+        got = got.select(*[F.col(c).cast(dict(expect.dtypes)[c]) for c in expect.columns])
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect())), table
