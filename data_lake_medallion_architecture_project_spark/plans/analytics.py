@@ -738,6 +738,44 @@ def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# lag/lead offsets — inter-order gap in days per customer.
+# --------------------------------------------------------------------------- #
+
+_GAPS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+            CAST(o_orderdate AS DATE)) AS days_since_prev,
+  date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(LEAD(o_orderdate) OVER w AS DATE)) AS days_until_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("customer_order_gaps", oracle=_GAPS_ORACLE, tags=("window",))
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer — the lag/lead offset
+    window shape (the one frame family the registry didn't yet exercise).
+    Offsets need no frame buffer: Spark evaluates them in the same sorted
+    pass as any other window over (custkey, orderdate, orderkey), so cost is
+    one shuffle + per-partition sort, identical to the moving-average query.
+    First/last orders yield NULL gaps on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.to_date("o_orderdate")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(day, F.to_date(F.lag("o_orderdate").over(w)))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.datediff(F.to_date(F.lead("o_orderdate").over(w)), day)
+        .cast("long")
+        .alias("days_until_next"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Collection aggregation — distinct order years per customer as a sorted list.
 # --------------------------------------------------------------------------- #
 

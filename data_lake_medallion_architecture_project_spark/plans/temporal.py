@@ -255,3 +255,41 @@ def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Event-type transition matrix — lag offset + rollup (funnel analysis).
+# --------------------------------------------------------------------------- #
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM s
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register("event_type_transitions", oracle=_TRANSITIONS_ORACLE, tags=("temporal", "window"))
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per user —
+    the funnel-analysis shape: a lag offset over (user, time) and a rollup of
+    the (prev, next) bigram. One shuffle on user_id for the window sort, then
+    map-side partial aggregation into a domain-bounded (|types|²) result —
+    the second shuffle carries at most |types|²·partitions rows regardless of
+    event volume. Ordering ties break on event_id, so the transition stream
+    is deterministic on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
