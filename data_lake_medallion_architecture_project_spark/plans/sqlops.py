@@ -258,6 +258,45 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# VARIANT semi-structured type — parse once, extract typed paths.
+# --------------------------------------------------------------------------- #
+
+_VARIANT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(k) AS n_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  COUNT(*) FILTER (WHERE k % 2 = 0) AS n_even_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("variant_props_stats", oracle=_VARIANT_ORACLE, tags=("sqlops", "json"))
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: ``try_parse_json``
+    builds the binary variant once (malformed input degrades to NULL instead
+    of failing the task — the PERMISSIVE discipline), ``variant_get`` extracts
+    a typed path without re-parsing the string per field. Unlike the
+    ``from_json`` twin (``json_props_stats``) the parse is schema-less, so the
+    same scan serves any later path extraction — the right trade at 100 TB
+    where the props schema drifts over time. Aggregates stay integer-exact."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Statistical aggregates — exact Pearson correlation from integer moments.
 # --------------------------------------------------------------------------- #
 

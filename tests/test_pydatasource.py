@@ -1,0 +1,56 @@
+"""Custom Python DataSource: executor-side synthetic generation behind
+``spark.read.format("synthetic_medallion")`` must be deterministic, correctly
+partitioned, and row-identical to the driver-side generator API."""
+
+from __future__ import annotations
+
+from data_lake_medallion_architecture_project_spark.schemas import BRONZE_SCHEMAS
+from data_lake_medallion_architecture_project_spark.sources.pydatasource import (
+    _SEED_STRIDE,
+    register_synthetic_source,
+)
+from data_lake_medallion_architecture_project_spark.sources.synthetic import gen_sales_batch
+
+NOW = "2026-08-13T12:00:00+00:00"
+
+
+def _read(spark, **opts):
+    reader = spark.read.format("synthetic_medallion")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_single_partition_equals_driver_generator(spark):
+    register_synthetic_source(spark)
+    df = _read(spark, domain="sales", n=25, seed=9, partitions=1, now=NOW)
+    got = [r.asDict() for r in df.collect()]
+
+    from datetime import datetime
+
+    expect = gen_sales_batch(seed=9 * _SEED_STRIDE, n=25, now=datetime.fromisoformat(NOW))
+    for e in expect:  # CSV-roundtrip double typing applied by the source
+        if e["quantity"] is not None:
+            e["quantity"] = float(e["quantity"])
+    assert got == expect
+
+
+def test_partitioned_read_is_deterministic_and_complete(spark):
+    register_synthetic_source(spark)
+    opts = dict(domain="sales", n=37, seed=7, partitions=4, now=NOW)
+    a = sorted(map(tuple, _read(spark, **opts).collect()))
+    b = sorted(map(tuple, _read(spark, **opts).collect()))
+    assert a == b  # deterministic across plans/executors
+    # Each partition is a generator batch that may append one ~5% duplicate.
+    assert 37 <= len(a) <= 37 + 4
+    df = _read(spark, **opts)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.schema == BRONZE_SCHEMAS["sales"]
+
+
+def test_all_domains_load(spark):
+    register_synthetic_source(spark)
+    for domain in ("sales", "customer_events", "inventory"):
+        df = _read(spark, domain=domain, n=12, seed=3, partitions=3, now=NOW)
+        assert df.schema == BRONZE_SCHEMAS[domain]
+        assert df.count() >= 12
