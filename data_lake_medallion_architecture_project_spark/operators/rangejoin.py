@@ -20,8 +20,24 @@ wobble at the microsecond boundary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _micros(df: DataFrame, ts_col: str) -> Column:
+    """Exact int64 microseconds for TIMESTAMP or TIMESTAMP_NTZ columns.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet timestamps read
+    back as when written without a zone); for NTZ we diff against an NTZ epoch
+    literal, which is pure wall-clock arithmetic — no session-timezone
+    dependence, identical to DuckDB's epoch_us on naive timestamps.
+    """
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    return F.unix_micros(F.col(ts_col))
 
 
 def events_in_window_counts(
@@ -38,10 +54,10 @@ def events_in_window_counts(
     """
     a = anchors.select(
         F.col(anchor_id).alias("_aid"),
-        F.unix_micros(F.col(ts_col)).alias("_aus"),
+        _micros(anchors, ts_col).alias("_aus"),
     ).withColumn("_bucket", (F.col("_aus") / window_us).cast("long"))
 
-    p_us = F.unix_micros(F.col(ts_col))
+    p_us = _micros(probes, ts_col)
     # A probe at bucket b can fall inside windows anchored in bucket b or b-1
     # (window width == bucket width), so it probes both.
     p = (

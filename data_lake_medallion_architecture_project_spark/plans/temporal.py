@@ -73,9 +73,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(order)
+    # timestamp_diff is wall-clock arithmetic valid for both TIMESTAMP and
+    # TIMESTAMP_NTZ (a bigint cast is rejected for NTZ inputs). Microsecond
+    # units keep the gap test exact — a SECOND diff truncates and misses
+    # sub-second boundary gaps, diverging from the interval comparison.
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) > 1_800_000_000),
         1,
     ).otherwise(0)
     running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
