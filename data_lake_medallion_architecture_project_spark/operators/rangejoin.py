@@ -34,8 +34,9 @@ def _micros(df: DataFrame, ts_col: str) -> Column:
     dependence, identical to DuckDB's epoch_us on naive timestamps.
     """
     if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        quoted = "`" + ts_col.replace("`", "``") + "`"
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {quoted})"
         )
     return F.unix_micros(F.col(ts_col))
 
@@ -51,7 +52,19 @@ def events_in_window_counts(
     anchor.ts + window). Anchors with no probes in window get 0.
 
     Returns (anchor_id, n_in_window).
+
+    Both sides must carry the same timestamp type: ``_micros`` dispatches
+    per-DataFrame, and mixing NTZ with zoned timestamps under a non-UTC
+    session timezone would put the two sides on different epoch bases.
     """
+    a_type = anchors.schema[ts_col].dataType
+    p_type = probes.schema[ts_col].dataType
+    if a_type != p_type:
+        raise TypeError(
+            f"anchors.{ts_col} is {a_type} but probes.{ts_col} is {p_type}; "
+            "both sides must use the same timestamp type so microsecond "
+            "arithmetic shares one epoch base"
+        )
     a = anchors.select(
         F.col(anchor_id).alias("_aid"),
         _micros(anchors, ts_col).alias("_aus"),
