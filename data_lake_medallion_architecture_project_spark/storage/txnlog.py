@@ -19,6 +19,15 @@ Spark-first:
   new files and removes the superseded files of exactly the partitions present
   in the incoming DataFrame, in one atomic commit (Delta's
   ``replaceWhere``/MERGE-by-partition pattern).
+* **Row-level MERGE** — ``merge_upsert`` is keyed ``WHEN MATCHED THEN UPDATE
+  SET * / WHEN NOT MATCHED THEN INSERT *``: it locates the partitions holding
+  matched keys (column-pruned scan of key + partition columns only), rewrites
+  just those partitions read-modify-write, and publishes adds+removes in one
+  atomic commit.
+* **Schema evolution** — ``add_columns`` commits a widened schema as a pure
+  metadata action; readers apply the committed schema explicitly, so old
+  files surface the new columns as NULL and time travel to a pre-evolution
+  version reads back the old schema.
 * **File skipping** — the log stores each file's partition value, so readers
   prune files driver-side from log metadata alone, like Delta data skipping
   (no directory listing on the read path).
@@ -124,6 +133,28 @@ class TxnTable:
 
     # ----------------------------------------------------------------- write
 
+    def _stage_partitioned(self, df: DataFrame, partition_col: str) -> list[dict]:
+        """Write ``df`` to a fresh staging dir partitioned by ``partition_col``
+        and return the ``add`` actions. Files are invisible until a commit
+        references them; a crash here leaves only vacuum-able orphans."""
+        staging = os.path.join(self.data_dir, uuid.uuid4().hex)
+        (
+            df.withColumn("__part", F.col(partition_col).cast("string"))
+            .write.partitionBy("__part")
+            .parquet(staging)
+        )
+        adds = []
+        for root, _dirs, names in os.walk(staging):
+            part = None
+            base = os.path.basename(root)
+            if base.startswith("__part="):
+                part = base.split("=", 1)[1]
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n), self.path)
+                    adds.append({"path": rel, "partition": part})
+        return adds
+
     def merge_overwrite_partitions(
         self,
         df: DataFrame,
@@ -149,22 +180,7 @@ class TxnTable:
         # Stage the new files under a unique dir; __part mirrors the partition
         # column so the directory layout carries the value while the original
         # column stays inside the data files (readers need no path inference).
-        staging = os.path.join(self.data_dir, uuid.uuid4().hex)
-        (
-            df.withColumn("__part", F.col(partition_col).cast("string"))
-            .write.partitionBy("__part")
-            .parquet(staging)
-        )
-        adds = []
-        for root, _dirs, names in os.walk(staging):
-            part = None
-            base = os.path.basename(root)
-            if base.startswith("__part="):
-                part = base.split("=", 1)[1]
-            for n in names:
-                if n.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, n), self.path)
-                    adds.append({"path": rel, "partition": part})
+        adds = self._stage_partitioned(df, partition_col)
         new_parts = sorted({a["partition"] for a in adds})
 
         while True:
@@ -185,6 +201,141 @@ class TxnTable:
                 if snap.txns.get(app_id, -1) >= int(batch_id):
                     return []
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        partition_col: str | None = None,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> list[str]:
+        """Row-level MERGE: ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+        MATCHED THEN INSERT *`` on ``keys``, in one atomic commit.
+
+        Delta-style two-phase plan, partition-scoped so work is O(affected
+        partitions), never O(table):
+
+        1. **Find** — the affected partitions are the source rows' own
+           partition values plus every target partition holding a matched key
+           (a column-pruned scan of only ``keys + partition_col``, with the
+           source keyset broadcast into a semi-join).
+        2. **Rewrite** — read just those partitions (file-pruned from log
+           metadata), anti-join out the matched rows, union the source rows,
+           and stage the result; the commit atomically swaps the affected
+           partitions' files.
+
+        The source must be key-unique (same precondition as Delta MERGE —
+        two source rows matching one target row is ambiguous); violations
+        raise. Returns the affected partition values, or ``[]`` when the
+        (app_id, batch_id) transaction was already committed.
+        """
+        snap = self.snapshot()
+        if app_id is not None and batch_id is not None:
+            if snap.txns.get(app_id, -1) >= int(batch_id):
+                return []
+
+        part_col = partition_col or snap.partition_col
+        if part_col is None:
+            raise ValueError("partition_col required for a new table")
+        if part_col not in df.columns:
+            raise ValueError(f"source is missing partition column {part_col!r}")
+
+        dup = (
+            df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"source has duplicate merge keys (e.g. {dup[0].asDict()}); "
+                "MERGE requires a key-unique source"
+            )
+
+        if snap.version < 0 or not snap.files:
+            # Empty table: everything is an insert.
+            adds = self._stage_partitioned(df, part_col)
+            commit = {
+                "add": adds,
+                "remove": [],
+                "partition_col": part_col,
+                "schema_json": df.schema.json(),
+            }
+            if app_id is not None and batch_id is not None:
+                commit["txn"] = {"app_id": app_id, "batch_id": int(batch_id)}
+            if self._try_commit(snap.version + 1, commit):
+                return sorted({a["partition"] for a in adds})
+            # Lost the race to create the table: it may have rows now, so
+            # restart the whole merge against the fresh log (staged files
+            # stay invisible orphans for vacuum).
+            return self.merge_upsert(spark, df, keys, partition_col, app_id, batch_id)
+
+        # Phase 1 — find affected partitions. The target scan reads only the
+        # key + partition columns (column pruning), and the source keyset is
+        # broadcast: no target shuffle, no wide rows moved.
+        src_keys = df.select(*keys).distinct()
+        src_parts = {
+            str(r[0])
+            for r in df.select(F.col(part_col).cast("string")).distinct().collect()
+        }
+        matched_parts = {
+            str(r[0])
+            for r in self.read(spark)
+            .select(*keys, part_col)
+            .join(F.broadcast(src_keys), keys, "left_semi")
+            .select(F.col(part_col).cast("string"))
+            .distinct()
+            .collect()
+        }
+        affected = sorted(src_parts | matched_parts)
+
+        # Phase 2 — partition-scoped read-modify-write.
+        old = self.read(spark, partition_values=affected)
+        merged = old.join(F.broadcast(src_keys), keys, "left_anti").unionByName(
+            df.select(*old.columns)
+        )
+        adds = self._stage_partitioned(merged, part_col)
+
+        while True:
+            commit = {
+                "add": adds,
+                "remove": [p for p, pv in snap.files.items() if pv in affected],
+                "partition_col": part_col,
+            }
+            if app_id is not None and batch_id is not None:
+                commit["txn"] = {"app_id": app_id, "batch_id": int(batch_id)}
+            if self._try_commit(snap.version + 1, commit):
+                return affected
+            # Lost the commit race: re-read, re-validate idempotency, retry.
+            snap = self.snapshot()
+            if app_id is not None and batch_id is not None:
+                if snap.txns.get(app_id, -1) >= int(batch_id):
+                    return []
+
+    # ------------------------------------------------------- schema evolution
+
+    def add_columns(self, new_fields: "StructType | list") -> int:
+        """Widen the table schema — a pure metadata commit (no data rewrite),
+        like Delta's ADD COLUMNS. Existing files surface the new columns as
+        NULL because readers apply the committed schema; time travel to an
+        earlier version still reads the pre-evolution schema. Returns the new
+        log version."""
+        snap = self.snapshot()
+        if snap.schema_json is None:
+            raise ValueError("cannot evolve an empty table")
+        current = StructType.fromJson(json.loads(snap.schema_json))
+        existing = {f.name for f in current.fields}
+        fields = list(new_fields.fields) if isinstance(new_fields, StructType) else list(new_fields)
+        for f in fields:
+            if f.name in existing:
+                raise ValueError(f"column {f.name!r} already exists")
+        evolved = StructType(current.fields + fields)
+        while True:
+            version = self.snapshot().version + 1
+            if self._try_commit(version, {"schema_json": evolved.json()}):
+                return version
+
     # ------------------------------------------------------------------ read
 
     def read(
@@ -196,7 +347,10 @@ class TxnTable:
         """Read the committed snapshot (optionally time-traveled / pruned).
 
         ``partition_values`` prunes at FILE granularity from log metadata —
-        the scan never lists or touches other partitions' files.
+        the scan never lists or touches other partitions' files. The scan
+        applies the schema committed as of ``version``, so files written
+        before an ``add_columns`` evolution surface the new columns as NULL,
+        and time travel to a pre-evolution version reads the old schema.
         """
         snap = self.snapshot(version)
         wanted = (
@@ -209,14 +363,17 @@ class TxnTable:
             for rel, pv in sorted(snap.files.items())
             if wanted is None or pv in wanted
         ]
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap.schema_json
+            else None
+        )
         if not files:
-            schema = (
-                StructType.fromJson(json.loads(snap.schema_json))
-                if snap.schema_json
-                else StructType([])
-            )
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(*files)
+            return spark.createDataFrame([], schema or StructType([]))
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*files)
 
     # -------------------------------------------------------------- compact
 

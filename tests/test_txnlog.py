@@ -135,3 +135,153 @@ def test_generated_at_column_roundtrip(spark, tmp_path):
     df = _df(spark, [("d1", "a", 1)]).withColumn("generated_at", F.lit("r1"))
     t.merge_overwrite_partitions(df, "date")
     assert t.read(spark).select("generated_at").first()[0] == "r1"
+
+
+# ------------------------------------------------------------ row-level MERGE
+
+
+def test_merge_upsert_updates_matched_inserts_unmatched(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]), "date"
+    )
+    # b updated in place, d inserted into d1, e inserted into new d3;
+    # a and the whole of d2 untouched.
+    affected = t.merge_upsert(
+        spark, _df(spark, [("d1", "b", 20), ("d1", "d", 4), ("d3", "e", 5)]), ["k"]
+    )
+    assert affected == ["d1", "d3"]
+    assert _rows(t.read(spark)) == [
+        ("d1", "a", 1),
+        ("d1", "b", 20),
+        ("d1", "d", 4),
+        ("d2", "c", 3),
+        ("d3", "e", 5),
+    ]
+
+
+def test_merge_upsert_moves_key_across_partitions(spark, tmp_path):
+    """A matched key whose partition value changed must leave exactly one row:
+    the source's, in the source's partition (the old partition is rewritten
+    without it)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "z", 9)]), "date")
+    affected = t.merge_upsert(spark, _df(spark, [("d2", "a", 10)]), ["k"])
+    assert affected == ["d1", "d2"]
+    assert _rows(t.read(spark)) == [("d1", "z", 9), ("d2", "a", 10)]
+
+
+def test_merge_upsert_composite_keys_and_untouched_partitions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d2", "a", 2)]), "date"
+    )
+    snap_before = t.snapshot()
+    d2_files_before = {r for r, pv in snap_before.files.items() if pv == "d2"}
+    # Key (date, k): only (d1, a) matches — d2's (a) row is a different key.
+    t.merge_upsert(spark, _df(spark, [("d1", "a", 100)]), ["date", "k"])
+    assert _rows(t.read(spark)) == [("d1", "a", 100), ("d2", "a", 2)]
+    # d2's physical files were not rewritten.
+    d2_files_after = {r for r, pv in t.snapshot().files.items() if pv == "d2"}
+    assert d2_files_after == d2_files_before
+
+
+def test_merge_upsert_on_empty_table_is_all_inserts(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    assert t.merge_upsert(
+        spark, _df(spark, [("d1", "a", 1)]), ["k"], partition_col="date"
+    ) == ["d1"]
+    assert _rows(t.read(spark)) == [("d1", "a", 1)]
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge_upsert(spark, _df(spark, [("d1", "a", 1), ("d2", "a", 2)]), ["k"])
+
+
+def test_merge_upsert_txn_marker_replay_and_crash(spark, tmp_path):
+    """Crash-replay: a merge that staged files but died before the log commit
+    leaves the table untouched; the replayed micro-batch (same app/batch ids)
+    then applies exactly once."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    before = _rows(t.read(spark))
+
+    real_try = t._try_commit
+
+    def crash(version, commit):
+        raise OSError("writer died before the commit point")
+
+    t._try_commit = crash
+    import pytest
+
+    with pytest.raises(OSError):
+        t.merge_upsert(
+            spark, _df(spark, [("d1", "a", 2)]), ["k"], app_id="m", batch_id=0
+        )
+    t._try_commit = real_try
+    assert _rows(t.read(spark)) == before  # crash invisible
+    # Replay of the same batch applies...
+    assert t.merge_upsert(
+        spark, _df(spark, [("d1", "a", 2)]), ["k"], app_id="m", batch_id=0
+    ) == ["d1"]
+    assert _rows(t.read(spark)) == [("d1", "a", 2)]
+    v = t.snapshot().version
+    # ...and a second replay is a no-op at the table layer.
+    assert t.merge_upsert(
+        spark, _df(spark, [("d1", "a", 3)]), ["k"], app_id="m", batch_id=0
+    ) == []
+    assert t.snapshot().version == v
+    assert _rows(t.read(spark)) == [("d1", "a", 2)]
+    t.vacuum()  # the crashed attempt's staged files are collectable
+    assert _rows(t.read(spark)) == [("d1", "a", 2)]
+
+
+# ------------------------------------------------------------ schema evolution
+
+
+def test_add_columns_is_metadata_only_and_time_travels(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    files_before = dict(t.snapshot().files)
+    v_pre = t.snapshot().version
+
+    v_evolved = t.add_columns([StructField("score", LongType(), True)])
+    assert t.snapshot().files == files_before  # no data rewrite
+    # Old files surface the new column as NULL.
+    head = t.read(spark)
+    assert head.schema["score"].dataType == LongType()
+    assert head.select("score").first()[0] is None
+    # Time travel to before the evolution reads the old schema.
+    assert "score" not in t.read(spark, version=v_pre).columns
+    assert "score" in t.read(spark, version=v_evolved).columns
+
+
+def test_merge_upsert_after_evolution_writes_new_column(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+    t.add_columns([StructField("score", LongType(), True)])
+    src = spark.createDataFrame(
+        [("d1", "a", 10, 7)], "date string, k string, v long, score long"
+    )
+    t.merge_upsert(spark, src, ["k"])
+    got = sorted(map(tuple, t.read(spark).select("date", "k", "v", "score").collect()))
+    assert got == [("d1", "a", 10, 7), ("d1", "b", 2, None)]
+
+
+def test_add_columns_rejects_existing_name(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import LongType, StructField
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns([StructField("v", LongType(), True)])
