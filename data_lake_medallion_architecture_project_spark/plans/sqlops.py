@@ -470,6 +470,91 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Sketch-based approximate ranks — the 100 TB answer to order_price_ranks.
+# --------------------------------------------------------------------------- #
+
+_RANK_BUCKETS_ORACLE = """
+WITH binned AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS price_bucket
+  FROM orders
+), hist AS (
+  SELECT o_orderstatus, price_bucket, COUNT(*) AS c
+  FROM binned GROUP BY o_orderstatus, price_bucket
+), cum AS (
+  SELECT o_orderstatus, price_bucket,
+         COALESCE(SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY price_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+  FROM hist
+)
+SELECT b.o_orderkey, b.o_orderstatus, b.price_bucket,
+       CASE WHEN c.n > 1 THEN CAST(c.below AS DOUBLE) / (c.n - 1)
+            ELSE 0.0 END AS approx_pct_rank
+FROM binned b JOIN cum c USING (o_orderstatus, price_bucket)
+"""
+
+
+@register(
+    "order_price_rank_buckets",
+    oracle=_RANK_BUCKETS_ORACLE,
+    tags=("window", "sketch", "approx"),
+)
+def order_price_rank_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percent_rank via histogram bucket edges joined back — the
+    scale path for `order_price_ranks`, whose exact form sorts each status
+    stratum in one task (a straggler at 100 TB with a hot stratum).
+
+    Shape: (1) map-side bucket assignment (floor(price/width), no shuffle);
+    (2) ONE small aggregation to a per-(stratum, bucket) histogram — the only
+    shuffle, and it moves #strata × #buckets rows, not data rows; (3) a window
+    over that tiny histogram table to get the cumulative count below each
+    bucket; (4) broadcast the edges back onto the fact — a map-side join, so
+    the data rows never shuffle and never sort. approx_pct_rank is the
+    percent_rank every row in the bucket would share if ties collapsed to
+    bucket granularity: error ≤ the heaviest bucket's mass fraction
+    (tolerance-tested against the exact entry in tests). Unlike a GK/KLL
+    sketch this histogram is deterministic, so the result is engine-exact and
+    hash-oracled. Fixed-width buckets are the right sketch when the value
+    range is known; the bucket table stays mergeable and tiny either way."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("price_bucket"),
+    )
+    hist = binned.groupBy("o_orderstatus", "price_bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_below = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("price_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("o_orderstatus")
+    edges = hist.select(
+        "o_orderstatus",
+        "price_bucket",
+        F.coalesce(F.sum("c").over(w_below), F.lit(0)).alias("below"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return binned.join(
+        F.broadcast(edges), ["o_orderstatus", "price_bucket"]
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_bucket",
+        F.when(
+            F.col("n") > 1, F.col("below").cast("double") / (F.col("n") - 1)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("approx_pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # RANGE frame over event time — trailing 30-day order count per customer.
 # --------------------------------------------------------------------------- #
 

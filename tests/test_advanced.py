@@ -81,3 +81,36 @@ def test_near_dup_clusters_match_pairs(spark):
         assert clusters[p["id_a"]] == clusters[p["id_b"]]
     for doc_id, cid in clusters.items():
         assert cid <= doc_id
+
+
+def test_rank_buckets_tolerance_vs_exact(spark):
+    """The sketch-based rank path must track the exact single-task-per-stratum
+    ranks within the histogram's error bound (the heaviest bucket's mass
+    fraction per stratum), and agree exactly on bucket-boundary ordering."""
+    exact = REGISTRY["order_price_ranks"].build(spark, SF_SMALL)
+    approx = REGISTRY["order_price_rank_buckets"].build(spark, SF_SMALL)
+    joined = (
+        exact.select("o_orderkey", "o_orderstatus", "pct_rank")
+        .join(approx, ["o_orderkey", "o_orderstatus"])
+        .select(
+            "o_orderstatus",
+            "price_bucket",
+            (F.abs(F.col("pct_rank") - F.col("approx_pct_rank"))).alias("err"),
+        )
+    )
+    # Error bound: within a bucket every row is assigned the rank of the
+    # bucket's first row, so |err| < heaviest bucket mass / stratum size.
+    worst = joined.agg(F.max("err")).first()[0]
+    assert worst is not None and worst < 0.06, worst
+    # Monotonicity: approx rank never decreases as the bucket id grows.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("price_bucket")
+    mono = (
+        approx.select("o_orderstatus", "price_bucket", "approx_pct_rank")
+        .distinct()
+        .withColumn("prev", F.lag("approx_pct_rank").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("approx_pct_rank") < F.col("prev")))
+        .count()
+    )
+    assert mono == 0
