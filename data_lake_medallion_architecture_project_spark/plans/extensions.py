@@ -508,7 +508,7 @@ def embedding_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_blocked_near_dup_pairs",
     oracle=_EMB_NEAR_DUP_ORACLE,
-    tags=("dedup", "similarity"),
+    tags=("dedup", "similarity", "bench"),
 )
 def embedding_blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT cosine ≥ 0.4 pair set — same contract and oracle as

@@ -122,8 +122,11 @@ FROM c
 """
 
 
-@register("packed_sequences", oracle=_PACK_ORACLE, tags=("text", "training"))
-def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_documents(
+    docs: DataFrame,
+    budget: int = _PACK_BUDGET,
+    n_shards: int | None = None,
+) -> DataFrame:
     """Token-budget sequence packing: assign every document to a pack.
 
     Fixed-boundary packing: within a shard, docs are laid end-to-end in
@@ -131,12 +134,21 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds whole documents and may overflow the budget by at most one
     document's tokens (standard approximate packing; trainers truncate the
     tail). The exclusive prefix sum is a ROWS-frame window per shard, so the
-    sort is per-shard and parallelism equals ``_PACK_SHARDS``."""
-    docs = load_table(spark, sf_dir, "documents")
+    sort is per-shard and parallelism equals ``n_shards``.
+
+    ``n_shards`` defaults to the cluster's default parallelism — O(cores),
+    the right setting at 100 TB. A shard's packing depends only on its own
+    ordered doc list (shard assignment and intra-shard order key on doc_id
+    alone), so changing ``n_shards`` re-buckets documents but never reorders
+    a shard internally — pack contents stay deterministic for any fixed
+    shard count (property-tested in tests/test_advanced.py).
+    """
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
     t = docs.select(
         "doc_id",
         token_count(tokenize("text")).alias("n_tokens"),
-        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("long").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(int(n_shards))).cast("long").alias("shard"),
     )
     w = (
         Window.partitionBy("shard")
@@ -148,7 +160,16 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "shard",
-        F.floor(cum_before / F.lit(float(_PACK_BUDGET)))
+        F.floor(cum_before / F.lit(float(budget)))
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@register("packed_sequences", oracle=_PACK_ORACLE, tags=("text", "training"))
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of ``pack_documents`` with ``n_shards`` pinned to
+    ``_PACK_SHARDS`` (= 8) so the shard column — part of the output — is
+    deterministic against the DuckDB oracle regardless of local core count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)

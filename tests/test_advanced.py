@@ -114,3 +114,31 @@ def test_rank_buckets_tolerance_vs_exact(spark):
         .count()
     )
     assert mono == 0
+
+
+def test_pack_documents_shard_count_invariance(spark):
+    """Changing n_shards re-buckets docs but must not change how any given
+    shard's ordered doc list packs: pack_id must equal a Python-computed
+    exclusive prefix sum over (shard, doc_id) order, for several shard
+    counts, and the default must follow defaultParallelism."""
+    from data_lake_medallion_architecture_project_spark.plans.training import (
+        _PACK_BUDGET,
+        pack_documents,
+    )
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    for n_shards in (1, 5, 8):
+        rows = sorted(
+            map(tuple, pack_documents(docs, n_shards=n_shards).collect())
+        )
+        assert {r[2] for r in rows} <= set(range(n_shards))
+        cum: dict = {}
+        for doc_id, n_tokens, shard, pack_id in sorted(rows, key=lambda r: (r[2], r[0])):
+            before = cum.get(shard, 0)
+            assert pack_id == before // _PACK_BUDGET, (n_shards, doc_id)
+            cum[shard] = before + n_tokens
+    # Default shard count tracks the cluster's parallelism.
+    default = pack_documents(docs)
+    n_default = spark.sparkContext.defaultParallelism
+    assert default.agg(F.max("shard")).first()[0] < n_default
