@@ -1,1 +1,2 @@
 from .ingest import run_incremental_ingest  # noqa: F401
+from .upsert import latest_per_key, run_streaming_upsert  # noqa: F401
