@@ -313,6 +313,66 @@ class TxnTable:
                 if snap.txns.get(app_id, -1) >= int(batch_id):
                     return []
 
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        keys: list[str],
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> list[str]:
+        """Row-level DELETE: remove every row whose key appears in
+        ``keys_df`` — the right-to-be-forgotten primitive. Same partition-
+        scoped shape as ``merge_upsert``: find the partitions holding matched
+        keys via a column-pruned broadcast semi-join, rewrite only those
+        partitions with the matches anti-joined out, publish in one atomic
+        commit. Partitions whose rewrite comes back empty are simply removed.
+        Returns the affected partition values ([] if no key matched or the
+        (app_id, batch_id) transaction was already committed).
+
+        Deleted rows remain physically present in superseded files until
+        ``vacuum()`` — for a compliance delete, follow with ``vacuum``.
+        """
+        snap = self.snapshot()
+        if app_id is not None and batch_id is not None:
+            if snap.txns.get(app_id, -1) >= int(batch_id):
+                return []
+        part_col = snap.partition_col
+        if part_col is None or not snap.files:
+            return []
+
+        targets = keys_df.select(*keys).distinct()
+        affected = sorted(
+            str(r[0])
+            for r in self.read(spark)
+            .select(*keys, part_col)
+            .join(F.broadcast(targets), keys, "left_semi")
+            .select(F.col(part_col).cast("string"))
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return []
+
+        kept = self.read(spark, partition_values=affected).join(
+            F.broadcast(targets), keys, "left_anti"
+        )
+        adds = self._stage_partitioned(kept, part_col)
+
+        while True:
+            commit = {
+                "add": adds,
+                "remove": [p for p, pv in snap.files.items() if pv in affected],
+            }
+            if app_id is not None and batch_id is not None:
+                commit["txn"] = {"app_id": app_id, "batch_id": int(batch_id)}
+            if self._try_commit(snap.version + 1, commit):
+                return affected
+            snap = self.snapshot()
+            if app_id is not None and batch_id is not None:
+                if snap.txns.get(app_id, -1) >= int(batch_id):
+                    return []
+
     # ------------------------------------------------------- schema evolution
 
     def add_columns(self, new_fields: "StructType | list") -> int:

@@ -285,3 +285,48 @@ def test_add_columns_rejects_existing_name(spark, tmp_path):
     t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
     with pytest.raises(ValueError, match="already exists"):
         t.add_columns([StructField("v", LongType(), True)])
+
+
+# ------------------------------------------------------------ row-level DELETE
+
+
+def test_delete_keys_removes_rows_partition_scoped(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]), "date"
+    )
+    d2_files = {r for r, pv in t.snapshot().files.items() if pv == "d2"}
+    affected = t.delete_keys(
+        spark, spark.createDataFrame([("a",)], "k string"), ["k"]
+    )
+    assert affected == ["d1"]
+    assert _rows(t.read(spark)) == [("d1", "b", 2), ("d2", "c", 3)]
+    # d2 untouched physically.
+    assert {r for r, pv in t.snapshot().files.items() if pv == "d2"} == d2_files
+    # Deleting a partition's last row drops the partition entirely.
+    t.delete_keys(spark, spark.createDataFrame([("c",)], "k string"), ["k"])
+    assert _rows(t.read(spark)) == [("d1", "b", 2)]
+    assert t.read(spark, partition_values=["d2"]).count() == 0
+
+
+def test_delete_keys_noop_and_idempotent(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    v = t.snapshot().version
+    # No key matches: no commit at all.
+    assert t.delete_keys(
+        spark, spark.createDataFrame([("zzz",)], "k string"), ["k"]
+    ) == []
+    assert t.snapshot().version == v
+    # Idempotent under a txn marker: the replay is skipped.
+    assert t.delete_keys(
+        spark, spark.createDataFrame([("a",)], "k string"), ["k"],
+        app_id="gdpr", batch_id=0,
+    ) == ["d1"]
+    assert t.delete_keys(
+        spark, spark.createDataFrame([("a",)], "k string"), ["k"],
+        app_id="gdpr", batch_id=0,
+    ) == []
+    assert _rows(t.read(spark)) == []
+    # Physical removal needs vacuum (compliance note in the docstring).
+    assert t.vacuum() > 0
