@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, tokenize
+from ..functions.text import shingles, token_count, tokenize
 from ..sources.readers import load_table
 from .registry import register
 
@@ -163,6 +163,66 @@ def pack_documents(
         F.floor(cum_before / F.lit(float(budget)))
         .cast("long")
         .alias("pack_id"),
+    )
+
+
+_DECON_N = 5  # n-gram length for the overlap check
+_DECON_EVAL_MOD = 25  # doc_id % MOD == 0 → the held-out "benchmark" set
+
+_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {_DECON_N - 2}),
+                                      i -> array_to_string(t[i:i+{_DECON_N - 1}], ' '))) AS sh
+  FROM t WHERE len(t) >= {_DECON_N}
+),
+e AS (
+  SELECT doc_id AS eval_id, unnest(sh) AS g FROM s
+  WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+c AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+  WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+)
+SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+FROM c JOIN e USING (g)
+GROUP BY c.doc_id, e.eval_id
+"""
+
+
+@register("benchmark_contamination", oracle=_DECON_ORACLE, tags=("text", "training"))
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: corpus documents sharing any word
+    ``_DECON_N``-gram with a held-out benchmark set (here: doc_id %
+    ``_DECON_EVAL_MOD`` == 0 stands in for the eval suite), with the count
+    of shared distinct n-grams per (corpus doc, eval doc) pair — the overlap
+    check every serious pretraining pipeline runs before training.
+
+    Scale shape (the reason this is NOT a Jaccard self-join): the eval side
+    is tiny and known, so its exploded n-gram set is **broadcast** and the
+    corpus is a single map-side scan — explode → broadcast hash join →
+    partial-agg. The corpus never shuffles; only matched (doc, eval, gram)
+    hits move, and the group-by keys are the hit pairs. At 100 TB this is
+    one pass over the corpus regardless of eval-suite count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokenize("text").alias("t"))
+        .filter(F.size("t") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("t"), _DECON_N))).alias("g"),
+        )
+    )
+    is_eval = F.pmod(F.col("doc_id"), F.lit(_DECON_EVAL_MOD)) == 0
+    eval_sh = sh.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "g")
+    corpus_sh = sh.filter(~is_eval)
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 
