@@ -117,28 +117,16 @@ def ivf_topk(
     With n_probe == n_centroids nothing is pruned and the result equals
     ``brute_force_topk`` exactly (tested); smaller n_probe trades recall for
     a proportional scan reduction."""
-    # orderBy+limit = distributed TakeOrdered on the id — a deterministic
-    # sample regardless of partitioning (plain limit() is partition-order
-    # dependent and would make the centroids, hence the result, unstable).
-    sample_rows = (
-        corpus.select(F.col(id_col).alias("i"), to_double_array(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(sample_limit)
-        .collect()
-    )
-    cent = _kmeans_centroids(
-        np.array([r["v"] for r in sample_rows], dtype=np.float64), n_centroids, seed
+    # orderBy+limit inside train_ivf_centroids = distributed TakeOrdered on
+    # the id — a deterministic sample regardless of partitioning (plain
+    # limit() is partition-order dependent and would make the centroids,
+    # hence the result, unstable).
+    cent = train_ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, seed, sample_limit
     )
     n_probe = min(n_probe, len(cent))
     cent_bc = cent  # captured in UDF closures; ~n_centroids*dim doubles
-
-    @F.pandas_udf(IntegerType())
-    def assign_centroid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            x = np.array(s.tolist(), dtype=np.float64)
-            norms = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(norms == 0, 1.0, norms)
-            yield pd.Series(np.argmax(x @ cent_bc.T, axis=1).astype("int32"))
+    assign_centroid = _assign_udf(cent)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_centroids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -165,6 +153,138 @@ def ivf_topk(
     )
     scored = (
         c.join(q, "centroid")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            cosine(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.select("qid", "cid", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _normalized(rows: list) -> np.ndarray:
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    return x
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_limit: int = 4096,
+) -> np.ndarray:
+    """Deterministic centroid training on a bounded TakeOrdered sample —
+    the shared first step of ``ivf_topk`` and the bucketed layout."""
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("i"), to_double_array(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+        .collect()
+    )
+    return _kmeans_centroids(_normalized(sample_rows), n_centroids, seed)
+
+
+def _assign_udf(cent: np.ndarray):
+    @F.pandas_udf(IntegerType())
+    def assign_centroid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.array(s.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms == 0, 1.0, norms)
+            yield pd.Series(np.argmax(x @ cent.T, axis=1).astype("int32"))
+
+    return assign_centroid
+
+
+def write_ivf_bucketed(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_limit: int = 4096,
+) -> np.ndarray:
+    """Materialize the IVF index layout: the corpus written
+    ``partitionBy("centroid")`` with precomputed double vectors and norms,
+    centroids stored in an ``_centroids`` subdir (underscore-prefixed →
+    invisible to the partitioned read). This is the layout ``ivf_topk``'s
+    docstring promises at 100 TB: assignment is paid ONCE at write time
+    (map-only Arrow matmul), and every later probe is a partition-PRUNED
+    scan — n_probe/n_centroids of the corpus bytes, enforced by the
+    directory structure rather than a runtime filter."""
+    cent = train_ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, seed, sample_limit
+    )
+    assign = _assign_udf(cent)
+    (
+        corpus.select(
+            F.col(id_col).alias("cid"), to_double_array(vec_col).alias("cvec")
+        )
+        .withColumn("cnorm", l2_norm(F.col("cvec")))
+        .withColumn("centroid", assign(F.col("cvec")))
+        .write.partitionBy("centroid")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cent
+
+
+def ivf_topk_bucketed(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a ``write_ivf_bucketed`` index: identical output contract to
+    ``ivf_topk`` with the same centroids, but the corpus side is a
+    partition-pruned scan of only the probed centroid directories — the
+    query's probe set becomes a literal ``isin`` on the partition column, so
+    unprobed buckets are never listed into tasks (asserted via
+    ``inputFiles()`` in tests)."""
+    spark = queries.sparkSession
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/_centroids").orderBy("centroid").collect()
+    )
+    cent = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    n_probe = min(n_probe, len(cent))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_centroids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.array(s.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms == 0, 1.0, norms)
+            order = np.argsort(-(x @ cent.T), axis=1, kind="stable")
+            yield pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"), to_double_array(vec_col).alias("qvec")
+        )
+        .withColumn("qnorm", l2_norm(F.col("qvec")))
+        .withColumn("centroid", F.explode(probe_centroids(F.col("qvec"))))
+    )
+    # The probed bucket set is tiny (≤ |Q|·n_probe ids) — collect it so the
+    # corpus read prunes at the DIRECTORY level, not per-row.
+    probed = sorted({r["centroid"] for r in q.select("centroid").distinct().collect()})
+    corpus = spark.read.parquet(index_path).filter(F.col("centroid").isin(probed))
+    scored = (
+        corpus.join(F.broadcast(q), "centroid")
         .filter(F.col("qid") != F.col("cid"))
         .select(
             "qid",

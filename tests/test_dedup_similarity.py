@@ -263,3 +263,44 @@ def test_blocked_cosine_pairs_equals_crossjoin_exact(spark):
             for r in blocked_cosine_pairs(df, threshold=0.4, n_blocks=n_blocks).collect()
         }
         assert got == expect, f"n_blocks={n_blocks}"
+
+
+def test_ivf_bucketed_index_matches_in_memory_and_prunes(spark, tmp_path):
+    """The materialized IVF layout must return exactly what in-memory
+    ivf_topk returns for the same (centroids, n_probe), and its corpus scan
+    must touch ONLY the probed centroid directories."""
+    from data_lake_medallion_architecture_project_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_bucketed,
+        write_ivf_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_bucketed(emb, idx, n_centroids=16, seed=42)
+
+    mem = sorted(
+        tuple(r) for r in ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4).collect()
+    )
+    bucketed_df = ivf_topk_bucketed(q, idx, k=5, n_probe=4)
+    bucketed = sorted(tuple(r) for r in bucketed_df.collect())
+    assert bucketed == mem
+
+    # Pruning proof: the probed-bucket restriction must land in the scan's
+    # PartitionFilters (directory prune), not a post-scan row filter.
+    import contextlib
+    import io
+
+    probed_corpus = spark.read.parquet(idx).filter(F.col("centroid").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed_corpus.explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "centroid" in pf[0], buf.getvalue()
+    # Full-probe sanity: index probe at n_probe=16 equals brute force.
+    full = sorted(
+        tuple(r) for r in ivf_topk_bucketed(q, idx, k=5, n_probe=16).collect()
+    )
+    exact = sorted(tuple(r) for r in brute_force_topk(q, emb, k=5).collect())
+    assert full == exact
