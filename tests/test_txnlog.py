@@ -330,3 +330,42 @@ def test_delete_keys_noop_and_idempotent(spark, tmp_path):
     assert _rows(t.read(spark)) == []
     # Physical removal needs vacuum (compliance note in the docstring).
     assert t.vacuum() > 0
+
+
+def test_merge_delete_model_based_random_sequence(spark, tmp_path):
+    """Model-based check: a random interleaving of merge_upsert and
+    delete_keys must leave the table equal to a dict model applying the same
+    operations, at every step, including after time travel to each version."""
+    import random
+
+    rng = random.Random(2026)
+    t = TxnTable(str(tmp_path / "t"))
+    model: dict = {}  # k -> (date, v)
+    snapshots = []  # (version, model copy)
+
+    keys = [f"k{i}" for i in range(12)]
+    dates = ["d1", "d2", "d3"]
+    for step in range(12):
+        if t.snapshot().version >= 0 and model and rng.random() < 0.3:
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            t.delete_keys(
+                spark, spark.createDataFrame([(k,) for k in victims], "k string"), ["k"]
+            )
+            for k in victims:
+                model.pop(k)
+        else:
+            batch = {
+                rng.choice(keys): (rng.choice(dates), rng.randrange(1000))
+                for _ in range(rng.randrange(1, 4))
+            }
+            df = _df(spark, [(d, k, v) for k, (d, v) in batch.items()])
+            t.merge_upsert(spark, df, ["k"], partition_col="date")
+            model.update(batch)
+        got = {r["k"]: (r["date"], r["v"]) for r in t.read(spark).collect()}
+        assert got == model, f"step {step}"
+        snapshots.append((t.snapshot().version, dict(model)))
+
+    # Time travel reproduces every historical state.
+    for version, hist in snapshots:
+        got = {r["k"]: (r["date"], r["v"]) for r in t.read(spark, version=version).collect()}
+        assert got == hist, f"version {version}"
