@@ -34,6 +34,9 @@ Spark-first:
 * **Time travel** — ``read(spark, version=N)`` reconstructs any historical
   snapshot, because removed files are logically deleted (dropped from the
   snapshot) but physically retained until ``vacuum()``.
+* **Log checkpointing** — ``checkpoint()`` collapses the snapshot into a
+  ``NNN.checkpoint.json`` (Delta's checkpoint file); replay cost becomes
+  O(commits since checkpoint), the metadata fix for long-lived tables.
 
 Scale notes: the log is O(commits + live files) JSON — the same driver-side
 metadata cost Delta pays before checkpointing; data files never move or
@@ -90,15 +93,66 @@ class TxnTable:
         if not os.path.isdir(self.log_dir):
             return []
         return sorted(
-            int(f.split(".")[0])
+            int(parts[0])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
+            if (parts := f.split(".")) and len(parts) == 2
+            and parts[1] == "json" and parts[0].isdigit()
         )
 
+    def _checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(parts[0])
+            for f in os.listdir(self.log_dir)
+            if (parts := f.split(".")) and len(parts) == 3
+            and parts[1:] == ["checkpoint", "json"] and parts[0].isdigit()
+        )
+
+    def checkpoint(self) -> int:
+        """Collapse the current snapshot into a checkpoint file (Delta-style):
+        later ``snapshot()`` calls load it and replay only newer commits, so
+        log replay stays O(commits since checkpoint) instead of O(all
+        commits) on long-lived tables. Pure metadata; every commit file is
+        retained, so time travel to pre-checkpoint versions still full-replays.
+        Returns the checkpointed version. Atomic via write-then-rename."""
+        snap = self.snapshot()
+        if snap.version < 0:
+            raise ValueError("nothing to checkpoint")
+        payload = {
+            "version": snap.version,
+            "files": snap.files,
+            "txns": snap.txns,
+            "schema_json": snap.schema_json,
+            "partition_col": snap.partition_col,
+        }
+        target = os.path.join(self.log_dir, f"{snap.version:020d}.checkpoint.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, target)
+        return snap.version
+
     def snapshot(self, version: int | None = None) -> Snapshot:
-        """Replay the log up to (and including) ``version`` (default: head)."""
+        """Replay the log up to (and including) ``version`` (default: head),
+        starting from the newest checkpoint at or below the target."""
         snap = Snapshot()
+        base = [
+            c for c in self._checkpoints() if version is None or c <= version
+        ]
+        if base:
+            with open(
+                os.path.join(self.log_dir, f"{base[-1]:020d}.checkpoint.json")
+            ) as fh:
+                ck = json.load(fh)
+            snap.version = int(ck["version"])
+            snap.files = dict(ck["files"])
+            snap.txns = dict(ck["txns"])
+            snap.schema_json = ck.get("schema_json")
+            snap.partition_col = ck.get("partition_col")
         for v in self._versions():
+            if v <= snap.version:
+                continue
             if version is not None and v > version:
                 break
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:

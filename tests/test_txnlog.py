@@ -369,3 +369,35 @@ def test_merge_delete_model_based_random_sequence(spark, tmp_path):
     for version, hist in snapshots:
         got = {r["k"]: (r["date"], r["v"]) for r in t.read(spark, version=version).collect()}
         assert got == hist, f"version {version}"
+
+
+# ---------------------------------------------------------------- checkpoints
+
+
+def test_checkpoint_preserves_state_txns_and_time_travel(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.merge_upsert(spark, _df(spark, [("d1", "b", 2)]), ["k"], app_id="j", batch_id=0)
+    pre_ckpt_state = _rows(t.read(spark))
+    v_ck = t.checkpoint()
+    assert v_ck == t.snapshot().version
+
+    # Post-checkpoint commits replay on top of the checkpoint base.
+    t.merge_upsert(spark, _df(spark, [("d2", "c", 3)]), ["k"], app_id="j", batch_id=1)
+    assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]
+    # Txn markers carried through the checkpoint: batch 0 replay still no-ops.
+    assert t.merge_upsert(
+        spark, _df(spark, [("d1", "b", 99)]), ["k"], app_id="j", batch_id=0
+    ) == []
+    # Time travel both sides of the checkpoint.
+    assert _rows(t.read(spark, version=v_ck)) == pre_ckpt_state
+    assert _rows(t.read(spark, version=0)) == [("d1", "a", 1)]
+
+    # The checkpoint is equivalent to a full replay: removing it must not
+    # change any answer.
+    import glob, os
+
+    for f in glob.glob(os.path.join(t.log_dir, "*.checkpoint.json")):
+        os.remove(f)
+    assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]
+    assert _rows(t.read(spark, version=v_ck)) == pre_ckpt_state
