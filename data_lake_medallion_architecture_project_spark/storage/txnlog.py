@@ -491,36 +491,50 @@ class TxnTable:
 
     # -------------------------------------------------------------- compact
 
-    def compact(self, spark: SparkSession, partition_values: list | None = None) -> int:
-        """OPTIMIZE-style small-file compaction: rewrite each targeted
-        partition's live files into one file, in a single atomic commit per
-        run (readers see either all old files or all new ones — never a mix).
+    def compact(
+        self,
+        spark: SparkSession,
+        partition_values: list | None = None,
+        zorder_cols: list[str] | None = None,
+        n_files: int = 1,
+    ) -> int:
+        """OPTIMIZE-style compaction: rewrite each targeted partition's live
+        files, in a single atomic commit per run (readers see either all old
+        files or all new ones — never a mix).
 
-        Streaming MERGE refreshes leave one file set per micro-batch; without
-        compaction a long-lived Gold table accretes thousands of small files
-        and the scan becomes listing-bound. Returns the number of files
-        replaced. Old files stay on disk for time travel until ``vacuum``.
+        Default mode collapses multi-file partitions to one file each (the
+        small-files fix for streaming-MERGE-heavy tables). With
+        ``zorder_cols`` this is ``OPTIMIZE ZORDER BY``: every targeted
+        partition (even single-file ones) is rewritten through
+        ``storage/layout.py:zorder_by`` into ``n_files`` z-clustered files,
+        so selective filters on ANY of the z columns prune files from footer
+        stats alone. Returns the number of files replaced. Old files stay on
+        disk for time travel until ``vacuum``.
         """
         snap = self.snapshot()
         by_part: dict = {}
         for rel, pv in snap.files.items():
             by_part.setdefault(pv, []).append(rel)
+        wanted = None if partition_values is None else {str(v) for v in partition_values}
         targets = {
             pv: rels
             for pv, rels in by_part.items()
-            if len(rels) > 1
-            and (partition_values is None or pv in {str(v) for v in partition_values})
+            if (len(rels) > 1 or zorder_cols is not None)
+            and (wanted is None or pv in wanted)
         }
         if not targets:
             return 0
         adds, removes = [], []
         for pv, rels in sorted(targets.items()):
             staging = os.path.join(self.data_dir, uuid.uuid4().hex)
-            (
-                spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
-                .coalesce(1)
-                .write.parquet(staging)
-            )
+            src = spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
+            if zorder_cols is not None:
+                from .layout import zorder_by
+
+                out = zorder_by(src, zorder_cols, n_files)
+            else:
+                out = src.coalesce(1)
+            out.write.parquet(staging)
             for root, _dirs, names in os.walk(staging):
                 for n in names:
                     if n.endswith(".parquet"):

@@ -401,3 +401,45 @@ def test_checkpoint_preserves_state_txns_and_time_travel(spark, tmp_path):
         os.remove(f)
     assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]
     assert _rows(t.read(spark, version=v_ck)) == pre_ckpt_state
+
+
+def test_compact_zorder_clusters_for_file_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY through the txn layer: data identical, the
+    partition lands in n_files files, and a selective filter on either z
+    column prunes files by parquet footer min/max alone."""
+    import pyarrow.parquet as pq
+
+    rng = __import__("random").Random(7)
+    rows = [
+        ("d1", f"k{i}", rng.randrange(1024) * 1_000_000 + rng.randrange(1024))
+        for i in range(4000)
+    ]
+    # v encodes two dims: x = v div 1e6, y = v mod 1e6 — split into columns.
+    t = TxnTable(str(tmp_path / "t"))
+    df = (
+        _df(spark, rows)
+        .withColumn("x", (F.col("v") / 1_000_000).cast("long"))
+        .withColumn("y", F.pmod(F.col("v"), F.lit(1_000_000)).cast("long"))
+    )
+    t.merge_overwrite_partitions(df.repartition(6), "date")
+    before = sorted(map(tuple, t.read(spark).select("k", "x", "y").collect()))
+
+    replaced = t.compact(spark, zorder_cols=["x", "y"], n_files=8)
+    assert replaced >= 6
+    assert sorted(map(tuple, t.read(spark).select("k", "x", "y").collect())) == before
+
+    files = [os.path.join(t.path, r) for r in t.snapshot().files]
+    assert len(files) == 8
+    # Footer-stats pruning on each dimension: a 1/8-range filter must skip
+    # at least half the files on BOTH columns (the point of z vs single-sort).
+    for col in ("x", "y"):
+        hit = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            md = pf.metadata
+            st = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            fmin, fmax = min(s.min for s in st), max(s.max for s in st)
+            if fmax >= 0 and fmin <= 127:
+                hit += 1
+        assert hit <= len(files) // 2, (col, hit, len(files))
