@@ -551,6 +551,56 @@ class TxnTable:
             ):
                 return len(removes)
 
+    # ------------------------------------------------------------- history
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one entry per commit, newest first — version,
+        counts of add/remove actions, txn marker, and whether the commit was
+        a pure schema change. Driver-side metadata read only."""
+        out = []
+        for v in self._versions():
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                commit = json.load(fh)
+            out.append(
+                {
+                    "version": v,
+                    "n_added": len(commit.get("add", [])),
+                    "n_removed": len(commit.get("remove", [])),
+                    "txn": commit.get("txn"),
+                    "schema_change": bool(commit.get("schema_json"))
+                    and not commit.get("add")
+                    and not commit.get("remove"),
+                }
+            )
+        return out[::-1]
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION: a NEW commit whose file set equals the
+        old snapshot's (Delta's writeable time travel) — history is preserved
+        and the restore itself is undoable. Requires the old files to still
+        exist, i.e. no ``vacuum`` since ``version``. Returns the new head
+        version."""
+        old = self.snapshot(version)
+        if old.version != version:
+            raise ValueError(f"version {version} does not exist")
+        for rel in old.files:
+            if not os.path.exists(os.path.join(self.path, rel)):
+                raise ValueError(
+                    f"cannot restore to v{version}: {rel} was vacuumed"
+                )
+        while True:
+            head = self.snapshot()
+            commit = {
+                "add": [
+                    {"path": rel, "partition": pv} for rel, pv in old.files.items()
+                ],
+                "remove": [rel for rel in head.files if rel not in old.files],
+            }
+            if old.schema_json:
+                commit["schema_json"] = old.schema_json
+            if self._try_commit(head.version + 1, commit):
+                return head.version + 1
+
     # --------------------------------------------------------------- vacuum
 
     def vacuum(self) -> int:

@@ -443,3 +443,40 @@ def test_compact_zorder_clusters_for_file_skipping(spark, tmp_path):
             if fmax >= 0 and fmin <= 127:
                 hit += 1
         assert hit <= len(files) // 2, (col, hit, len(files))
+
+
+def test_history_and_restore_round_trip(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.merge_upsert(spark, _df(spark, [("d1", "a", 2), ("d2", "b", 3)]), ["k"],
+                   app_id="j", batch_id=0)
+    t.delete_keys(spark, spark.createDataFrame([("b",)], "k string"), ["k"])
+    v_target = 1  # state after the upsert
+
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1, 0]  # newest first
+    assert h[1]["txn"] == {"app_id": "j", "batch_id": 0}
+
+    want = sorted(map(tuple, t.read(spark, version=v_target).select("date", "k", "v").collect()))
+    new_head = t.restore(v_target)
+    assert new_head == 3
+    assert _rows(t.read(spark)) == want == [("d1", "a", 2), ("d2", "b", 3)]
+    # The restore is itself history: undo it by restoring the pre-restore head.
+    t.restore(2)
+    assert _rows(t.read(spark)) == [("d1", "a", 2)]
+    # Vacuum keeps the restored-current files intact.
+    t.vacuum()
+    assert _rows(t.read(spark)) == [("d1", "a", 2)]
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 2)]), "date")
+    t.vacuum()  # v0's files are gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.restore(99)
