@@ -64,6 +64,7 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "_data"
+_CHECKPOINT_EVERY = 10  # auto-checkpoint cadence, like Delta's default
 
 
 @dataclass
@@ -175,15 +176,19 @@ class TxnTable:
     def _try_commit(self, version: int, commit: dict) -> bool:
         """Exclusive-create of the version file — the atomicity point. Returns
         False if another writer won this version (optimistic-concurrency
-        loser retries against the fresh log)."""
+        loser retries against the fresh log). Every ``_CHECKPOINT_EVERY``-th
+        version auto-checkpoints (the winner pays the small metadata write;
+        a crash before it costs nothing — checkpoints are pure optimization)."""
         os.makedirs(self.log_dir, exist_ok=True)
         target = os.path.join(self.log_dir, f"{version:020d}.json")
         try:
             with open(target, "x") as fh:
                 json.dump(commit, fh)
-            return True
         except FileExistsError:
             return False
+        if version > 0 and version % _CHECKPOINT_EVERY == 0:
+            self.checkpoint()
+        return True
 
     # ----------------------------------------------------------------- write
 

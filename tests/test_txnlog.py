@@ -480,3 +480,15 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
         t.restore(0)
     with pytest.raises(ValueError, match="does not exist"):
         t.restore(99)
+
+
+def test_auto_checkpoint_every_10_commits(spark, tmp_path):
+    import glob
+
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(11):  # versions 0..10
+        t.merge_overwrite_partitions(_df(spark, [("d1", "a", i)]), "date")
+    cks = glob.glob(os.path.join(t.log_dir, "*.checkpoint.json"))
+    assert [os.path.basename(c) for c in cks] == [f"{10:020d}.checkpoint.json"]
+    assert _rows(t.read(spark)) == [("d1", "a", 10)]
+    assert _rows(t.read(spark, version=3)) == [("d1", "a", 3)]
