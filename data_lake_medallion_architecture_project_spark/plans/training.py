@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, token_count, tokenize
+from ..functions.text import (
+    dup_ngram_frac,
+    shingles,
+    token_count,
+    tokenize,
+    top_ngram_mass,
+)
 from ..sources.readers import load_table
 from .registry import register
 
@@ -233,3 +239,60 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic against the DuckDB oracle regardless of local core count."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_documents(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM t WHERE len(t) >= 2
+),
+top2 AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_mass
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM t WHERE len(t) >= 3
+),
+dup3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS dup_trigram_frac
+  FROM g3 GROUP BY doc_id
+)
+SELECT d.doc_id, top2.top_bigram_mass, dup3.dup_trigram_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+@register(
+    "doc_repetition_signals",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "training", "quality"),
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText within-document repetition filters: the mass
+    fraction of the single most frequent 2-gram and the fraction of 3-gram
+    occurrences that repeat an earlier one. High values mark boilerplate /
+    looping spam that cross-document dedup cannot catch.
+
+    Map-only: both signals are pure-JVM higher-order folds over each row's
+    token array (functions/text.py:top_ngram_mass/dup_ngram_frac) — no
+    explode, no shuffle, one corpus pass at any scale. Docs too short for an
+    n-gram yield NULL (matching the oracle's LEFT JOINs). The DuckDB oracle
+    must unnest + group per gram — the fold form exists only Spark-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) >= 2, top_ngram_mass(toks, 2)).alias("top_bigram_mass"),
+        F.when(F.size(toks) >= 3, dup_ngram_frac(toks, 3)).alias("dup_trigram_frac"),
+    )

@@ -60,3 +60,36 @@ def test_fk_report_counts_orphans(spark):
     assert row["check_name"] == "fk(ref)"
     assert row["violations"] == 1  # only 99; NULL FK is not an orphan
     assert row["passed"] is False
+
+
+def test_repetition_signals_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.functions.text import (
+        dup_ngram_frac,
+        top_ngram_mass,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),   # bigrams ab,ba,ab,ba → top 2/4; trigrams aba,bab,aba → dup 1/3
+            (1, "x y z w"),     # all bigrams unique → top 1/3; trigrams unique → dup 0
+            (2, "q q q q"),     # one bigram repeated → top 1.0; 2 identical trigrams → dup 1/2
+            (3, "solo"),        # too short for any n-gram
+        ],
+        "doc_id long, text string",
+    )
+    toks = tokenize("text")
+    got = {
+        r["doc_id"]: (r["top2"], r["dup3"])
+        for r in df.select(
+            "doc_id",
+            F.when(F.size(toks) >= 2, top_ngram_mass(toks, 2)).alias("top2"),
+            F.when(F.size(toks) >= 3, dup_ngram_frac(toks, 3)).alias("dup3"),
+        ).collect()
+    }
+    assert got[0] == (0.5, 1 - 2 / 3)
+    assert got[1] == (1 / 3, 0.0)
+    assert got[2] == (1.0, 0.5)
+    assert got[3] == (None, None)
