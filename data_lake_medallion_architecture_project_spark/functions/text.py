@@ -108,35 +108,46 @@ def min_shingle_hash(tokens: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(shingles(tokens, n), F.md5))
 
 
-def top_ngram_mass(tokens: Column, n: int = 2) -> Column:
-    """Fraction of a document's n-gram occurrences taken by its single most
-    frequent n-gram — the Gopher/MassiveText repetition signal (a page whose
-    top 2-gram exceeds ~20% of 2-gram mass is boilerplate/spam-like).
+def top_gram_mass(grams: Column) -> Column:
+    """Fraction of gram occurrences taken by the single most frequent gram —
+    the Gopher/MassiveText repetition signal (a page whose top 2-gram exceeds
+    ~20% of 2-gram mass is boilerplate/spam-like).
 
     Pure JVM higher-order folds: counts = for each DISTINCT gram, how many
-    positions equal it — O(|distinct|·|grams|) per row, whole-stage-codegen'd
-    with zero Python. Right-sized for web-page-scale docs (≤ ~10⁴ tokens);
-    for book-length rows, explode + groupBy (the ``token_frequencies`` shape)
-    bounds the per-row cost instead. NULL for docs with no n-grams."""
-    grams = shingles(tokens, n)
-    distinct = F.array_distinct(grams)
+    positions equal it — O(|distinct|·|grams|) per row with zero Python.
+    PASS A MATERIALIZED COLUMN: Catalyst does no CSE inside lambda bodies, so
+    handing this an inline shingle-construction expression re-builds the gram
+    array once per distinct element (measured 10× slower); project the gram
+    array to a named column first and the lambda binds a cheap attribute.
+    Right-sized for web-page-scale docs (≤ ~10⁴ tokens); for book-length
+    rows, explode + groupBy (the ``token_frequencies`` shape) bounds the
+    per-row cost instead. NULL for empty gram arrays."""
     counts = F.transform(
-        distinct, lambda d: F.size(F.filter(grams, lambda g: g == d))
+        F.array_distinct(grams), lambda d: F.size(F.filter(grams, lambda g: g == d))
     )
+    return F.array_max(counts).cast("double") / F.size(grams)
+
+
+def dup_gram_frac(grams: Column) -> Column:
+    """Fraction of gram occurrences that are repeats of an earlier one:
+    1 − distinct/total. 0 = no internal repetition; →1 = the document loops.
+    The within-doc complement of cross-doc dedup. NULL for empty arrays."""
     return (
-        F.array_max(counts).cast("double") / F.size(grams)
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     )
+
+
+def top_ngram_mass(tokens: Column, n: int = 2) -> Column:
+    """``top_gram_mass`` over the token array's n-gram shingles. Convenience
+    form for ad-hoc use — in a query, prefer projecting ``shingles(...)`` to
+    a column and calling ``top_gram_mass`` on it (see that docstring's CSE
+    note)."""
+    return top_gram_mass(shingles(tokens, n))
 
 
 def dup_ngram_frac(tokens: Column, n: int = 3) -> Column:
-    """Fraction of n-gram occurrences that are repeats of an earlier one:
-    1 − distinct/total. 0 = no internal repetition; →1 = the document loops.
-    The within-doc complement of cross-doc dedup. NULL when no n-grams."""
-    grams = shingles(tokens, n)
-    return (
-        F.lit(1.0)
-        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
-    )
+    """``dup_gram_frac`` over the token array's n-gram shingles."""
+    return dup_gram_frac(shingles(tokens, n))
 
 
 def bag_fingerprint(tokens: Column) -> Column:

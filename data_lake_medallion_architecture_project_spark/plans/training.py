@@ -32,11 +32,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    dup_ngram_frac,
+    dup_gram_frac,
     shingles,
     token_count,
     tokenize,
-    top_ngram_mass,
+    top_gram_mass,
 )
 from ..sources.readers import load_table
 from .registry import register
@@ -285,14 +285,23 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     looping spam that cross-document dedup cannot catch.
 
     Map-only: both signals are pure-JVM higher-order folds over each row's
-    token array (functions/text.py:top_ngram_mass/dup_ngram_frac) — no
-    explode, no shuffle, one corpus pass at any scale. Docs too short for an
-    n-gram yield NULL (matching the oracle's LEFT JOINs). The DuckDB oracle
-    must unnest + group per gram — the fold form exists only Spark-side."""
+    token array (functions/text.py:top_gram_mass/dup_gram_frac) — no
+    explode, no shuffle, one corpus pass at any scale. The gram arrays are
+    projected to columns BEFORE the folds: Catalyst does no CSE inside
+    lambda bodies, so inlining the shingle construction would rebuild the
+    array per distinct element (measured 10×; see top_gram_mass docstring).
+    Docs too short for an n-gram yield NULL (matching the oracle's LEFT
+    JOINs). The DuckDB oracle must unnest + group per gram — the fold form
+    exists only Spark-side."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize("text")
-    return docs.select(
+    grammed = docs.select(
         "doc_id",
-        F.when(F.size(toks) >= 2, top_ngram_mass(toks, 2)).alias("top_bigram_mass"),
-        F.when(F.size(toks) >= 3, dup_ngram_frac(toks, 3)).alias("dup_trigram_frac"),
+        F.when(F.size(toks) >= 2, shingles(toks, 2)).alias("g2"),
+        F.when(F.size(toks) >= 3, shingles(toks, 3)).alias("g3"),
+    )
+    return grammed.select(
+        "doc_id",
+        top_gram_mass(F.col("g2")).alias("top_bigram_mass"),
+        dup_gram_frac(F.col("g3")).alias("dup_trigram_frac"),
     )
