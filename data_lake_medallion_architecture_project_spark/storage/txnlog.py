@@ -351,6 +351,12 @@ class TxnTable:
 
         # Phase 2 — partition-scoped read-modify-write.
         old = self.read(spark, partition_values=affected)
+        missing = [c for c in old.columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"source is missing table columns {missing}; align the source "
+                "or add_columns() the table first"
+            )
         merged = old.join(F.broadcast(src_keys), keys, "left_anti").unionByName(
             df.select(*old.columns)
         )
@@ -608,15 +614,21 @@ class TxnTable:
 
     # --------------------------------------------------------------- vacuum
 
-    def vacuum(self) -> int:
-        """Physically delete data files not referenced by the CURRENT
-        snapshot: superseded versions and crash orphans. Forfeits time travel
-        (like Delta VACUUM with retention 0). Returns number of files
-        removed."""
-        live = {
-            os.path.normpath(os.path.join(self.path, rel))
-            for rel in self.snapshot().files
-        }
+    def vacuum(self, retain_last: int = 0) -> int:
+        """Physically delete data files not referenced by the last
+        ``retain_last + 1`` snapshots: superseded versions and crash orphans.
+        The default (0) keeps only the CURRENT snapshot's files — Delta
+        VACUUM with retention 0, forfeiting all time travel; ``retain_last=N``
+        preserves time travel to the N most recent prior versions (Delta's
+        retention window, counted in versions rather than hours so tests and
+        batch jobs stay deterministic). Returns number of files removed."""
+        head = self.snapshot().version
+        live: set = set()
+        for v in range(max(0, head - retain_last), head + 1):
+            live |= {
+                os.path.normpath(os.path.join(self.path, rel))
+                for rel in self.snapshot(v).files
+            }
         removed = 0
         for root, _dirs, names in os.walk(self.data_dir):
             for n in names:

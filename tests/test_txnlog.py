@@ -492,3 +492,67 @@ def test_auto_checkpoint_every_10_commits(spark, tmp_path):
     assert [os.path.basename(c) for c in cks] == [f"{10:020d}.checkpoint.json"]
     assert _rows(t.read(spark)) == [("d1", "a", 10)]
     assert _rows(t.read(spark, version=3)) == [("d1", "a", 3)]
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(4):  # versions 0..3
+        t.merge_overwrite_partitions(_df(spark, [("d1", "a", i)]), "date")
+    # Retain the 2 most recent prior versions: v1's files must survive…
+    t.vacuum(retain_last=2)
+    assert _rows(t.read(spark, version=1)) == [("d1", "a", 1)]
+    assert _rows(t.read(spark, version=3)) == [("d1", "a", 3)]
+    # …but v0's are gone (logically intact log, physically vacuumed files).
+    try:
+        rows = _rows(t.read(spark, version=0))
+        assert rows == []  # scan of missing files may surface as empty…
+    except Exception:
+        pass  # …or as a read error; either proves physical removal
+    # Retention 0 collapses to current-only.
+    t.vacuum()
+    assert _rows(t.read(spark)) == [("d1", "a", 3)]
+
+
+def test_merge_upsert_rejects_missing_columns(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    src = spark.createDataFrame([("d1", "a")], "date string, k string")
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge_upsert(spark, src, ["k"])
+
+
+def test_concurrent_writers_both_land(spark, tmp_path):
+    """TRUE concurrency (not a simulated race): two threads merge different
+    partitions at once; the exclusive-create commit race must serialize them
+    with both commits applied and consecutive versions."""
+    import threading
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d0", "z", 0)]), "date")
+    errs = []
+
+    def writer(pv, val):
+        try:
+            TxnTable(t.path).merge_upsert(
+                spark, _df(spark, [(pv, f"k{pv}", val)]), ["k"], partition_col="date"
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(f"d{i}", i)) for i in (1, 2, 3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert _rows(t.read(spark)) == [
+        ("d0", "z", 0),
+        ("d1", "kd1", 1),
+        ("d2", "kd2", 2),
+        ("d3", "kd3", 3),
+    ]
+    assert t.snapshot().version == 3
