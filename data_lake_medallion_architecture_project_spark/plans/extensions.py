@@ -622,7 +622,7 @@ def image_decode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 try:  # pyspark ≥ 3.5
     from pyspark.sql.functions import udtf as _udtf
 
-    @_udtf(returnType="doc_id: bigint, bigram: string")
+    @_udtf(returnType="doc_id: bigint, bigram: string", useArrow=True)
     class _BigramUDTF:
         """Emit one row per adjacent token pair of the document text
         (tokenization identical to functions/text.py:tokenize)."""
@@ -651,10 +651,12 @@ HAVING COUNT(*) >= 5
 @register("bigram_frequencies", oracle=_BIGRAM_ORACLE, tags=("text", "udtf"))
 def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram vocabulary (freq ≥ 5) through a Python UDTF invoked from
-    SQL with LATERAL — the user-defined table function surface. The UDTF row
-    path is Python-per-row by design (this is the flexibility tier, not the
-    throughput tier — token_frequencies shows the JVM explode equivalent);
-    the aggregation on top is ordinary JVM hash aggregation."""
+    SQL with LATERAL — the user-defined table function surface. The UDTF is
+    Arrow-batched (``useArrow=True`` → ArrowEvalPythonUDTF: columnar batches
+    cross the Python boundary, the eval loop runs per row inside the batch);
+    this is still the flexibility tier — token_frequencies shows the pure-JVM
+    explode equivalent — but the transfer path is the sanctioned Arrow one.
+    The aggregation on top is ordinary JVM hash aggregation."""
     if _BigramUDTF is None:  # pragma: no cover
         raise NotImplementedError("Python UDTFs require pyspark >= 3.5")
     spark.udtf.register("bigrams_udtf", _BigramUDTF)

@@ -8,7 +8,10 @@ whole schema (pruning failure). Red flags are listed at the end:
 * CartesianProduct / BroadcastNestedLoopJoin — an accidental cross join
   (the bucketed range join in operators/rangejoin.py exists to avoid these);
 * scans with no pushed filters on queries that filter;
-* scans reading >8 columns (pruning not reaching the reader).
+* scans reading >8 columns (pruning not reaching the reader);
+* row-at-a-time BatchEvalPython anywhere in a plan — the banned slow path
+  (Arrow stages — MapInArrow / ArrowEvalPython / FlatMapGroupsInPandas —
+  are the sanctioned Python boundary and are not flagged).
 
 Usage: python tools/explain_all.py [sf_dir]
 """
@@ -69,15 +72,20 @@ def main() -> None:
         joins = JOIN_RE.findall(plan)
         scan_widths = [len(s.split(",")) for s in SCHEMA_RE.findall(plan)]
         pushed = [p for p in PUSHED_RE.findall(plan) if p.strip()]
+        arrow_stages = len(
+            re.findall(r"MapInArrow|ArrowEvalPython|FlatMapGroupsInPandas", plan)
+        )
         print(
             f"{name:34s} joins={','.join(joins) or '-':40s} "
-            f"scan_cols={scan_widths} pushed={len(pushed)}"
+            f"scan_cols={scan_widths} pushed={len(pushed)} arrow={arrow_stages}"
         )
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if bad in joins and name not in NESTED_LOOP_OK:
                 flags.append(f"{name}: {bad}")
         if any(w > 8 for w in scan_widths):
             flags.append(f"{name}: scan reads {max(scan_widths)} columns")
+        if "BatchEvalPython" in plan:
+            flags.append(f"{name}: row-at-a-time BatchEvalPython in plan")
 
     print()
     if flags:
