@@ -15,3 +15,4 @@ from . import training  # noqa: F401,E402
 # displace the legacy queries being certified this round (see
 # __spark_entry__._CERTIFIED_R04).
 from . import compression  # noqa: F401,E402
+from . import tokenization  # noqa: F401,E402
