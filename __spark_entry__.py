@@ -46,14 +46,48 @@ _CERTIFIED_R04 = frozenset({
     "embedding_blocked_near_dup_pairs", "simhash_near_dup_pairs",
 })
 
+# Queries with a driver row in CORRECTNESS_r05.json: 47 hash-green plus the
+# rows-only-by-design approx_distinct_users.  NOT listed: the two r05 hash-red
+# rows (data_quality_report, priority_shipment_counts — oracle-typing, fixed
+# this round) and the three queries past the 50-row window
+# (doc_repetition_signals, embedding_quantization_error, bpe_token_estimates),
+# so all five iterate at positions 0-4 for the r06 snapshot.
+_CERTIFIED_R05 = frozenset({
+    "binary_payload_features", "frame_sample_stats", "image_decode_stats",
+    "bigram_frequencies", "doc_sentences", "doc_top_terms_tfidf",
+    "doc_regex_stats", "shingle_jaccard_pairs", "purchases_with_last_click",
+    "sessionize_events", "hourly_event_windows", "native_session_windows",
+    "clicks_after_purchase", "sliding_event_windows", "event_type_transitions",
+    "rollup_pricing", "cube_order_status", "grouping_sets_pricing",
+    "building_active_intersect", "building_inactive_except",
+    "hash_sampled_orders", "order_price_quantiles", "approx_distinct_users",
+    "json_props_stats", "variant_props_stats", "qty_price_correlation",
+    "above_avg_orders", "stratified_sampled_orders", "order_price_ranks",
+    "order_price_rank_buckets", "orders_trailing_30d",
+    "salted_segment_revenue", "daily_orders_gapfilled",
+    "lineitem_metric_unpivot", "near_dup_clusters", "order_price_histogram",
+    "orders_column_profile", "priority_order_counts", "nation_product_profit",
+    "returned_item_customers", "major_supply_nations", "top_revenue_supplier",
+    "part_supplier_diversity", "forecast_revenue_change",
+    "promo_revenue_share", "doc_chunks", "benchmark_contamination",
+    "packed_sequences",
+})
+
+_CERTIFIED = _CERTIFIED_R04 | _CERTIFIED_R05
+
+# A renamed registry entry would otherwise silently sit in the "already
+# certified" tail and drop out of every future certification window.
+_unknown = _CERTIFIED - set(REGISTRY)
+assert not _unknown, f"certified names missing from REGISTRY: {sorted(_unknown)}"
+
 
 def _ordered_names() -> list[str]:
     """Registry names, never-driver-certified first (registry order within
     each group), so the driver's 50-row window reaches them this round."""
     names = list(REGISTRY)
     return (
-        [n for n in names if n not in _CERTIFIED_R04]
-        + [n for n in names if n in _CERTIFIED_R04]
+        [n for n in names if n not in _CERTIFIED]
+        + [n for n in names if n in _CERTIFIED]
     )
 
 

@@ -811,22 +811,24 @@ SELECT 'not_null(o_custkey)',
 FROM orders
 UNION ALL
 SELECT 'in_set(o_orderstatus)',
-       SUM(CASE WHEN o_orderstatus IS NOT NULL
-                 AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
+       -- CAST: DuckDB types SUM(int) as HUGEINT, which the driver's pandas
+       -- bridge stringifies as float ("2223.0" vs Spark's "2223").
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN o_orderstatus IS NOT NULL
                  AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
 FROM orders
 UNION ALL
 SELECT 'in_range(l_quantity)',
-       SUM(CASE WHEN l_quantity IS NOT NULL
-                 AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN l_quantity IS NOT NULL
                  AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) = 0
 FROM lineitem
 UNION ALL
 SELECT 'in_range(l_discount)',
-       SUM(CASE WHEN l_discount IS NOT NULL
-                 AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN l_discount IS NOT NULL
                  AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) = 0
 FROM lineitem

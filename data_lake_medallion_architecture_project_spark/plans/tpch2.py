@@ -263,10 +263,12 @@ def major_supply_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_ORACLE = """
 SELECT
   l.l_returnflag,
-  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  -- CAST: DuckDB types SUM(int) as HUGEINT, which the driver's pandas bridge
+  -- stringifies as float ("2223.0" vs Spark's bigint "2223").
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
