@@ -114,8 +114,12 @@ GROUP BY c.c_custkey, c.c_name
 def customer_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 flavor: customer⋈orders⋈lineitem with a selective dim filter.
 
-    The segment filter cuts customer to ~20%, small enough to broadcast into
-    the orders join; the orders⋈lineitem join shuffles on the order key.
+    The segment filter cuts customer to ~20%; no broadcast hint on it —
+    customer is fact-scaled in TPC-H, and a forced hint would override
+    autoBroadcastJoinThreshold/AQE and OOM the driver at 100× scale. AQE
+    still picks a broadcast join whenever the filtered side fits the
+    threshold (it does at bench scale); the orders⋈lineitem join shuffles
+    on the order key either way.
     """
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -127,8 +131,7 @@ def customer_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", _disc_price().alias("disc_price")
     )
     return (
-        F.broadcast(cust)
-        .join(orders, cust.c_custkey == orders.o_custkey)
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name")
         .agg(
@@ -159,8 +162,12 @@ GROUP BY r.r_name, n.n_name
 
 @register("region_nation_revenue", oracle=_Q5_ORACLE, tags=("bench", "tpch", "join"))
 def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 flavor: 5-table star join. region/nation/customer are broadcast
-    (dims), lineitem⋈orders shuffles once on the order key."""
+    """Q5 flavor: 5-table star join. region/nation carry broadcast hints
+    (true bounded dims); the customer-bearing dim chain does NOT — customer
+    is fact-scaled, so the hint is left to AQE + autoBroadcastJoinThreshold,
+    which still broadcasts it at bench scale but degrades gracefully to a
+    shuffle join at 100× instead of OOMing the driver. lineitem⋈orders
+    shuffles once on the order key."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -176,7 +183,7 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             scaled_long_sum(F.col("disc_price"), 4).alias("revenue"),
@@ -577,8 +584,9 @@ GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
 def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: cross-nation shipping volume per year. The nation dim joins
     in TWO roles (supplier side and customer side) via independent aliases;
-    nation/supplier/customer broadcast, lineitem⋈orders is the one big
-    shuffle. The cross-nation filter applies post-join on broadcast columns
+    nation/supplier carry broadcast hints, the fact-scaled customer side is
+    left to AQE (broadcast at bench scale, safe at 100×), lineitem⋈orders is
+    the one big shuffle. The cross-nation filter applies post-join on dim columns
     (a row-level predicate over two dim attributes can't push below the
     joins, but it costs nothing map-side)."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -599,7 +607,7 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "ship_year")

@@ -178,7 +178,10 @@ LIMIT 20
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20. Both
     filters (order date, returnflag) are pushed to their scans before the
-    fact⋈fact join; customer and nation broadcast. The LIMIT after ORDER BY
+    fact⋈fact join; nation carries a broadcast hint (bounded dim) while the
+    fact-scaled customer side is left to AQE + autoBroadcastJoinThreshold
+    (still broadcast at bench scale, shuffle-join at 100× instead of an OOM).
+    The LIMIT after ORDER BY
     is a TakeOrderedAndProject — each task keeps 20 rows, the driver merges
     heaps, no global sort materializes. Ties broken by c_custkey so the top-20
     cut is deterministic across engines (exact decimal revenue makes the
@@ -198,7 +201,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(scaled_long_sum(_disc_price(), 4).alias("revenue"))
