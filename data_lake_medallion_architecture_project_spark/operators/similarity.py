@@ -167,7 +167,7 @@ def ivf_topk(
     )
 
 
-def _normalized(rows: list) -> np.ndarray:
+def _to_matrix(rows: list) -> np.ndarray:
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     return x
 
@@ -181,14 +181,24 @@ def train_ivf_centroids(
     sample_limit: int = 4096,
 ) -> np.ndarray:
     """Deterministic centroid training on a bounded TakeOrdered sample —
-    the shared first step of ``ivf_topk`` and the bucketed layout."""
-    sample_rows = (
+    the shared first step of ``ivf_topk`` and the bucketed layout.
+
+    The sample SELECTS by ``xxhash64(id)`` order, not by id order: equally
+    deterministic, but uncorrelated with ingest order, so id-clustered
+    corpora (appended by source, by date, …) don't train biased centroids.
+    Ties (hash collisions) break on the id itself so the cut is a total
+    order. The collected rows are then re-sorted by id so the k-means input
+    ordering — which seeds the init — is stable regardless of which rows the
+    hash picked (and bit-identical to a plain id-ordered sample whenever
+    sample_limit covers the corpus)."""
+    sample_rows = sorted(
         corpus.select(F.col(id_col).alias("i"), to_double_array(vec_col).alias("v"))
-        .orderBy("i")
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
         .limit(sample_limit)
-        .collect()
+        .collect(),
+        key=lambda r: r["i"],
     )
-    return _kmeans_centroids(_normalized(sample_rows), n_centroids, seed)
+    return _kmeans_centroids(_to_matrix(sample_rows), n_centroids, seed)
 
 
 def _assign_udf(cent: np.ndarray):

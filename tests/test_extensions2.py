@@ -222,3 +222,40 @@ def test_bucketed_range_join_boundaries(spark):
         for r in events_in_window_counts(anchors, probes, "event_id").collect()
     }
     assert got == {1: 2, 2: 0}
+
+
+def test_bucketed_range_join_exotic_column_name(spark):
+    """ts column names with spaces/backticks must survive the F.expr path
+    (_micros backtick-quotes the identifier for the NTZ branch)."""
+    from data_lake_medallion_architecture_project_spark.operators.rangejoin import events_in_window_counts
+    from pyspark.sql import functions as F
+
+    weird = "event `time` stamp"
+    anchors = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "event_id long, raw string"
+    ).select("event_id", F.col("raw").cast("timestamp_ntz").alias(weird))
+    probes = spark.createDataFrame(
+        [("2024-01-01 00:45:00",), ("2024-01-01 02:00:00",)], "raw string"
+    ).select(F.col("raw").cast("timestamp_ntz").alias(weird))
+    got = {
+        r["event_id"]: r["n_in_window"]
+        for r in events_in_window_counts(anchors, probes, "event_id", ts_col=weird).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_bucketed_range_join_rejects_mixed_timestamp_types(spark):
+    """NTZ anchors + zoned probes would sit on different epoch bases under a
+    non-UTC session timezone; the operator must refuse up front."""
+    import pytest
+    from data_lake_medallion_architecture_project_spark.operators.rangejoin import events_in_window_counts
+    from pyspark.sql import functions as F
+
+    anchors = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "event_id long, raw string"
+    ).select("event_id", F.col("raw").cast("timestamp_ntz").alias("ts"))
+    probes = spark.createDataFrame(
+        [("2024-01-01 00:45:00",)], "raw string"
+    ).select(F.col("raw").cast("timestamp").alias("ts"))
+    with pytest.raises(TypeError, match="same timestamp type"):
+        events_in_window_counts(anchors, probes, "event_id")
