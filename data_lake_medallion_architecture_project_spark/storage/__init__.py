@@ -1,3 +1,3 @@
-from .txnlog import TxnTable
+from .txnlog import ConcurrentModificationError, TxnTable
 
 __all__ = ["TxnTable"]

@@ -67,6 +67,21 @@ _DATA_DIR = "_data"
 _CHECKPOINT_EVERY = 10  # auto-checkpoint cadence, like Delta's default
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit changed files this transaction read and rewrote.
+
+    Raised by the row-level paths (``merge_upsert``, ``delete_keys``,
+    ``compact``) when the commit race is lost AND the fresh log shows a
+    different file set for an affected partition than the one the rewrite was
+    computed from — committing the staged files anyway would silently undo
+    the concurrent writer's rows (Delta raises
+    ``ConcurrentAppendException``/``ConcurrentDeleteReadException`` here).
+    Conflicts are detected at PARTITION granularity: concurrent commits to
+    disjoint partitions retry and land; the caller of a conflicted commit
+    should re-run the whole operation against the new table state.
+    """
+
+
 @dataclass
 class Snapshot:
     """Materialized table state at one log version."""
@@ -173,6 +188,25 @@ class TxnTable:
             snap.version = v
         return snap
 
+    def _check_unchanged(
+        self,
+        fresh: Snapshot,
+        affected: list,
+        read_files: frozenset,
+        op: str,
+    ) -> None:
+        """Conflict detection after a lost commit race: raise unless the
+        affected partitions hold exactly the files the transaction read."""
+        fresh_files = frozenset(
+            p for p, pv in fresh.files.items() if pv in set(affected)
+        )
+        if fresh_files != read_files:
+            raise ConcurrentModificationError(
+                f"{op} lost the commit race and a concurrent commit changed "
+                f"partitions {sorted(set(affected))}; re-run against the new "
+                "table state"
+            )
+
     def _try_commit(self, version: int, commit: dict) -> bool:
         """Exclusive-create of the version file — the atomicity point. Returns
         False if another writer won this version (optimistic-concurrency
@@ -187,7 +221,13 @@ class TxnTable:
         except FileExistsError:
             return False
         if version > 0 and version % _CHECKPOINT_EVERY == 0:
-            self.checkpoint()
+            # Pure optimization: the commit above already landed, so a failed
+            # checkpoint (transient I/O) must not surface as a commit failure
+            # — callers without (app_id, batch_id) markers would re-apply.
+            try:
+                self.checkpoint()
+            except OSError:
+                pass
         return True
 
     # ----------------------------------------------------------------- write
@@ -235,6 +275,24 @@ class TxnTable:
         if app_id is not None and batch_id is not None:
             if snap.txns.get(app_id, -1) >= int(batch_id):
                 return []
+
+        # Schema guard: readers apply the COMMITTED schema, so source columns
+        # the table doesn't know about would be written into the files and
+        # then silently dropped on every read. A source narrower than the
+        # committed schema is fine (evolution survives: this commit carries no
+        # schema_json on an existing table, and the missing columns read back
+        # as NULL for the overwritten partitions).
+        if snap.schema_json is not None:
+            committed = {
+                f.name
+                for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+            }
+            unknown = [c for c in df.columns if c not in committed]
+            if unknown:
+                raise ValueError(
+                    f"source has columns unknown to the table {unknown}; "
+                    "add_columns() the table first"
+                )
 
         # Stage the new files under a unique dir; __part mirrors the partition
         # column so the directory layout carries the value while the original
@@ -288,6 +346,16 @@ class TxnTable:
         two source rows matching one target row is ambiguous); violations
         raise. Returns the affected partition values, or ``[]`` when the
         (app_id, batch_id) transaction was already committed.
+
+        Optimistic concurrency: the whole transaction is pinned to one
+        snapshot version. Losing the commit race retries ONLY if the fresh
+        log shows the affected partitions' files unchanged (the rival
+        touched disjoint partitions); otherwise
+        ``ConcurrentModificationError`` — committing the staged rewrite
+        would silently clobber the rival's rows. Partition granularity:
+        a rival inserting a matched key into a partition outside the
+        affected set is not detected — co-partition keys with their rows
+        (key includes the partition column) for full serializability.
         """
         snap = self.snapshot()
         if app_id is not None and batch_id is not None:
@@ -332,7 +400,8 @@ class TxnTable:
 
         # Phase 1 — find affected partitions. The target scan reads only the
         # key + partition columns (column pruning), and the source keyset is
-        # broadcast: no target shuffle, no wide rows moved.
+        # broadcast: no target shuffle, no wide rows moved. All reads pin to
+        # snap.version so the rewrite is computed from ONE snapshot.
         src_keys = df.select(*keys).distinct()
         src_parts = {
             str(r[0])
@@ -340,7 +409,7 @@ class TxnTable:
         }
         matched_parts = {
             str(r[0])
-            for r in self.read(spark)
+            for r in self.read(spark, version=snap.version)
             .select(*keys, part_col)
             .join(F.broadcast(src_keys), keys, "left_semi")
             .select(F.col(part_col).cast("string"))
@@ -348,14 +417,23 @@ class TxnTable:
             .collect()
         }
         affected = sorted(src_parts | matched_parts)
+        read_files = frozenset(
+            p for p, pv in snap.files.items() if pv in affected
+        )
 
         # Phase 2 — partition-scoped read-modify-write.
-        old = self.read(spark, partition_values=affected)
+        old = self.read(spark, partition_values=affected, version=snap.version)
         missing = [c for c in old.columns if c not in df.columns]
         if missing:
             raise ValueError(
                 f"source is missing table columns {missing}; align the source "
                 "or add_columns() the table first"
+            )
+        unknown = [c for c in df.columns if c not in old.columns]
+        if unknown:
+            raise ValueError(
+                f"source has columns unknown to the table {unknown}; "
+                "add_columns() the table first"
             )
         merged = old.join(F.broadcast(src_keys), keys, "left_anti").unionByName(
             df.select(*old.columns)
@@ -372,11 +450,13 @@ class TxnTable:
                 commit["txn"] = {"app_id": app_id, "batch_id": int(batch_id)}
             if self._try_commit(snap.version + 1, commit):
                 return affected
-            # Lost the commit race: re-read, re-validate idempotency, retry.
+            # Lost the commit race: re-read, re-validate idempotency, then
+            # retry only if the rival left our read set untouched.
             snap = self.snapshot()
             if app_id is not None and batch_id is not None:
                 if snap.txns.get(app_id, -1) >= int(batch_id):
                     return []
+            self._check_unchanged(snap, affected, read_files, "merge_upsert")
 
     def delete_keys(
         self,
@@ -409,7 +489,7 @@ class TxnTable:
         targets = keys_df.select(*keys).distinct()
         affected = sorted(
             str(r[0])
-            for r in self.read(spark)
+            for r in self.read(spark, version=snap.version)
             .select(*keys, part_col)
             .join(F.broadcast(targets), keys, "left_semi")
             .select(F.col(part_col).cast("string"))
@@ -418,10 +498,13 @@ class TxnTable:
         )
         if not affected:
             return []
-
-        kept = self.read(spark, partition_values=affected).join(
-            F.broadcast(targets), keys, "left_anti"
+        read_files = frozenset(
+            p for p, pv in snap.files.items() if pv in set(affected)
         )
+
+        kept = self.read(
+            spark, partition_values=affected, version=snap.version
+        ).join(F.broadcast(targets), keys, "left_anti")
         adds = self._stage_partitioned(kept, part_col)
 
         while True:
@@ -437,6 +520,7 @@ class TxnTable:
             if app_id is not None and batch_id is not None:
                 if snap.txns.get(app_id, -1) >= int(batch_id):
                     return []
+            self._check_unchanged(snap, affected, read_files, "delete_keys")
 
     # ------------------------------------------------------- schema evolution
 
@@ -556,10 +640,15 @@ class TxnTable:
                             }
                         )
             removes.extend(rels)
+        read_files = frozenset(removes)
+        targeted = sorted(targets, key=str)
         while True:
-            if self._try_commit(
-                self.snapshot().version + 1, {"add": adds, "remove": removes}
-            ):
+            head = self.snapshot()
+            # A rival rewriting a targeted partition (MERGE, DELETE, another
+            # OPTIMIZE) invalidates the staged compaction — committing it
+            # would resurrect the pre-rival rows.
+            self._check_unchanged(head, targeted, read_files, "compact")
+            if self._try_commit(head.version + 1, {"add": adds, "remove": removes}):
                 return len(removes)
 
     # ------------------------------------------------------------- history

@@ -556,3 +556,156 @@ def test_concurrent_writers_both_land(spark, tmp_path):
         ("d3", "kd3", 3),
     ]
     assert t.snapshot().version == 3
+
+
+def test_overlapping_merge_race_raises_not_clobbers(spark, tmp_path):
+    """A merge that loses the commit race to a rival commit touching the SAME
+    partition must raise ConcurrentModificationError — committing its staged
+    rewrite (computed from the pre-rival snapshot) would silently undo the
+    rival's rows. The rival's commit must survive intact."""
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage import ConcurrentModificationError
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+
+    real_try = t._try_commit
+    fired = {"done": False}
+
+    def rival_then_commit(version, commit):
+        if not fired["done"]:
+            fired["done"] = True
+            # Rival lands first, updating a row in the same partition.
+            TxnTable(t.path).merge_upsert(
+                spark, _df(spark, [("d1", "b", 200)]), ["date", "k"]
+            )
+        return real_try(version, commit)
+
+    t._try_commit = rival_then_commit
+    with pytest.raises(ConcurrentModificationError, match="merge_upsert"):
+        t.merge_upsert(spark, _df(spark, [("d1", "a", 100)]), ["date", "k"])
+    t._try_commit = real_try
+    # Rival's update intact, loser's staged change NOT applied.
+    assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 200)]
+    # Re-running against the fresh state succeeds.
+    t.merge_upsert(spark, _df(spark, [("d1", "a", 100)]), ["date", "k"])
+    assert _rows(t.read(spark)) == [("d1", "a", 100), ("d1", "b", 200)]
+
+
+def test_disjoint_merge_race_retries_and_lands(spark, tmp_path):
+    """Losing the race to a rival on a DIFFERENT partition is benign: the
+    loser's read set is untouched, so it must retry and land (this is what
+    keeps independent per-partition writers lock-free)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d2", "x", 9)]), "date")
+
+    real_try = t._try_commit
+    fired = {"done": False}
+
+    def rival_then_commit(version, commit):
+        if not fired["done"]:
+            fired["done"] = True
+            TxnTable(t.path).merge_upsert(
+                spark, _df(spark, [("d2", "x", 90)]), ["date", "k"]
+            )
+        return real_try(version, commit)
+
+    t._try_commit = rival_then_commit
+    got = t.merge_upsert(spark, _df(spark, [("d1", "a", 100)]), ["date", "k"])
+    t._try_commit = real_try
+    assert got == ["d1"]
+    assert _rows(t.read(spark)) == [("d1", "a", 100), ("d2", "x", 90)]
+
+
+def test_delete_race_on_same_partition_raises(spark, tmp_path):
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage import ConcurrentModificationError
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+
+    real_try = t._try_commit
+    fired = {"done": False}
+
+    def rival_then_commit(version, commit):
+        if not fired["done"]:
+            fired["done"] = True
+            TxnTable(t.path).merge_upsert(
+                spark, _df(spark, [("d1", "b", 200)]), ["date", "k"]
+            )
+        return real_try(version, commit)
+
+    t._try_commit = rival_then_commit
+    keys = spark.createDataFrame([("d1", "a")], "date string, k string")
+    with pytest.raises(ConcurrentModificationError, match="delete_keys"):
+        t.delete_keys(spark, keys, ["date", "k"])
+    t._try_commit = real_try
+    assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 200)]
+
+
+def test_compact_race_with_merge_raises(spark, tmp_path):
+    """OPTIMIZE racing a MERGE of the same partition must not resurrect the
+    pre-merge rows it compacted."""
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage import ConcurrentModificationError
+
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [("d1", k, i) for i, k in enumerate("abcd")]
+    t.merge_overwrite_partitions(_df(spark, rows).repartition(3), "date")
+    assert len(t.snapshot().files) > 1
+
+    real_try = t._try_commit
+    fired = {"done": False}
+
+    def rival_then_commit(version, commit):
+        if not fired["done"]:
+            fired["done"] = True
+            TxnTable(t.path).merge_upsert(
+                spark, _df(spark, [("d1", "a", 100)]), ["date", "k"]
+            )
+        return real_try(version, commit)
+
+    t._try_commit = rival_then_commit
+    with pytest.raises(ConcurrentModificationError, match="compact"):
+        t.compact(spark)
+    t._try_commit = real_try
+    got = dict(
+        (k, v) for _, k, v in _rows(t.read(spark))
+    )
+    assert got["a"] == 100  # rival's merge survived
+
+
+def test_evolution_survives_pre_evolution_overwrite(spark, tmp_path):
+    """add_columns must not be undone by a later merge_overwrite_partitions
+    whose source predates the evolution: the commit carries no schema_json on
+    an existing table, so the widened schema stays and the overwritten
+    partition reads the new column as NULL."""
+    from pyspark.sql.types import LongType, StructField
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.add_columns([StructField("score", LongType())])
+    assert "score" in t.read(spark).columns
+
+    # Pre-evolution-shaped source overwrites a partition.
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 10), ("d2", "b", 2)]), "date")
+    out = t.read(spark)
+    assert "score" in out.columns  # evolution survived
+    assert [r["score"] for r in out.collect()] == [None, None]
+
+
+def test_overwrite_rejects_unknown_columns(spark, tmp_path):
+    """Source columns the committed schema doesn't know about would be
+    silently dropped on every read — reject them up front."""
+    import pytest
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    wide = _df(spark, [("d1", "a", 2)]).withColumn("extra", F.lit(7))
+    with pytest.raises(ValueError, match="unknown to the table"):
+        t.merge_overwrite_partitions(wide, "date")
+    with pytest.raises(ValueError, match="unknown to the table"):
+        t.merge_upsert(spark, wide, ["date", "k"])
