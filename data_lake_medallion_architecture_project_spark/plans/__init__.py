@@ -16,3 +16,4 @@ from . import training  # noqa: F401,E402
 # __spark_entry__._CERTIFIED_R04).
 from . import compression  # noqa: F401,E402
 from . import tokenization  # noqa: F401,E402
+from . import curation  # noqa: F401,E402  (round 6 — newest registers last)

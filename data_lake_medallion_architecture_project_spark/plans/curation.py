@@ -1,0 +1,286 @@
+"""Corpus-curation operators: PII scanning, LM-rarity profiling,
+incremental dedup, and embedding-label evaluation.
+
+These are the remaining curation stages a large-scale training-data pipeline
+runs between raw ingest and packing (the reference has no analog — its
+validation is per-row field checks, ``/root/reference/pipeline/
+bronze_to_silver.py:30-70``; these generalize that idea to corpus level):
+
+* ``pii_scan_stats`` — regex PII detection + redaction audit, the
+  compliance pre-filter. Pure JVM ``regexp_extract_all``/``regexp_replace``,
+  map-only, no shuffle: at 100 TB this is scan-bound and embarrassingly
+  parallel.
+* ``doc_token_rarity`` — the KenLM/CCNet-shaped quality signal without
+  shipping a language model: per-document aggregate corpus-frequency of its
+  tokens. Two shuffles (vocab count, per-doc regroup); the vocab join is
+  Zipf-skewed, which AQE skew-join handles (hot stopword tokens split).
+  All outputs are exact integers so the DuckDB oracle hashes identically.
+* ``incremental_dedup_new_batch`` — dedup an incoming batch against an
+  existing corpus by content hash: the streaming/append form of
+  ``exact_dedup_documents``. Only (hash, id) pairs move; the corpus text is
+  never reshuffled, so cost scales with batch + corpus-hash size, not
+  corpus bytes.
+* ``knn_label_accuracy`` — leave-one-out kNN majority-vote evaluation over
+  the embedding table: the standard "are these embeddings any good"
+  diagnostic. Composes the existing ``brute_force_topk`` rank contract with
+  two bounded label joins; the scale path swaps in ``ivf_topk`` unchanged
+  because both emit the same (qid, cid, rank) shape.
+
+Cross-engine discipline (same rules as ``tokenization.py``): regexes use
+constructs with identical semantics in Java regex and RE2 (character
+classes, bounded repeats, ``\\b``), outputs are integers/booleans/strings —
+never floats — and every aggregate is CAST to BIGINT because DuckDB types
+integer SUMs as HUGEINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..operators.similarity import brute_force_topk
+from ..sources.readers import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------- #
+# PII scan + redaction audit.
+# --------------------------------------------------------------------------- #
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3,4}-\d{4}\b"
+
+_PII_ORACLE = rf"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(lower(text), '{_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(lower(text), '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  len(regexp_extract_all(lower(text), '{_EMAIL_RE}')) = 0
+    AND len(regexp_extract_all(lower(text), '{_IPV4_RE}')) = 0
+    AND len(regexp_extract_all(lower(text), '{_PHONE_RE}')) = 0 AS pii_free,
+  CAST(length(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_IPV4_RE}', '<IP>', 'g'),
+        '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+FROM documents
+"""
+
+
+@register("pii_scan_stats", oracle=_PII_ORACLE, tags=("text", "curation"))
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII audit: email/IPv4/phone match counts, a pii_free
+    flag, and the post-redaction length (masks applied in a fixed order so
+    both engines rewrite identical spans). Map-only JVM regex — the plan is
+    a single scan with no exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n(_EMAIL_RE).alias("n_emails"),
+        n(_IPV4_RE).alias("n_ipv4"),
+        n(_PHONE_RE).alias("n_phones"),
+        (
+            (F.size(F.regexp_extract_all(low, F.lit(_EMAIL_RE), 0)) == 0)
+            & (F.size(F.regexp_extract_all(low, F.lit(_IPV4_RE), 0)) == 0)
+            & (F.size(F.regexp_extract_all(low, F.lit(_PHONE_RE), 0)) == 0)
+        ).alias("pii_free"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Corpus-frequency rarity profile (LM-quality proxy, exact integers).
+# --------------------------------------------------------------------------- #
+
+_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT
+  t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(c.c) AS BIGINT) AS corpus_count_sum,
+  CAST(SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens
+FROM toks t JOIN counts c ON t.tok = c.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("doc_token_rarity", oracle=_RARITY_ORACLE, tags=("text", "training"))
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity profile against the corpus unigram table: token
+    count, summed corpus frequency of its tokens, and how many tokens are
+    corpus-rare (frequency ≤ 2) — the integer-exact core of a KenLM-style
+    quality filter (mean log-frequency is a consumer-side division away).
+
+    Plan shape: one shuffle builds the vocab counts, the tokens⋈vocab join
+    runs under AQE (vocab is Heaps-law-sublinear in corpus size and heavily
+    Zipf-skewed — AQE splits the stopword-heavy partitions), and one shuffle
+    regroups by document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("corpus_count_sum"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Incremental dedup: new batch vs existing corpus.
+# --------------------------------------------------------------------------- #
+
+_BATCH_SPLIT_ID = 250  # documents below are "the corpus", at/above "the batch"
+
+_INCR_DEDUP_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+corpus AS (SELECT DISTINCT h FROM h WHERE doc_id < {_BATCH_SPLIT_ID}),
+batch AS (SELECT doc_id, h FROM h WHERE doc_id >= {_BATCH_SPLIT_ID}),
+firsts AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h)
+SELECT b.doc_id,
+       CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch b
+LEFT JOIN corpus c ON b.h = c.h
+JOIN firsts f ON b.h = f.h
+"""
+
+
+@register(
+    "incremental_dedup_new_batch", oracle=_INCR_DEDUP_ORACLE, tags=("dedup",)
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-time exact dedup: classify each incoming-batch document as
+    kept, duplicate-of-corpus, or duplicate-within-batch (first occurrence
+    by doc_id wins, so replays are deterministic).
+
+    This is ``exact_dedup_documents`` reshaped for incremental ingest: the
+    corpus side is reduced to DISTINCT md5 hashes before the join, so the
+    shuffle carries (hash[, id]) — never corpus text — and cost scales with
+    |batch| + |corpus hash set| regardless of corpus bytes. At 100 TB the
+    corpus hash set is itself a maintained table (the txn layer's MERGE
+    keeps it current) rather than recomputed; the join shape is identical."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") < _BATCH_SPLIT_ID).select("h").distinct()
+    batch = docs.filter(F.col("doc_id") >= _BATCH_SPLIT_ID)
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    in_corpus = corpus.withColumn("in_corpus", F.lit(True))
+    return (
+        batch.join(in_corpus, "h", "left_outer")
+        .join(firsts, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# kNN majority-vote label evaluation (leave-one-out).
+# --------------------------------------------------------------------------- #
+
+_KNN_EVAL_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+p AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid, c.label AS clabel,
+         list_sum(list_transform(list_zip(q.e, c.e), t -> t[1] * t[2]))
+           / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id < 32 AND q.vec_id <> c.vec_id
+),
+r AS (
+  SELECT qid, qlabel, clabel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM p
+),
+votes AS (
+  SELECT qid, qlabel, clabel, COUNT(*) AS n_votes
+  FROM r WHERE rank <= 5 GROUP BY qid, qlabel, clabel
+),
+best AS (
+  SELECT qid, qlabel, clabel, n_votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY n_votes DESC, clabel
+         ) AS rn
+  FROM votes
+)
+SELECT qid, qlabel AS true_label, clabel AS knn_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       clabel = qlabel AS is_correct
+FROM best WHERE rn = 1
+"""
+
+
+@register("knn_label_accuracy", oracle=_KNN_EVAL_ORACLE, tags=("similarity", "eval"))
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote label prediction for vectors
+    vec_id < 32 — the standard embedding-quality diagnostic (majority ties
+    break on the smaller label, rank ties on the smaller cid, so the vote
+    is deterministic cross-engine).
+
+    Composes the ``brute_force_topk`` rank contract with two label joins;
+    the neighbor table is k·|queries| rows, so both joins broadcast. The
+    100-TB path swaps ``brute_force_topk`` for ``ivf_topk``/
+    ``ivf_topk_bucketed`` unchanged — same (qid, cid, rank) shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    topk = brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("cid"), F.col("label").alias("clabel")
+            ),
+            "cid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+            ),
+            "qid",
+        )
+        .groupBy("qid", "qlabel", "clabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("clabel")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("qlabel").alias("true_label"),
+            F.col("clabel").alias("knn_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("clabel") == F.col("qlabel")).alias("is_correct"),
+        )
+    )
