@@ -37,6 +37,10 @@ JOIN_RE = re.compile(
 # baselines whose bucketed/LSH scale path exists as a separate operator.
 NESTED_LOOP_OK = {
     "similarity_topk",  # exact baseline; scale path = ivf_similarity_topk
+    # Composes brute_force_topk (the exact baseline above) for a 32-query
+    # leave-one-out eval; the scale path swaps in ivf_topk unchanged because
+    # both emit the same (qid, cid, rank) shape.
+    "knn_label_accuracy",
     "embedding_near_dup_pairs",  # exact O(n²) pairs; scale path = MinHash-LSH
     # Scalar broadcast: BNLJ whose build side is a broadcast 1-ROW aggregate
     # (global min/span cross-joined back). O(n)·O(1) — the optimal plan for
