@@ -1,0 +1,160 @@
+"""Materialized MinHash index (operators/dedup_index) and streaming dedup
+ingest (streaming/dedup_ingest): layout, plan shape, recall, exactly-once."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+
+from data_lake_medallion_architecture_project_spark.operators.dedup_index import (
+    banded_signatures,
+    query_minhash_index,
+    write_minhash_index,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen wild "
+    "geese migrate south past the frozen river delta every autumn morning"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, _BASE),
+        (2, _BASE.replace("lazy", "sleepy")),  # near-dup of 1
+        (3, "completely different text about spark adaptive query execution"),
+        (4, "yet another unrelated document mentioning parquet footers only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_banded_signatures_shape(spark):
+    b = banded_signatures(_corpus(spark), "doc_id", "text", num_perms=32, bands=8)
+    rows = b.collect()
+    assert len(rows) == 4 * 8  # one row per doc per band
+    assert all(len(r["sig"]) == 32 for r in rows)
+    # Band-qualified buckets: identical slices in different bands never collide.
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["id"], set()).add(r["bucket"])
+    assert all(len(v) == 8 for v in per_doc.values())
+
+
+def test_index_query_finds_near_dups_without_index_exchange(spark, tmp_path):
+    corpus = _corpus(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_minhash_index(
+            corpus, "mh_idx", str(tmp_path / "idx"), "doc_id", "text"
+        )
+        batch = spark.createDataFrame(
+            [
+                (101, _BASE.replace("quick", "swift")),  # near-dup of 1 and 2
+                (102, "entirely novel content with no corpus overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = query_minhash_index(
+            spark, "mh_idx", batch, "doc_id", "text", est_threshold=0.5
+        )
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan
+        # Exactly one exchange subtree feeds the join: the probe side. The
+        # bucketed index scan must consume its write-time layout directly.
+        join_section = plan.split("SortMergeJoin")[0]
+        assert join_section.count("Exchange hashpartitioning(bucket") <= 1, plan
+        got = {(r["batch_id"], r["corpus_id"]) for r in out.collect()}
+        assert (101, 1) in got
+        assert all(b != 102 for b, _ in got)  # novel doc matches nothing
+        ests = {r["corpus_id"]: r["est_jaccard"] for r in out.collect() if r["batch_id"] == 101}
+        assert all(0.5 <= e <= 1.0 for e in ests.values())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS mh_idx")
+
+
+def test_signature_agreement_estimates_jaccard(spark, tmp_path):
+    """Identical docs must estimate 1.0; disjoint docs must never clear the
+    0.5 gate (the estimator is unbiased, so extremes are deterministic)."""
+    corpus = _corpus(spark)
+    try:
+        write_minhash_index(
+            corpus, "mh_idx2", str(tmp_path / "idx2"), "doc_id", "text"
+        )
+        batch = spark.createDataFrame(
+            [(201, _BASE)], "doc_id long, text string"  # verbatim copy of 1
+        )
+        out = query_minhash_index(
+            spark, "mh_idx2", batch, "doc_id", "text", est_threshold=0.5
+        ).collect()
+        exact = [r for r in out if r["corpus_id"] == 1]
+        assert len(exact) == 1 and exact[0]["est_jaccard"] == 1.0
+        assert all(r["corpus_id"] in (1, 2) for r in out)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx2")
+
+
+def test_streaming_dedup_ingest_exactly_once(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.storage import TxnTable
+    from data_lake_medallion_architecture_project_spark.streaming.dedup_ingest import (
+        dedup_batch_against_table,
+        run_dedup_ingest,
+    )
+
+    src = tmp_path / "incoming"
+    tbl = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Batch 1: one internal dup pair (ids 10/11 share text).
+    docs([(10, "alpha"), (11, "alpha"), (12, "beta")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    n = run_dedup_ingest(spark, str(src), tbl, ckpt)
+    assert n == 1
+    t = TxnTable(tbl)
+    got = {
+        (r["doc_id"], r["text"]) for r in t.read(spark).select("doc_id", "text").collect()
+    }
+    assert got == {(10, "alpha"), (12, "beta")}  # min id won the internal dup
+
+    # Batch 2: cross-batch dup ("alpha") + one new doc.
+    docs([(20, "alpha"), (21, "gamma")]).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    n = run_dedup_ingest(spark, str(src), tbl, ckpt)
+    assert n == 1
+    got = {
+        (r["doc_id"], r["text"]) for r in t.read(spark).select("doc_id", "text").collect()
+    }
+    assert got == {(10, "alpha"), (12, "beta"), (21, "gamma")}
+
+    # Nothing new: the file-source checkpoint yields no batch.
+    assert run_dedup_ingest(spark, str(src), tbl, ckpt) == 0
+
+    # Crash-replay: re-applying an already-committed batch id is a no-op
+    # (the txn marker), even with a duplicate-free source.
+    version_before = t.snapshot().version
+    dedup_batch_against_table(
+        spark,
+        t,
+        docs([(99, "delta-new")]),
+        "doc_id",
+        "text",
+        app_id="dedup_ingest/corpus",
+        batch_id=1,  # already committed by the second run
+    )
+    assert t.snapshot().version == version_before
+    assert len(t.read(spark).collect()) == 3
