@@ -66,32 +66,34 @@ FROM ordered
 """
 
 
+def with_session_no(events: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """Append a per-user ``session_no`` column (gap-based sessionization),
+    preserving every input column. One shuffle on user_id shared by the lag
+    and cumulative-sum window frames.
+
+    timestamp_diff is wall-clock arithmetic valid for both TIMESTAMP and
+    TIMESTAMP_NTZ (a bigint cast is rejected for NTZ inputs). Microsecond
+    units keep the gap test exact — a SECOND diff truncates and misses
+    sub-second boundary gaps, diverging from the interval comparison."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) > gap_us),
+        1,
+    ).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("new_session", new_session).withColumn(
+        "session_no", F.sum("new_session").over(running).cast("long")
+    ).drop("new_session")
+
+
 @register("sessionize_events", oracle=_SESSION_ORACLE, tags=("temporal", "window"))
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: lag + cumulative-sum windows, one shuffle on
     user_id shared by both window frames."""
     events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(order)
-    # timestamp_diff is wall-clock arithmetic valid for both TIMESTAMP and
-    # TIMESTAMP_NTZ (a bigint cast is rejected for NTZ inputs). Microsecond
-    # units keep the gap test exact — a SECOND diff truncates and misses
-    # sub-second boundary gaps, diverging from the interval comparison.
-    new_session = F.when(
-        prev_ts.isNull()
-        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) > 1_800_000_000),
-        1,
-    ).otherwise(0)
-    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        events.withColumn("new_session", new_session)
-        .select(
-            "user_id",
-            F.sum("new_session").over(running).cast("long").alias("session_no"),
-            "event_id",
-            "ts",
-        )
-    )
+    return with_session_no(events).select("user_id", "session_no", "event_id", "ts")
 
 
 # --------------------------------------------------------------------------- #
@@ -296,4 +298,106 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Session funnel: view → click → purchase progression per session.
+# --------------------------------------------------------------------------- #
+
+_FUNNEL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, event_type, ts,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM ordered
+),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, session_no) AS v
+  FROM s
+),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= v THEN ts END)
+              OVER (PARTITION BY user_id, session_no) AS c
+  FROM w1
+),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END)
+              OVER (PARTITION BY user_id, session_no) AS p
+  FROM w2
+),
+per_session AS (
+  SELECT user_id, session_no,
+         CASE WHEN MAX(p) IS NOT NULL THEN 3
+              WHEN MAX(c) IS NOT NULL THEN 2
+              WHEN MAX(v) IS NOT NULL THEN 1
+              ELSE 0 END AS funnel_stage
+  FROM w3 GROUP BY user_id, session_no
+)
+SELECT CAST(funnel_stage AS BIGINT) AS funnel_stage,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM per_session GROUP BY funnel_stage
+"""
+
+
+@register("session_funnel_counts", oracle=_FUNNEL_ORACLE, tags=("temporal", "window"))
+def session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-progression funnel over gap-based sessions: how many sessions
+    reached view (1), view→click (2), view→click→purchase (3), or none (0).
+    Each stage's anchor is the earliest qualifying event AT OR AFTER the
+    previous stage's anchor, so out-of-order arrivals don't count.
+
+    One shuffle total: sessionization partitions by user_id, and every later
+    window/groupBy clusters on (user_id, session_no) — a superset of the
+    existing hash partitioning, so Catalyst inserts sorts, not exchanges;
+    only the final 4-row stage rollup exchanges again."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    sess = Window.partitionBy("user_id", "session_no")
+    anchored = (
+        with_session_no(events)
+        .withColumn(
+            "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(sess)
+        )
+        .withColumn(
+            "c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).over(sess),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c")),
+                    F.col("ts"),
+                )
+            ).over(sess),
+        )
+    )
+    per_session = anchored.groupBy("user_id", "session_no").agg(
+        F.when(F.max("p").isNotNull(), 3)
+        .when(F.max("c").isNotNull(), 2)
+        .when(F.max("v").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage")
+    )
+    return per_session.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_sessions")
     )
