@@ -190,7 +190,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
     comp = connected_components(pairs, "id_a", "id_b")
     return docs.select("doc_id").join(
-        F.broadcast(comp), docs["doc_id"] == comp["id"], "left"
+        comp, docs["doc_id"] == comp["id"], "left"
     ).select(
         "doc_id",
         F.coalesce("comp", "doc_id").cast("long").alias("cluster_id"),

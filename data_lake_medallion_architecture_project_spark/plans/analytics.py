@@ -270,17 +270,17 @@ WHERE NOT EXISTS (
 
 @register("inactive_customers", oracle=_ANTI_ORACLE, tags=("join",))
 def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no 2001 orders. The filtered orders side
-    is small → broadcast anti join, no shuffle of customer."""
+    """Left-anti join: customers with no 2001 orders. The date-filtered
+    orders keyset is small at bench scale — but it grows with order volume,
+    so the broadcast decision is AQE's, not a hint (broadcast anti join
+    today, shuffle anti join when the window outgrows the threshold)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     recent = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    return cust.join(
-        F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
-    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
 
 
 # --------------------------------------------------------------------------- #
@@ -310,7 +310,7 @@ def active_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    active = cust.join(F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_semi")
+    active = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
     return (
         active.join(F.broadcast(nation), active.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
@@ -373,7 +373,7 @@ def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.countDistinct("l_partkey").alias("parts_supplied"),
@@ -546,7 +546,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    joined = li.join(supp, li.l_suppkey == supp.s_suppkey)
     w = Window.partitionBy("l_partkey").orderBy(F.col("price_dec"), F.col("s_suppkey"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
@@ -605,7 +605,7 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
@@ -693,7 +693,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.sum(F.round(F.col("disc_price") * 10000).cast("long")).alias("v")
     vol = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("order_year", F.col("n_name").alias("supp_nation"))
         .agg(v)
@@ -871,7 +871,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _Q20_YEAR_LO) & (F.col("l_shipdate") < _Q20_YEAR_HI)
         )
         .select("l_suppkey", "l_partkey", "l_quantity")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     )
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
@@ -887,7 +887,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         supplier.join(
-            F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
@@ -1058,7 +1058,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pruned = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    pruned = li.join(parts, li.l_partkey == parts.p_partkey)
     w = Window.partitionBy("l_partkey")
     small = pruned.withColumn("part_avg", F.avg("l_quantity").over(w)).filter(
         F.col("l_quantity") < 0.2 * F.col("part_avg")
@@ -1105,7 +1105,7 @@ def promo_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(bracket)
         .agg(
             scaled_long_sum(F.col("disc_price"), 4).alias("revenue"),

@@ -137,8 +137,8 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     amount = _disc_price() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -244,7 +244,7 @@ def major_supply_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nv = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(scaled_long_sum(_disc_price(), 4).alias("value"))
@@ -342,7 +342,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -390,8 +390,8 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(deficit), li.l_suppkey == deficit.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(deficit, li.l_suppkey == deficit.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -480,7 +480,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = _disc_price()
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
