@@ -158,3 +158,40 @@ def test_streaming_dedup_ingest_exactly_once(spark, tmp_path):
     )
     assert t.snapshot().version == version_before
     assert len(t.read(spark).collect()) == 3
+
+
+def test_near_dup_gate_chained_into_ingest(spark, tmp_path):
+    """The composition the module docstrings promise: screen an incoming
+    batch against the corpus MinHash index (near-dup gate), then push the
+    survivors through the exactly-once exact-dedup ingest."""
+    from data_lake_medallion_architecture_project_spark.storage import TxnTable
+    from data_lake_medallion_architecture_project_spark.streaming.dedup_ingest import (
+        dedup_batch_against_table,
+    )
+
+    corpus = _corpus(spark)
+    try:
+        write_minhash_index(
+            corpus, "mh_gate", str(tmp_path / "gate_idx"), "doc_id", "text"
+        )
+        batch = spark.createDataFrame(
+            [
+                (301, _BASE.replace("fox", "wolf")),  # near-dup of corpus doc 1
+                (302, "genuinely new content that survives the near-dup gate"),
+            ],
+            "doc_id long, text string",
+        )
+        flagged = query_minhash_index(
+            spark, "mh_gate", batch, "doc_id", "text", est_threshold=0.5
+        ).select("batch_id").distinct()
+        survivors = batch.join(
+            flagged, batch.doc_id == flagged.batch_id, "left_anti"
+        )
+        t = TxnTable(str(tmp_path / "gated_corpus"))
+        dedup_batch_against_table(
+            spark, t, survivors, "doc_id", "text", app_id="gate", batch_id=0
+        )
+        got = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+        assert got == {302}  # near-dup 301 gated out, novel 302 ingested
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_gate")
