@@ -284,3 +284,43 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("clabel") == F.col("qlabel")).alias("is_correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Source-level corpus health report.
+# --------------------------------------------------------------------------- #
+
+_SOURCE_REPORT_ORACLE = """
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register("source_curation_report", oracle=_SOURCE_REPORT_ORACLE, tags=("curation",))
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: volume, exact-dup rate (distinct content
+    hashes vs rows), language spread, and size envelope — the dashboard
+    aggregate a curation pipeline computes after every ingest. One shuffle
+    on source with map-side partials; the two DISTINCTs share the same
+    Expand-based plan Catalyst builds for multi-distinct aggregates, so the
+    corpus is still read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_exact_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
