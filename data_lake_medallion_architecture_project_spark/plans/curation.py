@@ -324,3 +324,31 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Distributed k-means cluster profile (iterative algorithm → rows-only check).
+# --------------------------------------------------------------------------- #
+
+
+@register("embedding_cluster_sizes", oracle=None, tags=("similarity", "ml"))
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size profile from full-corpus distributed spherical k-means
+    (operators/kmeans.py: Lloyd's as DataFrame aggs — Arrow argmax
+    assignment, model-sized posexplode shuffle, k×d driver round-trip).
+    Iterative with floating-point re-estimation → no SQL oracle (the driver
+    records a rows-only check; row count is always k); the operator's exact
+    properties — blob recovery, monotone inertia, determinism — are asserted
+    in tests/test_kmeans.py."""
+    from ..operators.kmeans import distributed_kmeans
+    from ..operators.similarity import _assign_udf, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = distributed_kmeans(emb, k=8, iters=4)
+    return (
+        emb.select(to_double_array("embedding").alias("v"))
+        .withColumn("centroid", _assign_udf(cent)(F.col("v")))
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(F.col("centroid").cast("long").alias("centroid"), "n_vectors")
+    )
