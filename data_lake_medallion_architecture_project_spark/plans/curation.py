@@ -352,3 +352,115 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .select(F.col("centroid").cast("long").alias("centroid"), "n_vectors")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Year-over-year revenue growth per nation (lag over an aggregate).
+# --------------------------------------------------------------------------- #
+
+_YOY_ORACLE = """
+WITH yearly AS (
+  SELECT n.n_name AS nation,
+         EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+)
+SELECT nation, CAST(o_year AS BIGINT) AS o_year, revenue,
+       LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year) AS prev_revenue
+FROM yearly
+"""
+
+
+@register("nation_yoy_revenue", oracle=_YOY_ORACLE, tags=("tpch", "window"))
+def nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue per nation: aggregate-then-window — the lag
+    runs over the ~nations×years aggregate (hundreds of rows), not the fact,
+    so the window stage costs nothing at any scale. Revenue is the exact
+    fixed-point sum (money.py discipline), so prev/current values — and the
+    growth ratio a consumer derives — are bit-identical across engines."""
+    from ..functions.money import dec_sum
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dec_sum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    return yearly.select(
+        "nation", "o_year", "revenue", F.lag("revenue").over(w).alias("prev_revenue")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# RFM customer segmentation (quartile scores over three dimensions).
+# --------------------------------------------------------------------------- #
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       CAST(NTILE(4) OVER (ORDER BY last_order, c_custkey) AS BIGINT) AS r_score,
+       CAST(NTILE(4) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_score,
+       CAST(NTILE(4) OVER (ORDER BY monetary, c_custkey) AS BIGINT) AS m_score
+FROM base
+"""
+
+
+@register("customer_rfm_scores", oracle=_RFM_ORACLE, tags=("window", "analytics"))
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quartile
+    scores (higher = more recent / frequent / valuable). The three NTILEs
+    run over the per-customer aggregate, each with a c_custkey tiebreak so
+    bucket boundaries are deterministic cross-engine; monetary is the exact
+    fixed-point sum, so ordering never depends on float summation order.
+
+    Scale note: NTILE over an unpartitioned window is a single-reducer sort
+    — fine for a per-customer aggregate (rows = |customers|, and only 3
+    narrow columns), the documented trade for exact global quartiles. The
+    approximate path for fact-sized inputs is order_price_rank_buckets'
+    broadcast histogram-edge technique."""
+    from ..functions.money import dec_sum
+    from pyspark.sql import Window
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum("o_totalprice", "monetary"),
+        )
+    )
+    return base.select(
+        "c_custkey",
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "c_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "c_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "c_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
