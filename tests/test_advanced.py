@@ -142,3 +142,31 @@ def test_pack_documents_shard_count_invariance(spark):
     default = pack_documents(docs)
     n_default = spark.sparkContext.defaultParallelism
     assert default.agg(F.max("shard")).first()[0] < n_default
+
+
+def test_runtime_bloom_filter_injects_at_production_scan_sizes(spark):
+    """At 100 TB, Catalyst's runtime bloom-filter injection prunes the fact
+    scan of a selective fact⋈fact join before the shuffle. The feature is
+    size-gated (application side must scan ≥ 10 GB by default), so at bench
+    SF it correctly stays off; lowering the gates proves the plan SHAPES
+    produced here are bloom-compatible — the declarative plan picks up the
+    optimization at production sizes with no code change."""
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+
+    pairs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    prev = {k: spark.conf.get(k) for k in pairs}
+    try:
+        for k, v in pairs.items():
+            spark.conf.set(k, v)
+        df = REGISTRY["priority_shipment_counts"].build(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
