@@ -52,3 +52,22 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_driver_contract_on_plain_session(spark):
+    """The round driver builds its OWN SparkSession without this repo's tuned
+    configs — queries must not depend on session-level settings (the classic
+    trap: events.parquet's TIMESTAMP(NANOS) needs nanosAsLong, which
+    load_table sets per-read, not per-session). newSession() gives a fresh
+    SQLConf over the shared context, approximating the driver's environment
+    in-suite."""
+    import __spark_entry__ as e
+
+    plain = spark.newSession()
+    assert e.entry(plain).count() > 0
+    # An events-reading query exercises the nanos-timestamp path.
+    assert REGISTRY["sessionize_events"].build(plain, SF_SMALL).count() > 0
+    # And the full contract surface stays importable/iterable.
+    names = list(e.queries())
+    assert len(names) == len(REGISTRY)
+    assert set(e.oracle_sql()) <= set(names)
