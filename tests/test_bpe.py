@@ -1,0 +1,109 @@
+"""Tests for operators/bpe.py — parity with an independent pure-Python
+Sennrich BPE implementation, determinism, and encode invariants."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.operators.bpe import (
+    _END,
+    encode_with_merges,
+    train_bpe,
+    word_frequencies,
+)
+
+from tests.conftest import SF_SMALL
+
+
+# ---- independent reference implementation (Sennrich et al. 2016, fig. 2) ----
+
+
+def _ref_train(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    vocab = {" ".join(list(w) + [_END]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, c in vocab.items():
+            sym = w.split(" ")
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        # arg-max with the same total tiebreak the Spark trainer uses.
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append((a, b))
+        pat = re.compile(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)")
+        vocab = {pat.sub(a + b, w): c for w, c in vocab.items()}
+    return merges
+
+
+def _small_docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+
+
+def test_train_matches_reference_implementation(spark):
+    docs = _small_docs(spark)
+    counts = {
+        r["word"]: r["n"] for r in word_frequencies(docs).collect()
+    }
+    got = train_bpe(docs, n_merges=20)
+    want = _ref_train(counts, 20)
+    assert got == want
+    assert len(got) == 20  # corpus is rich enough that no early stop fires
+
+
+def test_train_is_deterministic(spark):
+    docs = _small_docs(spark)
+    assert train_bpe(docs, n_merges=10) == train_bpe(docs, n_merges=10)
+
+
+def test_merges_nest(spark):
+    # The first k merges of a longer run equal a shorter run exactly —
+    # the training order is a total order, not an artifact of n_merges.
+    docs = _small_docs(spark)
+    m20 = train_bpe(docs, n_merges=20)
+    m5 = train_bpe(docs, n_merges=5)
+    assert m20[:5] == m5
+
+
+def test_encode_roundtrip_and_vocab_closure(spark):
+    docs = _small_docs(spark)
+    merges = train_bpe(docs, n_merges=30)
+    enc = encode_with_merges(docs, merges)
+    rows = enc.collect()
+    assert rows
+    learned = {a + b for a, b in merges}
+    for r in rows:
+        # Lossless: pieces concatenate back to the word (+ end marker).
+        assert "".join(r["pieces"]) == r["word"] + _END
+        # Closed: every multi-char piece is a learned merge product
+        # (or a bare char + end marker).
+        for p in r["pieces"]:
+            base = p[:-len(_END)] if p.endswith(_END) else p
+            assert p in learned or len(base) <= 1 or base in learned or p == _END
+    # Compression: learned merges must actually shorten common words.
+    n_words = len(rows)
+    n_pieces = sum(len(r["pieces"]) for r in rows)
+    n_chars = sum(len(r["word"]) + 1 for r in rows)
+    assert n_pieces < n_chars  # strictly better than char-level
+
+
+def test_encode_word_count_preserved(spark):
+    docs = _small_docs(spark)
+    merges = train_bpe(docs, n_merges=5)
+    enc = encode_with_merges(docs, merges)
+    n_tokens = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    assert enc.count() == n_tokens
