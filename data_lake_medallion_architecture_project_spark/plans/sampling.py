@@ -230,6 +230,52 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Guaranteed-recall heavy hitters.
+# --------------------------------------------------------------------------- #
+
+FREQ_K = 1000
+
+_FREQ_ORACLE = f"""
+WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (
+  SELECT ws[i.i] || ' ' || ws[i.i+1] AS item
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+),
+tot AS (SELECT COUNT(*) AS n_total FROM tok)
+SELECT item AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY item
+HAVING COUNT(*) * {FREQ_K} > (SELECT n_total FROM tot)
+"""
+
+
+@register("frequent_bigrams", oracle=_FREQ_ORACLE, tags=("text", "sketch"))
+def frequent_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams with frequency > 1/FREQ_K of the corpus — exact counts
+    via the two-phase heavy-hitter operator (``operators/freqitems.py``):
+    per-partition bounded-memory candidate generation with a pigeonhole
+    no-false-negative guarantee, then an exact broadcast-join recount. The
+    oracle is the naive full GROUP BY — hash equality proves the sketchy
+    phase lost nothing. At 100 TB the full groupBy shuffles the whole
+    vocabulary; this shuffles only candidates."""
+    from ..operators.freqitems import frequent_items
+
+    ws = load_table(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), " ").alias("ws")
+    )
+    bigrams = ws.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("a"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
+    return frequent_items(bigrams, "bigram", FREQ_K).select(
+        F.col("item").alias("bigram"), "n"
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Mergeable HLL sketch rollup.
 # --------------------------------------------------------------------------- #
 
