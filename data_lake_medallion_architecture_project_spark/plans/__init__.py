@@ -18,3 +18,4 @@ from . import compression  # noqa: F401,E402
 from . import tokenization  # noqa: F401,E402
 from . import curation  # noqa: F401,E402  (round 6 — newest registers last)
 from . import sampling  # noqa: F401,E402
+from . import reconcile  # noqa: F401,E402
