@@ -82,6 +82,16 @@ class ConcurrentModificationError(RuntimeError):
     """
 
 
+class ConstraintViolationError(ValueError):
+    """Incoming rows violate a table CHECK constraint.
+
+    Delta semantics: a row violates when the constraint expression evaluates
+    to FALSE; NULL passes (SQL-standard CHECK). The write is rejected before
+    any commit, so the table never holds a violating row — readers can rely
+    on the invariant without re-filtering.
+    """
+
+
 @dataclass
 class Snapshot:
     """Materialized table state at one log version."""
@@ -93,6 +103,8 @@ class Snapshot:
     txns: dict = field(default_factory=dict)
     schema_json: str | None = None
     partition_col: str | None = None
+    # constraint name -> SQL boolean expression (CHECK constraints)
+    constraints: dict = field(default_factory=dict)
 
 
 class TxnTable:
@@ -141,6 +153,7 @@ class TxnTable:
             "txns": snap.txns,
             "schema_json": snap.schema_json,
             "partition_col": snap.partition_col,
+            "constraints": snap.constraints,
         }
         target = os.path.join(self.log_dir, f"{snap.version:020d}.checkpoint.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -166,6 +179,7 @@ class TxnTable:
             snap.txns = dict(ck["txns"])
             snap.schema_json = ck.get("schema_json")
             snap.partition_col = ck.get("partition_col")
+            snap.constraints = dict(ck.get("constraints", {}))
         for v in self._versions():
             if v <= snap.version:
                 continue
@@ -185,6 +199,11 @@ class TxnTable:
                 snap.schema_json = commit["schema_json"]
             if commit.get("partition_col"):
                 snap.partition_col = commit["partition_col"]
+            if commit.get("set_constraint"):
+                sc = commit["set_constraint"]
+                snap.constraints[sc["name"]] = sc["expr"]
+            if commit.get("drop_constraint"):
+                snap.constraints.pop(commit["drop_constraint"], None)
             snap.version = v
         return snap
 
@@ -206,6 +225,47 @@ class TxnTable:
                 f"partitions {sorted(set(affected))}; re-run against the new "
                 "table state"
             )
+
+    def _validate_constraints(self, df: DataFrame, snap: Snapshot, op: str) -> None:
+        """Reject ``df`` if any row evaluates a CHECK constraint to FALSE
+        (NULL passes). One filter per constraint, limit(1) — the scan stops
+        at the first violation and never materializes the violating set."""
+        for name, expr in snap.constraints.items():
+            bad = df.filter(F.expr(f"NOT ({expr})")).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"{op}: constraint {name!r} ({expr}) violated, e.g. "
+                    f"{bad[0].asDict()}"
+                )
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr), Delta-style: existing
+        rows are validated first (a constraint the table already violates
+        would make every future write fail), then a metadata-only commit
+        records it; every subsequent write validates incoming rows against
+        it. Returns the commit version."""
+        while True:
+            snap = self.snapshot()
+            if name in snap.constraints:
+                raise ValueError(f"constraint {name!r} already exists")
+            if snap.files:
+                probe = Snapshot(constraints={name: expr})
+                self._validate_constraints(
+                    self.read(spark, version=snap.version), probe, "add_constraint"
+                )
+            if self._try_commit(
+                snap.version + 1, {"set_constraint": {"name": name, "expr": expr}}
+            ):
+                return snap.version + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        while True:
+            snap = self.snapshot()
+            if name not in snap.constraints:
+                raise ValueError(f"no such constraint {name!r}")
+            if self._try_commit(snap.version + 1, {"drop_constraint": name}):
+                return snap.version + 1
 
     def _try_commit(self, version: int, commit: dict) -> bool:
         """Exclusive-create of the version file — the atomicity point. Returns
@@ -294,6 +354,8 @@ class TxnTable:
                     "add_columns() the table first"
                 )
 
+        self._validate_constraints(df, snap, "merge_overwrite_partitions")
+
         # Stage the new files under a unique dir; __part mirrors the partition
         # column so the directory layout carries the value while the original
         # column stays inside the data files (readers need no path inference).
@@ -379,6 +441,8 @@ class TxnTable:
                 f"source has duplicate merge keys (e.g. {dup[0].asDict()}); "
                 "MERGE requires a key-unique source"
             )
+
+        self._validate_constraints(df, snap, "merge_upsert")
 
         if snap.version < 0 or not snap.files:
             # Empty table: everything is an insert.

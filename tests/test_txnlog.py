@@ -709,3 +709,76 @@ def test_overwrite_rejects_unknown_columns(spark, tmp_path):
         t.merge_overwrite_partitions(wide, "date")
     with pytest.raises(ValueError, match="unknown to the table"):
         t.merge_upsert(spark, wide, ["date", "k"])
+
+
+# ------------------------------- CHECK constraints -------------------------
+
+
+def test_constraint_rejects_violating_writes(spark, tmp_path):
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage.txnlog import (
+        ConstraintViolationError,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.add_constraint(spark, "v_positive", "v > 0")
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.merge_overwrite_partitions(_df(spark, [("d1", "a", -5)]), "date")
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.merge_upsert(spark, _df(spark, [("d1", "z", 0)]), keys=["k"])
+    # The rejected writes committed nothing; valid writes still land.
+    assert _rows(t.read(spark)) == [("d1", "a", 1)]
+    t.merge_upsert(spark, _df(spark, [("d1", "z", 7)]), keys=["k"])
+    assert ("d1", "z", 7) in _rows(t.read(spark))
+
+
+def test_constraint_null_passes_and_existing_data_validated(spark, tmp_path):
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage.txnlog import (
+        ConstraintViolationError,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        spark.createDataFrame([("d1", "a", None)], "date string, k string, v long"),
+        "date",
+    )
+    # SQL CHECK: NULL is not a violation — adding over a NULL row succeeds...
+    t.add_constraint(spark, "v_positive", "v > 0")
+    # ...and NULL rows keep writing.
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([("d1", "b", None)], "date string, k string, v long"),
+        keys=["k"],
+    )
+    # But a constraint the existing data already violates is rejected.
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.merge_overwrite_partitions(_df(spark, [("d1", "a", -1)]), "date")
+    with pytest.raises(ConstraintViolationError, match="add_constraint"):
+        t2.add_constraint(spark, "v_positive", "v > 0")
+    assert t2.snapshot().constraints == {}
+
+
+def test_constraint_survives_checkpoint_and_drop(spark, tmp_path):
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage.txnlog import (
+        ConstraintViolationError,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.add_constraint(spark, "v_pos", "v > 0")
+    t.checkpoint()  # constraint must ride the checkpoint, not just replay
+    t.merge_overwrite_partitions(_df(spark, [("d2", "b", 2)]), "date")
+    assert t.snapshot().constraints == {"v_pos": "v > 0"}
+    with pytest.raises(ConstraintViolationError):
+        t.merge_overwrite_partitions(_df(spark, [("d3", "c", -1)]), "date")
+    t.drop_constraint("v_pos")
+    t.merge_overwrite_partitions(_df(spark, [("d3", "c", -1)]), "date")
+    assert ("d3", "c", -1) in _rows(t.read(spark))
+    with pytest.raises(ValueError):
+        t.drop_constraint("v_pos")
