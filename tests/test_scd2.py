@@ -94,3 +94,35 @@ def test_exactly_once_markers(spark, tmp_path):
     # even matters; nothing is written either way.
     assert _apply(t, spark, rows, app_id="scd", batch_id=0) == 0
     assert t.read(spark).count() == 1
+
+
+def test_streaming_scd2_end_to_end(spark, tmp_path):
+    import os
+
+    from data_lake_medallion_architecture_project_spark.streaming import run_streaming_scd2
+
+    src = str(tmp_path / "changes")
+    table_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        _changes(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: run_streaming_scd2(
+        spark, src, table_path, keys=["custkey"], order_col="ts",
+        partition_col="part", checkpoint_root=ckpt,
+    )
+
+    land([(1, "GOLD", "2024-01-01", "p0")])
+    assert run() == 1
+    # Nothing new: the checkpoint prevents re-reading, nothing is written.
+    assert run() == 0
+    # A change file lands: the catch-up run closes GOLD and opens PLAT.
+    land([(1, "PLAT", "2024-03-01", "p0"), (2, "BASE", "2024-02-01", "p1")])
+    assert run() == 3  # closed GOLD + new PLAT + new key 2
+    t = TxnTable(table_path)
+    cur = {r["custkey"]: r["segment"]
+           for r in t.read(spark).filter("is_current").collect()}
+    assert cur == {1: "PLAT", 2: "BASE"}
+    assert t.read(spark).count() == 3  # full history retained
+    assert os.path.isdir(os.path.join(ckpt, "scd2"))  # checkpointed stream
