@@ -74,3 +74,28 @@ def orders_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = table_diff(orders, replica, keys=["o_orderkey"])
     return diff_summary(diff, keys=["o_orderkey"])
+
+
+_EDITDIST_ORACLE = """
+SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@register("supplier_name_near_matches", oracle=_EDITDIST_ORACLE, tags=("dedup",))
+def supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on supplier names: all pairs within edit distance 1
+    via FastSS deletion-neighborhood blocking (``operators/editdist.py``) —
+    candidate generation is O(n·L) JVM expressions and one equi-join, never
+    the n² pair scan the DuckDB oracle runs; the hash match proves the
+    blocking's recall lemma held on real data."""
+    from ..operators.editdist import edit_distance_pairs
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return edit_distance_pairs(sup, "s_suppkey", "s_name", max_dist=1).select(
+        F.col("a_key").cast("long").alias("a_key"),
+        F.col("b_key").cast("long").alias("b_key"),
+        "dist",
+    )
