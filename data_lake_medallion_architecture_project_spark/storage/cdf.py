@@ -1,0 +1,63 @@
+"""Change Data Feed — row-level changes between two versions of a TxnTable.
+
+Delta's ``table_changes()`` surface, reconstructed from what the log
+already knows instead of extra CDC files at write time: the commit range
+names exactly which partitions' file sets changed, both snapshot versions
+read ONLY those partitions (file-pruned from log metadata — untouched
+history is never scanned), and a keyed diff classifies every row:
+
+* ``insert``            — key only in the newer snapshot,
+* ``delete``            — key only in the older snapshot,
+* ``update_preimage`` / ``update_postimage`` — both rows of a changed key
+  (Delta's convention: downstream consumers get old and new values).
+
+Cost: O(touched partitions + diff), not O(table) — a compaction-only range
+reads the rewritten partitions and correctly emits zero rows (compaction
+moves bytes, not rows). This is the feed a downstream incremental consumer
+(a Gold refresh, a search-index updater, a reverse-ETL sync) polls instead
+of re-scanning the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.tablediff import table_diff
+from .txnlog import TxnTable
+
+__all__ = ["table_changes"]
+
+
+def table_changes(
+    table: TxnTable,
+    spark: SparkSession,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows changed between ``from_version`` (exclusive state: the feed
+    describes how to get FROM it) and ``to_version`` (default: head), with
+    a ``_change_type`` column."""
+    s0 = table.snapshot(from_version)
+    s1 = table.snapshot(to_version)
+    touched = sorted(
+        {pv for f, pv in s0.files.items() if s1.files.get(f) != pv}
+        | {pv for f, pv in s1.files.items() if s0.files.get(f) != pv}
+    )
+    old = table.read(spark, partition_values=touched, version=s0.version)
+    new = table.read(spark, partition_values=touched, version=s1.version)
+    diff = table_diff(old, new, keys)
+
+    def _pick(src: DataFrame, status: str, change_type: str) -> DataFrame:
+        marked = diff.filter(F.col("status") == status).select(*keys)
+        return src.join(F.broadcast(marked), keys, "left_semi").withColumn(
+            "_change_type", F.lit(change_type)
+        )
+
+    return (
+        _pick(new, "right_only", "insert")
+        .unionByName(_pick(old, "left_only", "delete"))
+        .unionByName(_pick(old, "changed", "update_preimage"))
+        .unionByName(_pick(new, "changed", "update_postimage"))
+    )
