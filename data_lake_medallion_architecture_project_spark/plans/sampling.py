@@ -11,10 +11,12 @@ operate on the training corpus itself):
   keeping only the segments no other document shares (boilerplate headers,
   navigation chrome, and license blocks are exactly the segments that repeat
   across documents). Shuffle discipline: the segment-frequency aggregate
-  groups on a 64-bit hash of the segment (the shuffle carries hash + count,
-  never segment text), and the multi-document hash set that flows back is
-  |duplicated segments| — a tiny fraction of the corpus — so AQE turns the
-  filter join into a broadcast at any realistic dup rate.
+  groups on the segment string itself (exactness — a hash key would trade
+  a 2⁻⁶⁴ collision for a wrongly-dropped segment) but only after map-side
+  partials collapse within-partition repeats; only the MULTI-document
+  segment set flows back (a left join, NULL ⇔ keep) — |duplicated
+  segments|, a tiny fraction of the corpus, so AQE broadcasts it at any
+  realistic dup rate while the unique majority never joins anything.
 * ``doc_split_summary`` — deterministic hash-based train/val/test split.
   The assignment key is ``md5(doc_id)``: stable across runs, engines, and
   cluster sizes (never ``rand()``, which resamples per run and per retry).
@@ -115,9 +117,19 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("w", F.col("seg_idx") * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
         ).alias("seg"),
     )
-    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # Only the DUPLICATED segments flow back (the unique ones — the vast
+    # majority at any realistic dup rate — never join): a left join against
+    # the small multi-doc set, NULL ⇔ keep. Joining the full frequency
+    # table instead would broadcast |distinct segments| — corpus-scaled.
+    multi = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("seg", F.lit(True).alias("_dup"))
+    )
     return (
-        segs.join(freq, "seg")
+        segs.join(multi, "seg", "left")
+        .withColumn("n_docs", F.when(F.col("_dup").isNotNull(), 2).otherwise(1))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
