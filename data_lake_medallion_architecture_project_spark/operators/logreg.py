@@ -58,10 +58,10 @@ def _grad_batches(batches, d: int, w, b, mean, std):
     gb = 0.0
     for batch in batches:
         cols = [
-            np.asarray(batch.column(i).to_pylist(), dtype=np.float64)
+            batch.column(i).to_numpy(zero_copy_only=False).astype(np.float64)
             for i in range(d)
         ]
-        y = np.asarray(batch.column(d).to_pylist(), dtype=np.float64)
+        y = batch.column(d).to_numpy(zero_copy_only=False).astype(np.float64)
         if not len(y):
             continue
         x = (np.stack(cols, axis=1) - mean) / std

@@ -54,10 +54,13 @@ def _moment_batches(batches, col: str, d: int):
     s = np.zeros(d, dtype=np.float64)
     m = np.zeros((d, d), dtype=np.float64)
     for batch in batches:
-        x = np.asarray(
-            batch.column(col).to_pylist(), dtype=np.float64
-        )  # (rows, d)
-        if len(x):
+        arr = batch.column(col)
+        if len(arr):
+            # Vectorized Arrow→numpy: flatten the list column's value buffer
+            # and reshape — no per-row Python materialization.
+            x = arr.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(len(arr), d)
             n += x.shape[0]
             s += x.sum(axis=0)
             m += x.T @ x
