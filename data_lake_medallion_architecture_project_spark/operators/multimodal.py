@@ -258,3 +258,93 @@ def image_decode_stats(payloads: DataFrame, thumb: tuple[int, int] | None = None
             yield pa.RecordBatch.from_pydict(out)
 
     return payloads.mapInArrow(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------- #
+# Perceptual hashing — image near-dup for the dedup ladder.
+# --------------------------------------------------------------------------- #
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale → 9×8 nearest-neighbor
+    thumbnail → one bit per horizontal gradient sign. Robust to re-encoding,
+    resizing, and small edits — byte-level hashing (exact_dedup) sees those
+    as distinct, which is exactly the gap perceptual hashing fills. Pure
+    numpy; no image library."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    thumb = gray[(np.arange(8) * gray.shape[0]) // 8][
+        :, (np.arange(9) * gray.shape[1]) // 9
+    ]
+    bits = (thumb[:, 1:] > thumb[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+IMAGE_HASH_SCHEMA = "doc_id long, dhash long"
+
+
+def image_dhash(payloads: DataFrame) -> DataFrame:
+    """(doc_id, dhash) per image payload — Arrow-batched decode + hash."""
+
+    def _hash(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            out = []
+            for payload in batch.column("payload"):
+                px = decode_image(payload.as_py())
+                # numpy packbits view is unsigned; store as signed 64-bit.
+                out.append(np.int64(np.uint64(dhash64(px))))
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "dhash": pa.array(out, pa.int64())}
+            )
+
+    return payloads.mapInArrow(_hash, schema=IMAGE_HASH_SCHEMA)
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image pairs within ``max_hamming`` bits of dHash distance, via the
+    same band-blocking pigeonhole the SimHash text path uses: split the 64
+    bits into max_hamming+1 bands — two hashes within the radius must agree
+    exactly on at least one band — join per band, then verify the exact
+    popcount. Candidate-bounded: the n² pair space is never enumerated.
+    (Floor of 2 bands: the pigeonhole holds for any band count > max_hamming,
+    and a single 64-bit band mask would overflow the signed literal.)"""
+    n_bands = max(max_hamming + 1, 2)
+    width = 64 // n_bands
+    banded = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(
+                        F.col("dhash"), i * width
+                    ).bitwiseAND((1 << width) - 1).alias("key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band", "b.key")
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("dhash").alias("a_hash"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("dhash").alias("b_hash"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a_hash").bitwiseXOR(F.col("b_hash"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,77 @@
+"""Tests for perceptual image hashing (dHash) and band-blocked near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+    dhash64,
+    encode_bmp,
+    image_dhash,
+    image_near_dup_pairs,
+)
+
+
+def _noise(seed, h=64, w=64):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_dhash_invariant_to_resize_sensitive_to_content():
+    base = _noise(1)
+    up = np.kron(base, np.ones((2, 2, 1))).astype(np.uint8)  # 2x upscale
+    assert dhash64(base) == dhash64(up)  # thumbnails coincide
+    other = _noise(2)
+    d = bin(dhash64(base) ^ dhash64(other)).count("1")
+    assert d > 20  # unrelated noise → far apart
+
+
+def test_small_edit_small_distance():
+    base = _noise(3)
+    edited = base.copy()
+    edited[:4, :4] = 0  # small local edit
+    d = bin(dhash64(base) ^ dhash64(edited)).count("1")
+    assert d <= 3
+
+
+def _payloads(spark, images):
+    rows = [(i, bytearray(encode_bmp(px))) for i, px in enumerate(images)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_spark_hash_matches_local(spark):
+    images = [_noise(s) for s in range(6)]
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(_payloads(spark, images)).collect()
+    }
+    want = {i: int(np.int64(np.uint64(dhash64(px)))) for i, px in enumerate(images)}
+    assert got == want
+
+
+def test_near_dup_pairs_banding_recall(spark):
+    base = _noise(7)
+    edited = base.copy()
+    edited[:4, :4] = 255  # near-dup of base
+    images = [base, edited, _noise(8), _noise(9)]
+    hashes = image_dhash(_payloads(spark, images))
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in image_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    # Exact ground truth: brute-force hamming over the local hashes.
+    local = [dhash64(px) for px in images]
+    want = {
+        (i, j): bin(local[i] ^ local[j]).count("1")
+        for i in range(4)
+        for j in range(i + 1, 4)
+        if bin(local[i] ^ local[j]).count("1") <= 3
+    }
+    assert got == want
+    assert (0, 1) in got  # the engineered near-dup was found
+
+
+def test_identical_images_distance_zero(spark):
+    px = _noise(12)
+    hashes = image_dhash(_payloads(spark, [px, px.copy()]))
+    got = image_near_dup_pairs(hashes, max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in got] == [(0, 1, 0)]
