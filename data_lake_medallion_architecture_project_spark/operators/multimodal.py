@@ -6,12 +6,16 @@ Arrow-batched ``mapInPandas`` / ``mapInArrow`` so bytes stream executor-side
 in columnar batches and never hit the driver.
 
 Decode is REAL for uncompressed 24-bit BMP (``decode_image`` /
-``encode_bmp`` — a pure-stdlib codec, no image library needed), and
-``resize_image`` is a real numpy nearest-neighbor resampler. Formats that
-genuinely need external codecs (JPEG/PNG/video) raise ``NotImplementedError``
-at the same dispatch point — swap in PIL/libvips/ffmpeg there and nothing
-else changes. ``extract_payload_features`` keeps the format-agnostic
-byte-level path (length, digest) for opaque payloads.
+``encode_bmp``) and PCM16 mono WAV (``decode_wav`` / ``encode_wav``) —
+pure-stdlib codecs, no media library needed — and ``resize_image`` is a
+real numpy nearest-neighbor resampler. Formats that genuinely need
+external codecs (JPEG/PNG/compressed audio/video) raise
+``NotImplementedError`` at the same dispatch points — swap in
+PIL/libvips/ffmpeg there and nothing else changes.
+``extract_payload_features`` keeps the format-agnostic byte-level path
+(length, digest) for opaque payloads; ``image_dhash`` /
+``image_near_dup_pairs`` and ``audio_features`` are the perceptual-dedup
+and quality-gate layers on top.
 """
 
 from __future__ import annotations
@@ -348,3 +352,87 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Audio — pure-stdlib WAV (PCM16 mono) codec + feature extraction.
+# --------------------------------------------------------------------------- #
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """RIFF/WAVE PCM16 mono encoder — samples in [-1, 1] float or int16.
+    Same spirit as ``encode_bmp``: a real container format, no audio lib."""
+    if samples.dtype != np.int16:
+        samples = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        samples = np.round(samples * 32767.0).astype(np.int16)
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM16 mono WAV → (int16 samples, sample_rate). Walks RIFF
+    chunks (a real-world WAV may carry LIST/fact chunks before data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    "only PCM16 mono is built in; compressed/multichannel "
+                    "audio requires an external codec at this dispatch point"
+                )
+        elif cid == b"data":
+            return np.frombuffer(body, dtype="<i2"), int(rate)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, duration_ms long, "
+    "rms double, peak long, zero_crossings long"
+)
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """Per-clip features for corpus filtering — the audio analog of
+    ``doc_quality_scores``: length/energy gates (silence, clipping, trunca-
+    tion) run on these columns. Arrow-batched; numpy does the signal math."""
+
+    def _feat(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            rows = {k: [] for k in
+                    ("n", "rate", "dur", "rms", "peak", "zc")}
+            for payload in batch.column("payload"):
+                x, rate = decode_wav(payload.as_py())
+                xf = x.astype(np.float64)
+                rows["n"].append(len(x))
+                rows["rate"].append(rate)
+                rows["dur"].append(int(len(x) * 1000 // rate))
+                rows["rms"].append(float(np.sqrt(np.mean(xf**2))) if len(x) else 0.0)
+                rows["peak"].append(int(np.max(np.abs(xf))) if len(x) else 0)
+                rows["zc"].append(int(np.sum(np.signbit(xf[1:]) != np.signbit(xf[:-1]))))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_samples": pa.array(rows["n"], pa.int64()),
+                    "sample_rate": pa.array(rows["rate"], pa.int64()),
+                    "duration_ms": pa.array(rows["dur"], pa.int64()),
+                    "rms": pa.array(rows["rms"], pa.float64()),
+                    "peak": pa.array(rows["peak"], pa.int64()),
+                    "zero_crossings": pa.array(rows["zc"], pa.int64()),
+                }
+            )
+
+    return payloads.mapInArrow(_feat, schema=AUDIO_FEATURE_SCHEMA)

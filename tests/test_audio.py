@@ -1,0 +1,68 @@
+"""Tests for the WAV codec and audio feature extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+    audio_features,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _sine(freq, seconds, rate=16000, amp=0.5):
+    t = np.arange(int(seconds * rate)) / rate
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def test_wav_roundtrip_lossless_int16():
+    x = (np.array([0, 1000, -1000, 32767, -32768])).astype(np.int16)
+    samples, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(samples, x)
+
+
+def test_wav_float_encode_and_chunk_walking():
+    payload = encode_wav(_sine(440, 0.1))
+    # Inject a LIST chunk between fmt and data (real encoders do this) —
+    # the decoder must walk past it.
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    samples, rate = decode_wav(patched)
+    assert rate == 16000 and len(samples) == 1600
+
+
+def test_non_pcm_raises_at_dispatch_point():
+    import struct
+
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36, b"WAVE", b"fmt ", 16, 3, 2, 44100, 44100 * 8, 8, 32,
+        b"data", 0,
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(hdr)
+
+
+def test_audio_features_physics(spark):
+    rate = 16000
+    clips = {
+        0: _sine(440, 0.5),               # tone
+        1: np.zeros(rate // 2),           # silence
+        2: _sine(100, 1.0, amp=0.999),    # loud low tone
+    }
+    rows = [(i, bytearray(encode_wav(x, rate))) for i, x in clips.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert got[0]["duration_ms"] == 500 and got[0]["sample_rate"] == rate
+    # 440 Hz for 0.5 s crosses zero ~2·440·0.5 times.
+    assert abs(got[0]["zero_crossings"] - 440) <= 2
+    assert got[1]["rms"] == 0.0 and got[1]["peak"] == 0  # silence gate signal
+    # Louder clip → higher rms; sine rms ≈ amp/√2 in int16 units.
+    assert got[2]["rms"] > got[0]["rms"]
+    assert abs(got[2]["rms"] - 0.999 * 32767 / np.sqrt(2)) / 32767 < 0.01
