@@ -182,3 +182,46 @@ def test_asof_join_matches_python_reference(rows):
         candidates = [rts for rk, rts in rights if rk == k and rts <= lts]
         expect = max(candidates) if candidates else None
         assert got[row_id] == expect, (row_id, got[row_id], expect)
+
+
+# --------------------------- table diff (reconciliation) --------------------
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=15),        # key
+    st.one_of(st.none(), st.integers(0, 3)),       # v (nullable)
+    st.one_of(st.none(), st.sampled_from("ab")),   # s (nullable)
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_row, max_size=20), st.lists(_row, max_size=20))
+def test_table_diff_matches_reference(left_rows, right_rows):
+    """For arbitrary keyed tables (nullable values, absent keys on either
+    side), table_diff's classification equals a dict-based reference."""
+    from data_lake_medallion_architecture_project_spark.operators.tablediff import table_diff
+
+    spark = _get_spark()
+
+    def dedupe(rows):  # keys must be unique per side for a keyed diff
+        return list({r[0]: r for r in rows}.values())
+
+    left_rows, right_rows = dedupe(left_rows), dedupe(right_rows)
+    schema = "k long, v long, s string"
+    diff = table_diff(
+        spark.createDataFrame(left_rows, schema),
+        spark.createDataFrame(right_rows, schema),
+        keys=["k"],
+    )
+    got = {r["k"]: r["status"] for r in diff.collect()}
+
+    l = {r[0]: r[1:] for r in left_rows}
+    r = {r[0]: r[1:] for r in right_rows}
+    want = {}
+    for k in set(l) | set(r):
+        if k not in r:
+            want[k] = "left_only"
+        elif k not in l:
+            want[k] = "right_only"
+        elif l[k] != r[k]:  # tuple equality == null-safe column equality
+            want[k] = "changed"
+    assert got == want
