@@ -61,3 +61,50 @@ def table_changes(
         .unionByName(_pick(old, "changed", "update_preimage"))
         .unionByName(_pick(new, "changed", "update_postimage"))
     )
+
+
+def consume_changes(
+    table: TxnTable,
+    spark: SparkSession,
+    keys: list[str],
+    cursor_path: str,
+) -> tuple[DataFrame, int]:
+    """Incremental CDF consumption: changes since the last consumed version,
+    plus the head version to acknowledge.
+
+    The consumer loop a downstream sync runs:
+
+        feed, head = consume_changes(table, spark, keys, cursor)
+        ... apply feed ...
+        ack_changes(cursor, head)          # AFTER the apply durably lands
+
+    The cursor is a plain version number in a file, advanced only by
+    ``ack_changes`` — crash between apply and ack replays the same range
+    (at-least-once), so consumers make the apply idempotent (keyed upserts
+    downstream make that free). First call replays from the beginning
+    (cursor −1 = everything is an insert)."""
+    import os
+
+    last = -1
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            last = int(fh.read().strip())
+    head = table.snapshot().version
+    if head <= last:
+        empty = table.read(spark, partition_values=[])
+        return empty.withColumn("_change_type", F.lit("")).limit(0), head
+    if last < 0:
+        base = table.read(spark, version=head)
+        return base.withColumn("_change_type", F.lit("insert")), head
+    return table_changes(table, spark, keys, last, head), head
+
+
+def ack_changes(cursor_path: str, version: int) -> None:
+    """Durably advance the consumer cursor (write-then-rename atomic)."""
+    import os
+    import uuid
+
+    tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, cursor_path)

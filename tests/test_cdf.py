@@ -83,3 +83,37 @@ def test_untouched_partitions_not_scanned(spark, tmp_path):
     allowed = {p.split("_data/")[-1].rstrip(",)") for p in paths}
     wanted = {f.split("_data/")[-1] for f in d2_files | v0_d2}
     assert allowed <= wanted or not paths
+
+
+def test_consume_ack_cursor_loop(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.storage.cdf import (
+        ack_changes,
+        consume_changes,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    cursor = str(tmp_path / "cursor")
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+
+    # First consumption: full replay as inserts.
+    feed, head = consume_changes(t, spark, ["k"], cursor)
+    assert [(r["_change_type"], r["k"]) for r in feed.collect()] == [("insert", "a")]
+    # Crash before ack: the same range replays (at-least-once).
+    feed2, head2 = consume_changes(t, spark, ["k"], cursor)
+    assert head2 == head and feed2.count() == 1
+    ack_changes(cursor, head)
+
+    # Caught up: empty feed with the CDF schema.
+    feed3, head3 = consume_changes(t, spark, ["k"], cursor)
+    assert head3 == head and feed3.count() == 0
+    assert "_change_type" in feed3.columns
+
+    # New commits: only the delta flows.
+    t.merge_upsert(spark, _df(spark, [("d1", "a", 2), ("d1", "b", 9)]), keys=["k"])
+    feed4, head4 = consume_changes(t, spark, ["k"], cursor)
+    got = sorted((r["_change_type"], r["k"]) for r in feed4.collect())
+    assert got == [
+        ("insert", "b"), ("update_postimage", "a"), ("update_preimage", "a"),
+    ]
+    ack_changes(cursor, head4)
+    assert consume_changes(t, spark, ["k"], cursor)[0].count() == 0
