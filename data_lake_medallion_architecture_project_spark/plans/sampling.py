@@ -325,3 +325,86 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Contrastive training triples.
+# --------------------------------------------------------------------------- #
+
+NEG_BUCKETS = 16  # negative-pool buckets; scale B with corpus so per-bucket
+#                   rep windows stay bounded (B ≈ corpus_rows / 1e6 at 100 TB)
+
+_TRIPLES_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+pos AS (
+  SELECT a.doc_id AS anchor_id, b.doc_id AS positive_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+),
+reps AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT p.anchor_id, p.positive_id,
+       min_by(r.doc_id, r.rnk) AS negative_id
+FROM pos p
+JOIN reps r
+  ON r.bucket = substr(md5(CAST(p.anchor_id AS VARCHAR)), 32, 1)
+ AND r.rnk <= 3
+ AND r.doc_id <> p.anchor_id AND r.doc_id <> p.positive_id
+GROUP BY p.anchor_id, p.positive_id
+"""
+
+
+@register("contrastive_training_triples", oracle=_TRIPLES_ORACLE, tags=("training",))
+def contrastive_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triples for contrastive embedding
+    training: positives are the shingle-Jaccard ≥ 0.8 near-dup pairs (the
+    prefix-filtered exact join — candidate-bounded, never n²), negatives are
+    deterministic hash-bucket representatives (the anchor's md5 tail picks a
+    bucket; the bucket's lowest-hash doc that is neither anchor nor positive
+    serves as the negative — stable across runs and engines, no rand()).
+
+    Scale shape: the positive side is the near-dup operator's cost; the
+    negative pool is a per-bucket top-3 window (B buckets bound each
+    partition — grow NEG_BUCKETS with the corpus) joined back by bucket key,
+    so negatives cost O(|pairs| + B) however large the corpus is."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingle_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3).select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    reps = (
+        docs.select("doc_id", h.alias("h"), F.substring(h, 32, 1).alias("bucket"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "bucket", "rnk")
+    )
+    anchor_bucket = F.substring(F.md5(F.col("anchor_id").cast("string")), 32, 1)
+    return (
+        pos.withColumn("bucket", anchor_bucket)
+        .join(F.broadcast(reps), "bucket")
+        .filter(
+            (F.col("doc_id") != F.col("anchor_id"))
+            & (F.col("doc_id") != F.col("positive_id"))
+        )
+        .groupBy("anchor_id", "positive_id")
+        .agg(F.min_by("doc_id", "rnk").alias("negative_id"))
+    )

@@ -106,3 +106,15 @@ def test_hll_sketches_merge_incrementally(spark):
         .collect()[0]["est"]
     )
     assert merged == direct == 75
+
+
+def test_contrastive_triples_roles_distinct(spark):
+    rows = REGISTRY["contrastive_training_triples"].build(spark, SF_SMALL).collect()
+    assert rows  # near-dup pairs exist in the gate corpus
+    for r in rows:
+        ids = (r["anchor_id"], r["positive_id"], r["negative_id"])
+        assert len(set(ids)) == 3  # three distinct docs per triple
+        assert r["negative_id"] is not None
+    # Determinism: negatives are hash-picked, not sampled.
+    again = REGISTRY["contrastive_training_triples"].build(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
