@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..streaming.upsert import latest_per_key
 from .txnlog import TxnTable
 
-__all__ = ["scd2_apply", "scd2_current", "scd2_asof"]
+__all__ = ["scd2_apply", "scd2_current", "scd2_asof", "scd2_pit_join"]
 
 
 def scd2_apply(
@@ -123,4 +123,47 @@ def scd2_asof(table: TxnTable, spark: SparkSession, ts) -> DataFrame:
     return table.read(spark).filter(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    table: TxnTable,
+    spark: SparkSession,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time enrichment — THE consumption pattern SCD2 exists for:
+    each fact row picks up the dimension attributes that were valid at the
+    fact's own business time (training-data labeling, feature backfills,
+    and revenue attribution all need "the customer's segment AS OF the
+    order date", not today's).
+
+    Implemented as the as-of union-merge (``operators/asof.py``) on
+    ``valid_from``: one shuffle of |facts| + |versions| rows — never the
+    quadratic key ⋈ interval-containment join — then one keyed equi-join
+    back to the version row. A fact older than its key's first version
+    keeps NULL attributes (left semantics). Interval correctness needs no
+    upper-bound check: SCD2 versions are contiguous, so the greatest
+    ``valid_from`` ≤ ts is exactly the version whose ``valid_to`` exceeds
+    ts."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+
+    sep = chr(31)  # unit separator: cannot occur in key casts
+    synth = F.concat_ws(sep, *[F.col(k).cast("string") for k in keys])
+    dim = table.read(spark)
+    versions = dim.select(
+        synth.alias("__pit_key"), F.col("valid_from").alias(ts_col)
+    )
+    tagged = facts.withColumn("__pit_key", synth)
+    hit = asof_join(tagged, versions, "__pit_key", ts_col, out_col="__pit_from")
+    dim_keyed = dim.select(
+        synth.alias("__pit_key"),
+        F.col("valid_from").alias("__pit_from"),
+        *[c for c in dim.columns if c not in keys],
+    )
+    return hit.join(dim_keyed, ["__pit_key", "__pit_from"], "left").drop(
+        "__pit_key", "__pit_from", "valid_from", "valid_to", "is_current"
     )

@@ -126,3 +126,36 @@ def test_streaming_scd2_end_to_end(spark, tmp_path):
     assert cur == {1: "PLAT", 2: "BASE"}
     assert t.read(spark).count() == 3  # full history retained
     assert os.path.isdir(os.path.join(ckpt, "scd2"))  # checkpointed stream
+
+
+def test_point_in_time_join_enriches_at_event_time(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.storage.scd2 import scd2_pit_join
+
+    t = TxnTable(str(tmp_path / "dim"))
+    _apply(t, spark, [(1, "GOLD", "2024-01-01", "p0")])
+    _apply(t, spark, [(1, "PLAT", "2024-03-01", "p0")])
+    _apply(t, spark, [(2, "BASE", "2024-02-01", "p1")])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2023-12-30"),  # before key 1 existed → NULL
+            (101, 1, "2024-01-01"),  # exactly at valid_from → GOLD
+            (102, 1, "2024-02-15"),  # mid-interval → GOLD
+            (103, 1, "2024-03-01"),  # boundary → PLAT (inclusive lower)
+            (104, 1, "2024-12-31"),  # open interval → PLAT
+            (105, 2, "2024-06-01"),  # other key → BASE
+            (106, 3, "2024-06-01"),  # unknown key → NULL
+        ],
+        "order_id long, custkey long, ts string",
+    )
+    got = {
+        r["order_id"]: r["segment"]
+        for r in scd2_pit_join(facts, t, spark, ["custkey"], "ts").collect()
+    }
+    assert got == {
+        100: None, 101: "GOLD", 102: "GOLD", 103: "PLAT",
+        104: "PLAT", 105: "BASE", 106: None,
+    }
+    # All fact rows and columns survive; dimension bookkeeping does not leak.
+    out = scd2_pit_join(facts, t, spark, ["custkey"], "ts")
+    assert out.count() == 7
+    assert {"valid_from", "valid_to", "is_current"} & set(out.columns) == set()
