@@ -67,6 +67,57 @@ _DATA_DIR = "_data"
 _CHECKPOINT_EVERY = 10  # auto-checkpoint cadence, like Delta's default
 
 
+def _file_column_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer (Delta-style data
+    skipping stats), collected once at staging time — a driver-side metadata
+    read, no data scan. Only JSON-faithful types are kept (int/float/str/
+    bool); columns without usable footer stats are simply absent, which the
+    reader treats as un-prunable."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(path)
+    out: dict = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
+def _file_may_match(stats: dict, where: list) -> bool:
+    """Can a file with these footer stats contain a row satisfying every
+    (col, op, value) predicate? Missing stats → maybe (never prune)."""
+    for col, op, val in where:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if (
+            (op == "=" and not (lo <= val <= hi))
+            or (op == "<" and not lo < val)
+            or (op == "<=" and not lo <= val)
+            or (op == ">" and not hi > val)
+            or (op == ">=" and not hi >= val)
+        ):
+            return False
+    return True
+
+
 class ConcurrentModificationError(RuntimeError):
     """A concurrent commit changed files this transaction read and rewrote.
 
@@ -105,6 +156,8 @@ class Snapshot:
     partition_col: str | None = None
     # constraint name -> SQL boolean expression (CHECK constraints)
     constraints: dict = field(default_factory=dict)
+    # relative file path -> {column: [min, max]} data-skipping stats
+    stats: dict = field(default_factory=dict)
 
 
 class TxnTable:
@@ -154,6 +207,7 @@ class TxnTable:
             "schema_json": snap.schema_json,
             "partition_col": snap.partition_col,
             "constraints": snap.constraints,
+            "stats": snap.stats,
         }
         target = os.path.join(self.log_dir, f"{snap.version:020d}.checkpoint.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -180,6 +234,7 @@ class TxnTable:
             snap.schema_json = ck.get("schema_json")
             snap.partition_col = ck.get("partition_col")
             snap.constraints = dict(ck.get("constraints", {}))
+            snap.stats = dict(ck.get("stats", {}))
         for v in self._versions():
             if v <= snap.version:
                 continue
@@ -189,8 +244,11 @@ class TxnTable:
                 commit = json.load(fh)
             for add in commit.get("add", []):
                 snap.files[add["path"]] = add.get("partition")
+                if add.get("stats"):
+                    snap.stats[add["path"]] = add["stats"]
             for rm in commit.get("remove", []):
                 snap.files.pop(rm, None)
+                snap.stats.pop(rm, None)
             txn = commit.get("txn")
             if txn:
                 prev = snap.txns.get(txn["app_id"], -1)
@@ -310,8 +368,15 @@ class TxnTable:
                 part = base.split("=", 1)[1]
             for n in names:
                 if n.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, n), self.path)
-                    adds.append({"path": rel, "partition": part})
+                    full = os.path.join(root, n)
+                    rel = os.path.relpath(full, self.path)
+                    adds.append(
+                        {
+                            "path": rel,
+                            "partition": part,
+                            "stats": _file_column_stats(full),
+                        }
+                    )
         return adds
 
     def merge_overwrite_partitions(
@@ -616,14 +681,20 @@ class TxnTable:
         spark: SparkSession,
         partition_values: list | None = None,
         version: int | None = None,
+        where: list | None = None,
     ) -> DataFrame:
         """Read the committed snapshot (optionally time-traveled / pruned).
 
         ``partition_values`` prunes at FILE granularity from log metadata —
-        the scan never lists or touches other partitions' files. The scan
-        applies the schema committed as of ``version``, so files written
-        before an ``add_columns`` evolution surface the new columns as NULL,
-        and time travel to a pre-evolution version reads the old schema.
+        the scan never lists or touches other partitions' files. ``where``
+        is a list of (column, op, value) with op in =/</<=/>/>=: files whose
+        footer min/max stats cannot satisfy every predicate are skipped
+        (Delta-style data skipping), and the predicates are ALSO applied as
+        row filters, so correctness never depends on stats — files without
+        stats simply aren't skipped. The scan applies the schema committed
+        as of ``version``, so files written before an ``add_columns``
+        evolution surface the new columns as NULL, and time travel to a
+        pre-evolution version reads the old schema.
         """
         snap = self.snapshot(version)
         wanted = (
@@ -634,7 +705,11 @@ class TxnTable:
         files = [
             os.path.join(self.path, rel)
             for rel, pv in sorted(snap.files.items())
-            if wanted is None or pv in wanted
+            if (wanted is None or pv in wanted)
+            and (
+                not where
+                or _file_may_match(snap.stats.get(rel, {}), where)
+            )
         ]
         schema = (
             StructType.fromJson(json.loads(snap.schema_json))
@@ -646,7 +721,17 @@ class TxnTable:
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        for col, op, val in where or []:
+            ops = {
+                "=": F.col(col) == val,
+                "<": F.col(col) < val,
+                "<=": F.col(col) <= val,
+                ">": F.col(col) > val,
+                ">=": F.col(col) >= val,
+            }
+            df = df.filter(ops[op])
+        return df
 
     # -------------------------------------------------------------- compact
 
@@ -756,7 +841,12 @@ class TxnTable:
             head = self.snapshot()
             commit = {
                 "add": [
-                    {"path": rel, "partition": pv} for rel, pv in old.files.items()
+                    {
+                        "path": rel,
+                        "partition": pv,
+                        "stats": old.stats.get(rel),
+                    }
+                    for rel, pv in old.files.items()
                 ],
                 "remove": [rel for rel in head.files if rel not in old.files],
             }

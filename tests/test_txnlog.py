@@ -782,3 +782,58 @@ def test_constraint_survives_checkpoint_and_drop(spark, tmp_path):
     assert ("d3", "c", -1) in _rows(t.read(spark))
     with pytest.raises(ValueError):
         t.drop_constraint("v_pos")
+
+
+# ------------------------------- data skipping -----------------------------
+
+
+def test_where_prunes_files_by_footer_stats(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    # Two partitions with disjoint v ranges → distinct files with distinct
+    # footer stats.
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 9)]), "date"
+    )
+    t.merge_overwrite_partitions(
+        _df(spark, [("d2", "c", 100), ("d2", "d", 199)]), "date"
+    )
+    snap = t.snapshot()
+    assert snap.stats  # staging collected footer stats
+    assert all("v" in s and "k" in s for s in snap.stats.values())
+
+    d1_files = {f for f, pv in snap.files.items() if pv == "d1"}
+    d2_files = {f for f, pv in snap.files.items() if pv == "d2"}
+
+    # Predicate only d2's files can satisfy: every d1 file is skipped.
+    df = t.read(spark, where=[("v", ">=", 100)])
+    assert sorted(r["k"] for r in df.collect()) == ["c", "d"]
+    scanned = {f.split("_data/")[-1] for f in df.inputFiles()}
+    assert scanned <= {f.split("_data/")[-1] for f in d2_files}
+    assert len(scanned) < len(snap.files)  # something was actually pruned
+
+    # Residual row filter still applies inside surviving files.
+    df2 = t.read(spark, where=[("v", ">", 100)])
+    assert sorted(r["k"] for r in df2.collect()) == ["d"]
+
+    # String stats prune too — only files whose k-range covers 'a' survive.
+    df3 = t.read(spark, where=[("k", "=", "a")])
+    assert [r["v"] for r in df3.collect()] == [1]
+    scanned3 = {f.split("_data/")[-1] for f in df3.inputFiles()}
+    assert scanned3 <= {f.split("_data/")[-1] for f in d1_files}
+
+    # Unsatisfiable predicate: zero files, empty result, schema intact.
+    df4 = t.read(spark, where=[("v", ">", 10_000)])
+    assert df4.count() == 0 and "k" in df4.columns
+
+
+def test_stats_survive_checkpoint_and_restore(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    v0 = t.snapshot().version
+    t.checkpoint()
+    t.merge_overwrite_partitions(_df(spark, [("d2", "b", 50)]), "date")
+    assert set(t.snapshot().stats) == set(t.snapshot().files)  # via checkpoint
+    t.restore(v0)
+    snap = t.snapshot()
+    assert set(snap.stats) == set(snap.files)  # restore carried stats over
+    assert len(t.read(spark, where=[("v", "=", 1)]).inputFiles()) == 1
