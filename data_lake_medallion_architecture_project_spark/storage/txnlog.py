@@ -158,6 +158,8 @@ class Snapshot:
     constraints: dict = field(default_factory=dict)
     # relative file path -> {column: [min, max]} data-skipping stats
     stats: dict = field(default_factory=dict)
+    # deletion vector file (relative path) -> list of covered partition values
+    dvs: dict = field(default_factory=dict)
 
 
 class TxnTable:
@@ -208,6 +210,7 @@ class TxnTable:
             "partition_col": snap.partition_col,
             "constraints": snap.constraints,
             "stats": snap.stats,
+            "dvs": snap.dvs,
         }
         target = os.path.join(self.log_dir, f"{snap.version:020d}.checkpoint.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -235,6 +238,7 @@ class TxnTable:
             snap.partition_col = ck.get("partition_col")
             snap.constraints = dict(ck.get("constraints", {}))
             snap.stats = dict(ck.get("stats", {}))
+            snap.dvs = dict(ck.get("dvs", {}))
         for v in self._versions():
             if v <= snap.version:
                 continue
@@ -257,6 +261,11 @@ class TxnTable:
                 snap.schema_json = commit["schema_json"]
             if commit.get("partition_col"):
                 snap.partition_col = commit["partition_col"]
+            if "dv_reset" in commit:
+                snap.dvs = dict(commit["dv_reset"])
+            if commit.get("dv_add"):
+                dv = commit["dv_add"]
+                snap.dvs[dv["path"]] = dv.get("partitions", [])
             if commit.get("set_constraint"):
                 sc = commit["set_constraint"]
                 snap.constraints[sc["name"]] = sc["expr"]
@@ -265,22 +274,32 @@ class TxnTable:
             snap.version = v
         return snap
 
+    @staticmethod
+    def _dv_cover(snap: Snapshot, affected: set) -> frozenset:
+        return frozenset(
+            p
+            for p, parts in snap.dvs.items()
+            if not parts or affected & set(parts)
+        )
+
     def _check_unchanged(
         self,
         fresh: Snapshot,
         affected: list,
         read_files: frozenset,
         op: str,
+        read_dvs: frozenset = frozenset(),
     ) -> None:
         """Conflict detection after a lost commit race: raise unless the
-        affected partitions hold exactly the files the transaction read."""
-        fresh_files = frozenset(
-            p for p, pv in fresh.files.items() if pv in set(affected)
-        )
-        if fresh_files != read_files:
+        affected partitions hold exactly the files the transaction read AND
+        no rival landed a deletion vector over them (a rewrite computed
+        without the rival's DV would resurrect its deleted rows)."""
+        aff = set(affected)
+        fresh_files = frozenset(p for p, pv in fresh.files.items() if pv in aff)
+        if fresh_files != read_files or self._dv_cover(fresh, aff) != read_dvs:
             raise ConcurrentModificationError(
                 f"{op} lost the commit race and a concurrent commit changed "
-                f"partitions {sorted(set(affected))}; re-run against the new "
+                f"partitions {sorted(aff)}; re-run against the new "
                 "table state"
             )
 
@@ -549,6 +568,7 @@ class TxnTable:
         read_files = frozenset(
             p for p, pv in snap.files.items() if pv in affected
         )
+        read_dvs = self._dv_cover(snap, set(affected))
 
         # Phase 2 — partition-scoped read-modify-write.
         old = self.read(spark, partition_values=affected, version=snap.version)
@@ -585,7 +605,7 @@ class TxnTable:
             if app_id is not None and batch_id is not None:
                 if snap.txns.get(app_id, -1) >= int(batch_id):
                     return []
-            self._check_unchanged(snap, affected, read_files, "merge_upsert")
+            self._check_unchanged(snap, affected, read_files, "merge_upsert", read_dvs)
 
     def delete_keys(
         self,
@@ -630,6 +650,7 @@ class TxnTable:
         read_files = frozenset(
             p for p, pv in snap.files.items() if pv in set(affected)
         )
+        read_dvs = self._dv_cover(snap, set(affected))
 
         kept = self.read(
             spark, partition_values=affected, version=snap.version
@@ -649,7 +670,92 @@ class TxnTable:
             if app_id is not None and batch_id is not None:
                 if snap.txns.get(app_id, -1) >= int(batch_id):
                     return []
-            self._check_unchanged(snap, affected, read_files, "delete_keys")
+            self._check_unchanged(snap, affected, read_files, "delete_keys", read_dvs)
+
+    def delete_keys_dv(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        keys: list[str],
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """Merge-on-read DELETE via a deletion vector: instead of rewriting
+        every affected partition (``delete_keys``, write cost O(partition
+        bytes)), record the matched rows' (file, row position) in a DV file
+        and commit that — write cost O(matched rows). Readers anti-join live
+        DVs, so deleted rows vanish immediately; ``compact()`` later folds
+        DVs into rewritten files (its read applies them), which is Delta's
+        deletion-vector protocol shape. Returns the number of rows deleted.
+
+        Trade: reads pay the DV anti-join until compaction — the standard
+        merge-on-read bargain (cheap deletes now, deferred rewrite later).
+        Rows stay physically present until compact + vacuum; a compliance
+        purge should use ``delete_keys`` + ``vacuum`` or follow up with
+        ``compact``."""
+        snap = self.snapshot()
+        if app_id is not None and batch_id is not None:
+            if snap.txns.get(app_id, -1) >= int(batch_id):
+                return 0
+        if snap.partition_col is None or not snap.files:
+            return 0
+
+        targets = keys_df.select(*keys).distinct()
+        # Raw scan (NOT self.read): _metadata only resolves on the file-scan
+        # relation, and the positions must be physical-file positions — the
+        # DV-filtered view would both break resolution and skew row_index
+        # semantics. Rows already covered by live DVs are anti-joined out so
+        # a re-delete neither double-counts nor bloats the new DV.
+        scan_files = [os.path.join(self.path, p) for p in sorted(snap.files)]
+        reader = spark.read
+        if snap.schema_json:
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+        raw = reader.parquet(*scan_files)
+        rel = F.expr(
+            "substring(_metadata.file_path, "
+            "instr(_metadata.file_path, '/_data/') + 1)"
+        )
+        # Project the metadata columns BEFORE the join: _metadata resolves
+        # only directly against the file-scan relation.
+        tagged = raw.select(
+            *keys,
+            rel.alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+            F.col(snap.partition_col).cast("string").alias("__part"),
+        )
+        matches = tagged.join(F.broadcast(targets), keys, "left_semi").select(
+            "file", "pos", "__part"
+        )
+        if snap.dvs:
+            prior = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in sorted(snap.dvs)]
+            ).select("file", "pos")
+            matches = matches.join(prior, ["file", "pos"], "left_anti")
+        staging = os.path.join(self.data_dir, f"dv_{uuid.uuid4().hex}")
+        matches.write.parquet(staging)
+        written = spark.read.parquet(staging)
+        n = written.count()
+        if n == 0:
+            return 0
+        parts = sorted(r[0] for r in written.select("__part").distinct().collect())
+        dv_rel = os.path.relpath(staging, self.path)
+        read_files = frozenset(
+            p for p, pv in snap.files.items() if pv in set(parts)
+        )
+        read_dvs = self._dv_cover(snap, set(parts))
+        while True:
+            commit = {"dv_add": {"path": dv_rel, "partitions": parts}}
+            if app_id is not None and batch_id is not None:
+                commit["txn"] = {"app_id": app_id, "batch_id": int(batch_id)}
+            if self._try_commit(snap.version + 1, commit):
+                return n
+            snap = self.snapshot()
+            if app_id is not None and batch_id is not None:
+                if snap.txns.get(app_id, -1) >= int(batch_id):
+                    return 0
+            # The DV's row positions are pinned to the files it was computed
+            # from: any rival rewrite of those partitions invalidates it.
+            self._check_unchanged(snap, parts, read_files, "delete_keys_dv", read_dvs)
 
     # ------------------------------------------------------- schema evolution
 
@@ -722,6 +828,31 @@ class TxnTable:
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(*files)
+        if snap.dvs:
+            # Merge-on-read: anti-join the deletion vectors on the scan's
+            # (relative path, row position) — deleted rows vanish without
+            # their files ever having been rewritten.
+            out_cols = df.columns
+            rel = F.expr(
+                "substring(_metadata.file_path, "
+                "instr(_metadata.file_path, '/_data/') + 1)"
+            )
+            dv = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in sorted(snap.dvs)]
+            )
+            df = (
+                df.withColumn("__dv_file", rel)
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                .join(
+                    # No forced broadcast: DV volume is O(deleted rows) and
+                    # unbounded — AQE broadcasts it while it is small.
+                    dv.withColumnRenamed("file", "__dv_file")
+                    .withColumnRenamed("pos", "__dv_pos"),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+                .select(*out_cols)
+            )
         for col, op, val in where or []:
             ops = {
                 "=": F.col(col) == val,
@@ -791,12 +922,13 @@ class TxnTable:
             removes.extend(rels)
         read_files = frozenset(removes)
         targeted = sorted(targets, key=str)
+        read_dvs = self._dv_cover(snap, set(targeted))
         while True:
             head = self.snapshot()
             # A rival rewriting a targeted partition (MERGE, DELETE, another
             # OPTIMIZE) invalidates the staged compaction — committing it
             # would resurrect the pre-rival rows.
-            self._check_unchanged(head, targeted, read_files, "compact")
+            self._check_unchanged(head, targeted, read_files, "compact", read_dvs)
             if self._try_commit(head.version + 1, {"add": adds, "remove": removes}):
                 return len(removes)
 
@@ -849,6 +981,10 @@ class TxnTable:
                     for rel, pv in old.files.items()
                 ],
                 "remove": [rel for rel in head.files if rel not in old.files],
+                # Restore must also restore deletion-vector state: without
+                # this, DVs committed after `version` would keep deleting
+                # rows from the re-added files.
+                "dv_reset": old.dvs,
             }
             if old.schema_json:
                 commit["schema_json"] = old.schema_json
@@ -868,10 +1004,21 @@ class TxnTable:
         head = self.snapshot().version
         live: set = set()
         for v in range(max(0, head - retain_last), head + 1):
+            s = self.snapshot(v)
             live |= {
                 os.path.normpath(os.path.join(self.path, rel))
-                for rel in self.snapshot(v).files
+                for rel in s.files
             }
+            # Deletion-vector files are metadata the live snapshots depend
+            # on — every parquet under a live DV path is retained.
+            for dv in s.dvs:
+                dv_abs = os.path.join(self.path, dv)
+                for root, _dirs, names in os.walk(dv_abs):
+                    live |= {
+                        os.path.normpath(os.path.join(root, f))
+                        for f in names
+                        if f.endswith(".parquet")
+                    }
         removed = 0
         for root, _dirs, names in os.walk(self.data_dir):
             for n in names:

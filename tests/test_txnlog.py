@@ -837,3 +837,90 @@ def test_stats_survive_checkpoint_and_restore(spark, tmp_path):
     snap = t.snapshot()
     assert set(snap.stats) == set(snap.files)  # restore carried stats over
     assert len(t.read(spark, where=[("v", "=", 1)]).inputFiles()) == 1
+
+
+# ------------------------------ deletion vectors ---------------------------
+
+
+def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]), "date"
+    )
+    files_before = set(t.snapshot().files)
+    n = t.delete_keys_dv(
+        spark, spark.createDataFrame([("a",), ("c",)], "k string"), keys=["k"]
+    )
+    assert n == 2
+    # Merge-on-read: the data files are untouched; only a DV landed.
+    snap = t.snapshot()
+    assert set(snap.files) == files_before
+    assert len(snap.dvs) == 1
+    assert _rows(t.read(spark)) == [("d1", "b", 2)]
+    # Time travel to before the DV still sees everything.
+    assert len(_rows(t.read(spark, version=0))) == 3
+
+
+def test_dv_redelete_counts_zero_and_stacks(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+    assert t.delete_keys_dv(spark, spark.createDataFrame([("a",)], "k string"), ["k"]) == 1
+    # Re-deleting the same key: already covered by a live DV → 0 rows.
+    assert t.delete_keys_dv(spark, spark.createDataFrame([("a",)], "k string"), ["k"]) == 0
+    # A second DV over a different key stacks with the first.
+    assert t.delete_keys_dv(spark, spark.createDataFrame([("b",)], "k string"), ["k"]) == 1
+    assert _rows(t.read(spark)) == []
+
+
+def test_dv_then_merge_and_compact_fold_correctly(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2), ("d1", "c", 3)]), "date"
+    )
+    t.delete_keys_dv(spark, spark.createDataFrame([("b",)], "k string"), ["k"])
+    # A row-level MERGE reads THROUGH the DV: 'b' must not be resurrected.
+    t.merge_upsert(spark, _df(spark, [("d1", "a", 10)]), keys=["k"])
+    assert _rows(t.read(spark)) == [("d1", "a", 10), ("d1", "c", 3)]
+    # Compaction folds the DV into rewritten files; result unchanged.
+    t.compact(spark)
+    assert _rows(t.read(spark)) == [("d1", "a", 10), ("d1", "c", 3)]
+
+
+def test_dv_exactly_once_and_vacuum_keeps_dv_files(spark, tmp_path):
+    import os
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+    assert (
+        t.delete_keys_dv(
+            spark, spark.createDataFrame([("a",)], "k string"), ["k"],
+            app_id="purge", batch_id=0,
+        )
+        == 1
+    )
+    # Replay of the same batch: marker short-circuits.
+    assert (
+        t.delete_keys_dv(
+            spark, spark.createDataFrame([("b",)], "k string"), ["k"],
+            app_id="purge", batch_id=0,
+        )
+        == 0
+    )
+    t.vacuum()
+    # The DV file survives vacuum — it is live metadata of the head snapshot.
+    (dv_rel,) = t.snapshot().dvs
+    dv_dir = os.path.join(str(tmp_path / "t"), dv_rel)
+    assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(dv_dir) for f in fs)
+    assert _rows(t.read(spark)) == [("d1", "b", 2)]
+
+
+def test_restore_resets_dv_state(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+    v0 = t.snapshot().version
+    t.delete_keys_dv(spark, spark.createDataFrame([("a",)], "k string"), ["k"])
+    assert _rows(t.read(spark)) == [("d1", "b", 2)]
+    t.restore(v0)
+    # Without dv_reset the newer DV would keep deleting 'a' from the
+    # restored files.
+    assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 2)]
