@@ -1027,3 +1027,51 @@ class TxnTable:
                     os.remove(p)
                     removed += 1
         return removed
+
+
+def clone_shallow(src: TxnTable, dst_path: str) -> TxnTable:
+    """Zero-copy table fork (Delta SHALLOW CLONE): the clone's first commit
+    references the source snapshot's data files by ABSOLUTE path — no bytes
+    move, however large the table. Reads resolve absolute entries as-is
+    (``os.path.join`` passes them through); writes to the clone stage fresh
+    files under the clone's own ``_data/`` and never touch the source, so
+    the two tables diverge copy-on-write at partition granularity.
+
+    The clone carries the source's schema, constraints, data-skipping stats,
+    and live deletion vectors (also by absolute path) — the full read
+    contract, not just the file list. Standard shallow-clone caveat, same as
+    Delta's: ``vacuum`` on the SOURCE may delete files the clone still
+    references; clones are for experiments/dev-on-prod-data, not archival.
+    """
+    snap = src.snapshot()
+    if snap.version < 0:
+        raise ValueError("cannot clone an empty table")
+    dst = TxnTable(dst_path)
+    if dst.snapshot().version >= 0:
+        raise ValueError(f"{dst_path} already holds a table")
+    commit = {
+        "add": [
+            {
+                "path": os.path.abspath(os.path.join(src.path, rel)),
+                "partition": pv,
+                "stats": snap.stats.get(rel),
+            }
+            for rel, pv in sorted(snap.files.items())
+        ],
+        "remove": [],
+        "partition_col": snap.partition_col,
+        "dv_reset": {
+            os.path.abspath(os.path.join(src.path, p)): parts
+            for p, parts in snap.dvs.items()
+        },
+    }
+    if snap.schema_json:
+        commit["schema_json"] = snap.schema_json
+    if not dst._try_commit(0, commit):
+        raise ValueError(f"{dst_path} already holds a table")
+    for name, expr in snap.constraints.items():
+        dst._try_commit(
+            dst.snapshot().version + 1,
+            {"set_constraint": {"name": name, "expr": expr}},
+        )
+    return dst

@@ -924,3 +924,68 @@ def test_restore_resets_dv_state(spark, tmp_path):
     # Without dv_reset the newer DV would keep deleting 'a' from the
     # restored files.
     assert _rows(t.read(spark)) == [("d1", "a", 1), ("d1", "b", 2)]
+
+
+# ------------------------------- shallow clone -----------------------------
+
+
+def test_shallow_clone_zero_copy_then_copy_on_write(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.storage import clone_shallow
+
+    src = TxnTable(str(tmp_path / "src"))
+    src.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d2", "b", 2)]), "date"
+    )
+    src.add_constraint(spark, "v_pos", "v > 0")
+    clone = clone_shallow(src, str(tmp_path / "clone"))
+
+    # Zero copy: the clone owns no data files yet, but reads everything.
+    assert not any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(os.path.join(str(tmp_path / "clone"), "_data"))
+        for f in fs
+    )
+    assert _rows(clone.read(spark)) == _rows(src.read(spark))
+
+    # Copy-on-write: a clone MERGE stages fresh files under the clone and
+    # never touches the source.
+    clone.merge_upsert(spark, _df(spark, [("d1", "a", 100)]), ["k"])
+    assert _rows(clone.read(spark)) == [("d1", "a", 100), ("d2", "b", 2)]
+    assert _rows(src.read(spark)) == [("d1", "a", 1), ("d2", "b", 2)]
+
+    # ...and source writes after the clone point stay invisible to the clone.
+    src.merge_upsert(spark, _df(spark, [("d2", "b", 200)]), ["k"])
+    assert _rows(clone.read(spark)) == [("d1", "a", 100), ("d2", "b", 2)]
+
+    # Constraints were carried: the clone rejects violating writes.
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage.txnlog import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        clone.merge_upsert(spark, _df(spark, [("d3", "x", -1)]), ["k"])
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.storage import clone_shallow
+
+    src = TxnTable(str(tmp_path / "src"))
+    src.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+    src.delete_keys_dv(spark, spark.createDataFrame([("a",)], "k string"), ["k"])
+    clone = clone_shallow(src, str(tmp_path / "clone"))
+    # The clone sees the source's merge-on-read state, not the raw files.
+    assert _rows(clone.read(spark)) == [("d1", "b", 2)]
+
+
+def test_shallow_clone_refuses_overwrite(spark, tmp_path):
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage import clone_shallow
+
+    src = TxnTable(str(tmp_path / "src"))
+    src.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    clone_shallow(src, str(tmp_path / "clone"))
+    with pytest.raises(ValueError):
+        clone_shallow(src, str(tmp_path / "clone"))
