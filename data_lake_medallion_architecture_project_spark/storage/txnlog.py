@@ -934,6 +934,29 @@ class TxnTable:
 
     # ------------------------------------------------------------- history
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one metadata dict for operators and dashboards —
+        current version, file/partition/byte counts, constraint and DV
+        state. Driver-side log + filesystem metadata only; no data scan."""
+        snap = self.snapshot()
+        n_bytes = 0
+        for rel in snap.files:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                n_bytes += os.path.getsize(p)
+        return {
+            "path": self.path,
+            "version": snap.version,
+            "num_files": len(snap.files),
+            "size_bytes": n_bytes,
+            "partition_col": snap.partition_col,
+            "partitions": sorted({pv for pv in snap.files.values() if pv is not None}),
+            "constraints": dict(snap.constraints),
+            "num_deletion_vectors": len(snap.dvs),
+            "num_checkpoints": len(self._checkpoints()),
+            "apps": dict(snap.txns),
+        }
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one entry per commit, newest first — version,
         counts of add/remove actions, txn marker, and whether the commit was

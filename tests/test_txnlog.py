@@ -989,3 +989,18 @@ def test_shallow_clone_refuses_overwrite(spark, tmp_path):
     clone_shallow(src, str(tmp_path / "clone"))
     with pytest.raises(ValueError):
         clone_shallow(src, str(tmp_path / "clone"))
+
+
+def test_describe_detail(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d2", "b", 2)]), "date")
+    t.add_constraint(spark, "v_pos", "v > 0")
+    t.delete_keys_dv(spark, spark.createDataFrame([("a",)], "k string"), ["k"])
+    d = t.detail()
+    assert d["version"] == t.snapshot().version
+    assert d["num_files"] == len(t.snapshot().files) and d["num_files"] > 0
+    assert d["size_bytes"] > 0
+    assert d["partition_col"] == "date"
+    assert d["partitions"] == ["d1", "d2"]
+    assert d["constraints"] == {"v_pos": "v > 0"}
+    assert d["num_deletion_vectors"] == 1
