@@ -160,6 +160,8 @@ class Snapshot:
     stats: dict = field(default_factory=dict)
     # deletion vector file (relative path) -> list of covered partition values
     dvs: dict = field(default_factory=dict)
+    # generated column name -> SQL expression (computed at write time)
+    generated: dict = field(default_factory=dict)
 
 
 class TxnTable:
@@ -211,6 +213,7 @@ class TxnTable:
             "constraints": snap.constraints,
             "stats": snap.stats,
             "dvs": snap.dvs,
+            "generated": snap.generated,
         }
         target = os.path.join(self.log_dir, f"{snap.version:020d}.checkpoint.json")
         tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -239,6 +242,7 @@ class TxnTable:
             snap.constraints = dict(ck.get("constraints", {}))
             snap.stats = dict(ck.get("stats", {}))
             snap.dvs = dict(ck.get("dvs", {}))
+            snap.generated = dict(ck.get("generated", {}))
         for v in self._versions():
             if v <= snap.version:
                 continue
@@ -266,6 +270,9 @@ class TxnTable:
             if commit.get("dv_add"):
                 dv = commit["dv_add"]
                 snap.dvs[dv["path"]] = dv.get("partitions", [])
+            if commit.get("set_generated"):
+                g = commit["set_generated"]
+                snap.generated[g["name"]] = g["expr"]
             if commit.get("set_constraint"):
                 sc = commit["set_constraint"]
                 snap.constraints[sc["name"]] = sc["expr"]
@@ -314,6 +321,37 @@ class TxnTable:
                     f"{op}: constraint {name!r} ({expr}) violated, e.g. "
                     f"{bad[0].asDict()}"
                 )
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Declare ``name`` as a generated column (Delta GENERATED ALWAYS
+        AS): every future write computes it from ``expr`` when the source
+        omits it, and REJECTS a source that supplies a conflicting value —
+        the standard guard for derived partition columns (a fact's date
+        partition derived from its timestamp cannot silently disagree).
+        Metadata-only commit; returns the commit version."""
+        while True:
+            snap = self.snapshot()
+            if self._try_commit(
+                snap.version + 1, {"set_generated": {"name": name, "expr": expr}}
+            ):
+                return snap.version + 1
+
+    def _apply_generated(self, df: DataFrame, snap: Snapshot, op: str) -> DataFrame:
+        for name, expr in snap.generated.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = (
+                    df.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    raise ValueError(
+                        f"{op}: generated column {name!r} = ({expr}) "
+                        f"conflicts with supplied value, e.g. {bad[0].asDict()}"
+                    )
+        return df
 
     def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (expr), Delta-style: existing
@@ -420,6 +458,8 @@ class TxnTable:
             if snap.txns.get(app_id, -1) >= int(batch_id):
                 return []
 
+        df = self._apply_generated(df, snap, "merge_overwrite_partitions")
+
         # Schema guard: readers apply the COMMITTED schema, so source columns
         # the table doesn't know about would be written into the files and
         # then silently dropped on every read. A source narrower than the
@@ -508,6 +548,9 @@ class TxnTable:
             if snap.txns.get(app_id, -1) >= int(batch_id):
                 return []
 
+        # Generated columns first: a derived partition column must exist
+        # before the presence check below.
+        df = self._apply_generated(df, snap, "merge_upsert")
         part_col = partition_col or snap.partition_col
         if part_col is None:
             raise ValueError("partition_col required for a new table")

@@ -1004,3 +1004,24 @@ def test_describe_detail(spark, tmp_path):
     assert d["partitions"] == ["d1", "d2"]
     assert d["constraints"] == {"v_pos": "v > 0"}
     assert d["num_deletion_vectors"] == 1
+
+
+def test_generated_column_derives_and_guards(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d_1", "a", 1)]), "date")
+    t.set_generated_column("date", "concat('d_', CAST(v % 2 AS STRING))")
+    # Source omits the partition column entirely: it is derived.
+    src = spark.createDataFrame([("b", 2), ("c", 3)], "k string, v long")
+    t.merge_upsert(spark, src, keys=["k"])
+    assert _rows(t.read(spark)) == [("d_0", "b", 2), ("d_1", "a", 1), ("d_1", "c", 3)]
+    # A supplied value that disagrees with the expression is rejected.
+    with pytest.raises(ValueError, match="generated column"):
+        t.merge_upsert(spark, _df(spark, [("d_9", "x", 4)]), keys=["k"])
+    # A supplied value that agrees passes.
+    t.merge_upsert(spark, _df(spark, [("d_0", "x", 4)]), keys=["k"])
+    assert ("d_0", "x", 4) in _rows(t.read(spark))
+    # Declaration survives checkpointing.
+    t.checkpoint()
+    assert t.snapshot().generated == {"date": "concat('d_', CAST(v % 2 AS STRING))"}
