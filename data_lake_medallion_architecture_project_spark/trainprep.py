@@ -1,0 +1,152 @@
+"""One-command training-data prep: raw documents → deduped, filtered,
+split, sharded JSONL.
+
+The training-data counterpart of ``pipeline.py`` (the medallion front
+door): every stage is an operator this repo already verifies individually
+(exact dedup, MinHash near-dedup keep-list, quality gating, per-source
+caps, md5 splits, JSONL shard export), wired into the sequence a corpus
+actually flows through before a tokenizer sees it:
+
+    python -m data_lake_medallion_architecture_project_spark.trainprep \\
+        --input /root/testdata/sf0.001/documents.parquet --out /tmp/prep
+
+1. **exact dedup** — one row per distinct text (min doc_id wins);
+2. **near-dedup** — MinHash-LSH keep-list, keep ``doc_id == keep_id``;
+3. **quality gate** — minimum token count and distinct-token ratio (the
+   boilerplate/degenerate-repetition floor);
+4. **source cap** — at most ``--cap`` docs per source by hash order (the
+   anti-domination rule);
+5. **split** — deterministic md5 80/10/10 train/val/test;
+6. **export** — per-split JSONL shard trees with deterministic membership
+   and in-shard order (``sources/shards.py``).
+
+Every stage is hash-deterministic: re-running the command on the same
+input reproduces byte-identical shard trees, which is what makes corpus
+builds auditable. The run writes ``report.json`` with per-stage counts —
+the attrition funnel reviewers ask for first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import distinct_token_count, token_count, tokenize
+from .operators.dedup import minhash_near_dup
+from .sources.shards import write_jsonl_shards
+
+__all__ = ["prepare_corpus"]
+
+
+def _exact_dedup(docs: DataFrame) -> DataFrame:
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _near_dedup(docs: DataFrame) -> DataFrame:
+    pairs = minhash_near_dup(
+        docs, id_col="doc_id", text_col="text", threshold=0.9, num_perms=32, bands=8
+    )
+    neighbors = (
+        pairs.select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr"))
+        .union(pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")))
+        .groupBy("doc_id")
+        .agg(F.min("nbr").alias("min_nbr"))
+    )
+    return (
+        docs.join(neighbors, "doc_id", "left")
+        .filter(F.col("min_nbr").isNull() | (F.col("min_nbr") > F.col("doc_id")))
+        .drop("min_nbr")
+    )
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    *,
+    min_tokens: int = 10,
+    min_distinct_ratio: float = 0.05,
+    source_cap: int = 10_000,
+    n_shards: int = 4,
+) -> dict:
+    """Run the full prep flow; returns the per-stage attrition report."""
+    docs = spark.read.parquet(input_path)
+    report = {"input": docs.count()}
+
+    docs = _exact_dedup(docs)
+    report["after_exact_dedup"] = docs.count()
+
+    docs = _near_dedup(docs)
+    report["after_near_dedup"] = docs.count()
+
+    toks = tokenize("text")
+    docs = docs.filter(
+        (token_count(toks) >= min_tokens)
+        & ((distinct_token_count(toks) / token_count(toks)) >= min_distinct_ratio)
+    )
+    report["after_quality_gate"] = docs.count()
+
+    cap_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    docs = (
+        docs.withColumn("__rank", F.row_number().over(cap_w))
+        .filter(F.col("__rank") <= source_cap)
+        .drop("__rank")
+    )
+    report["after_source_cap"] = docs.count()
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    docs = docs.withColumn(
+        "split",
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"),
+    )
+    report["splits"] = {
+        r["split"]: r["n"]
+        for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    for split in ("train", "val", "test"):
+        part = docs.filter(F.col("split") == split).drop("split")
+        write_jsonl_shards(
+            part, os.path.join(out_dir, split), key="doc_id", n_shards=n_shards
+        )
+
+    with open(os.path.join(out_dir, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--cap", type=int, default=10_000)
+    ap.add_argument("--shards", type=int, default=4)
+    args = ap.parse_args()
+    from .session import get_spark
+
+    spark = get_spark("trainprep")
+    report = prepare_corpus(
+        spark,
+        args.input,
+        args.out,
+        min_tokens=args.min_tokens,
+        source_cap=args.cap,
+        n_shards=args.shards,
+    )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
