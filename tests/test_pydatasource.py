@@ -54,3 +54,64 @@ def test_all_domains_load(spark):
         df = _read(spark, domain=domain, n=12, seed=3, partitions=3, now=NOW)
         assert df.schema == BRONZE_SCHEMAS[domain]
         assert df.count() >= 12
+
+
+def test_streaming_source_ticks_exactly_once(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    out = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(ticks):
+        q = (
+            spark.readStream.format("synthetic_medallion")
+            .option("domain", "sales")
+            .option("rows_per_tick", 20)
+            .option("seed", 9)
+            .option("ticks", ticks)
+            .option("now", "2026-01-01T00:00:00")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(1)
+    first = spark.read.parquet(out).count()
+    assert first == 20  # one tick drained
+    # Restart from the checkpoint with a raised bound: only the MISSING
+    # ticks are read — the committed offset range is not re-read.
+    drain(3)
+    df = spark.read.parquet(out)
+    assert df.count() == 60
+    # Ticks are seed-derived: the two batches are different data...
+    assert df.select("sale_id").distinct().count() > 20
+    # ...but replaying the same offset is deterministic: a fresh query with
+    # a fresh checkpoint regenerates tick 1 byte-identically.
+    out2, ckpt2 = str(tmp_path / "rows2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("synthetic_medallion")
+        .option("domain", "sales")
+        .option("rows_per_tick", 20)
+        .option("seed", 9)
+        .option("ticks", 1)
+        .option("now", "2026-01-01T00:00:00")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    a = sorted(map(tuple, spark.read.parquet(out).limit(0).collect()))  # schema touch
+    tick1_a = {tuple(r) for r in spark.read.parquet(out).collect()}
+    tick1_b = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert tick1_b <= tick1_a  # the replayed first tick is identical rows
+    assert len(tick1_b) == 20
