@@ -57,11 +57,12 @@ PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("explain_all")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def audit(spark, sf_dir: str, verbose: bool = True) -> list[str]:
+    """Explain every registry query and return the red-flag list (empty =
+    clean). Shared by the CLI below and tests/test_plan_shapes.py, so a
+    plan regression (accidental cross join, lost column pruning, a
+    row-at-a-time Python stage) fails CI instead of waiting for a human to
+    re-run the tool."""
     flags: list[str] = []
     for name, q in sorted(REGISTRY.items()):
         buf = io.StringIO()
@@ -69,7 +70,8 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 q.build(spark, sf_dir).explain("formatted")
         except Exception as ex:  # pragma: no cover - audit tool
-            print(f"{name:34s} EXPLAIN FAILED: {ex}")
+            if verbose:
+                print(f"{name:34s} EXPLAIN FAILED: {ex}")
             flags.append(f"{name}: explain failed")
             continue
         plan = buf.getvalue()
@@ -79,10 +81,11 @@ def main() -> None:
         arrow_stages = len(
             re.findall(r"MapInArrow|ArrowEvalPython|FlatMapGroupsInPandas", plan)
         )
-        print(
-            f"{name:34s} joins={','.join(joins) or '-':40s} "
-            f"scan_cols={scan_widths} pushed={len(pushed)} arrow={arrow_stages}"
-        )
+        if verbose:
+            print(
+                f"{name:34s} joins={','.join(joins) or '-':40s} "
+                f"scan_cols={scan_widths} pushed={len(pushed)} arrow={arrow_stages}"
+            )
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if bad in joins and name not in NESTED_LOOP_OK:
                 flags.append(f"{name}: {bad}")
@@ -90,7 +93,14 @@ def main() -> None:
             flags.append(f"{name}: scan reads {max(scan_widths)} columns")
         if "BatchEvalPython" in plan:
             flags.append(f"{name}: row-at-a-time BatchEvalPython in plan")
+    return flags
 
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("explain_all")
+    spark.sparkContext.setLogLevel("ERROR")
+    flags = audit(spark, sf_dir)
     print()
     if flags:
         print("RED FLAGS:")
