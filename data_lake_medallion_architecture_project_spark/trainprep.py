@@ -18,7 +18,10 @@ actually flows through before a tokenizer sees it:
    anti-domination rule);
 5. **split** — deterministic md5 80/10/10 train/val/test;
 6. **export** — per-split JSONL shard trees with deterministic membership
-   and in-shard order (``sources/shards.py``).
+   and in-shard order (``sources/shards.py``); with ``--pack-budget N``
+   each document also carries its (shard, pack_id) assignment from the
+   token-budget sequence packer (``plans/training.py``), so the loader can
+   assemble fixed-budget training sequences without re-planning.
 
 Every stage is hash-deterministic: re-running the command on the same
 input reproduces byte-identical shard trees, which is what makes corpus
@@ -77,6 +80,7 @@ def prepare_corpus(
     min_distinct_ratio: float = 0.05,
     source_cap: int = 10_000,
     n_shards: int = 4,
+    pack_budget: int | None = None,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report."""
     docs = spark.read.parquet(input_path)
@@ -117,6 +121,14 @@ def prepare_corpus(
 
     for split in ("train", "val", "test"):
         part = docs.filter(F.col("split") == split).drop("split")
+        if pack_budget:
+            from .plans.training import pack_documents
+
+            packs = pack_documents(part, budget=pack_budget, n_shards=n_shards)
+            part = part.join(
+                packs.select("doc_id", F.col("shard").alias("pack_shard"), "pack_id"),
+                "doc_id",
+            )
         write_jsonl_shards(
             part, os.path.join(out_dir, split), key="doc_id", n_shards=n_shards
         )
@@ -133,6 +145,7 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--cap", type=int, default=10_000)
     ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--pack-budget", type=int, default=None)
     args = ap.parse_args()
     from .session import get_spark
 
@@ -144,6 +157,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         source_cap=args.cap,
         n_shards=args.shards,
+        pack_budget=args.pack_budget,
     )
     print(json.dumps(report))
 

@@ -62,3 +62,29 @@ def test_prepare_corpus_is_deterministic(spark, tmp_path):
         ca = b"".join(open(f, "rb").read() for f in fa)
         cb = b"".join(open(f, "rb").read() for f in fb)
         assert ca == cb and ca
+
+
+def test_pack_budget_assigns_sequences(spark, tmp_path):
+    out = str(tmp_path / "packed")
+    prepare_corpus(
+        spark,
+        f"{SF_SMALL}/documents.parquet",
+        out,
+        source_cap=20,
+        n_shards=2,
+        pack_budget=200,
+    )
+    back = spark.read.json(f"{out}/train")
+    assert {"pack_shard", "pack_id"} <= set(back.columns)
+    rows = back.select("doc_id", "text", "pack_shard", "pack_id").collect()
+    # Every pack respects the budget up to one overflowing document
+    # (fixed-boundary packing): total tokens < budget + max doc tokens.
+    from collections import defaultdict
+
+    packs = defaultdict(int)
+    max_doc = 0
+    for r in rows:
+        n = len(r["text"].split(" "))
+        packs[(r["pack_shard"], r["pack_id"])] += n
+        max_doc = max(max_doc, n)
+    assert packs and all(v < 200 + max_doc for v in packs.values())
