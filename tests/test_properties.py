@@ -225,3 +225,57 @@ def test_table_diff_matches_reference(left_rows, right_rows):
         elif l[k] != r[k]:  # tuple equality == null-safe column equality
             want[k] = "changed"
     assert got == want
+
+
+# ------------------------------ SCD2 history --------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.sampled_from(["A", "B", "C"]),        # attribute
+            st.integers(min_value=1, max_value=9),   # business time
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scd2_matches_reference_simulator(batches_flat):
+    """Random change sequences, applied one change per batch, must produce
+    exactly the history a dict-based SCD2 simulator produces — covering
+    stale drops, no-op collapses, and interval chaining in combination."""
+    import tempfile
+
+    from data_lake_medallion_architecture_project_spark.storage import TxnTable
+    from data_lake_medallion_architecture_project_spark.storage.scd2 import scd2_apply
+
+    spark = _get_spark()
+    # Reference: per key, current (attr, from); history rows as tuples.
+    cur: dict = {}
+    closed: list = []
+    with tempfile.TemporaryDirectory() as tmp:
+        t = TxnTable(tmp + "/dim")
+        for key, attr, ts in batches_flat:
+            tss = f"t{ts}"
+            df = spark.createDataFrame(
+                [(key, attr, tss, "p0")],
+                "k long, attr string, ts string, part string",
+            )
+            scd2_apply(t, spark, df, keys=["k"], order_col="ts", partition_col="part")
+            if key not in cur:
+                cur[key] = (attr, tss)
+            else:
+                c_attr, c_from = cur[key]
+                if tss > c_from and attr != c_attr:
+                    closed.append((key, c_attr, c_from, tss))
+                    cur[key] = (attr, tss)
+        want = {
+            (k, a, f, None, True) for k, (a, f) in cur.items()
+        } | {(k, a, f, to, False) for (k, a, f, to) in closed}
+        got = {
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in t.read(spark).collect()
+        }
+        assert got == want

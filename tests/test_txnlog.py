@@ -1025,3 +1025,42 @@ def test_generated_column_derives_and_guards(spark, tmp_path):
     # Declaration survives checkpointing.
     t.checkpoint()
     assert t.snapshot().generated == {"date": "concat('d_', CAST(v % 2 AS STRING))"}
+
+
+def test_merge_race_with_rival_dv_raises(spark, tmp_path):
+    """A rival DV landing on an affected partition must fail a merge's race
+    retry: the merge's staged rewrite was computed WITHOUT the rival's
+    deletes, so committing it would resurrect them."""
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.storage.txnlog import (
+        ConcurrentModificationError,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date"
+    )
+    real_try = t._try_commit
+    stolen = {"done": False}
+
+    def steal_with_dv(version, commit):
+        if not stolen["done"] and commit.get("add"):
+            stolen["done"] = True
+            # Rival: a deletion vector over partition d1 wins the version.
+            t._try_commit = real_try
+            t.delete_keys_dv(
+                spark, spark.createDataFrame([("b",)], "k string"), ["k"]
+            )
+            t._try_commit = steal_with_dv
+        return real_try(version, commit)
+
+    t._try_commit = steal_with_dv
+    with pytest.raises(ConcurrentModificationError, match="merge_upsert"):
+        t.merge_upsert(spark, _df(spark, [("d1", "a", 10)]), ["k"])
+    t._try_commit = real_try
+    # The rival's delete survived; the conflicted merge left no trace.
+    assert _rows(t.read(spark)) == [("d1", "a", 1)]
+    # Re-run against the fresh state: lands, and 'b' stays deleted.
+    t.merge_upsert(spark, _df(spark, [("d1", "a", 10)]), ["k"])
+    assert _rows(t.read(spark)) == [("d1", "a", 10)]
