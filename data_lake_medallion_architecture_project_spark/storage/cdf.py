@@ -41,9 +41,20 @@ def table_changes(
     a ``_change_type`` column."""
     s0 = table.snapshot(from_version)
     s1 = table.snapshot(to_version)
+    # A deletion-vector commit changes NO files — its row-level deletes
+    # surface only through the DV set, so partitions covered by DVs that
+    # appeared (or vanished, e.g. RESTORE's dv_reset) in the range count
+    # as touched too.
+    dv_delta = (set(s0.dvs) ^ set(s1.dvs))
+    dv_parts = {
+        p
+        for dv in dv_delta
+        for p in (s0.dvs.get(dv) or s1.dvs.get(dv) or [])
+    }
     touched = sorted(
         {pv for f, pv in s0.files.items() if s1.files.get(f) != pv}
         | {pv for f, pv in s1.files.items() if s0.files.get(f) != pv}
+        | dv_parts
     )
     old = table.read(spark, partition_values=touched, version=s0.version)
     new = table.read(spark, partition_values=touched, version=s1.version)

@@ -117,3 +117,23 @@ def test_consume_ack_cursor_loop(spark, tmp_path):
     ]
     ack_changes(cursor, head4)
     assert consume_changes(t, spark, ["k"], cursor)[0].count() == 0
+
+
+def test_dv_only_commit_feeds_deletes(spark, tmp_path):
+    """A deletion-vector commit changes no files — the feed must surface its
+    row-level deletes through the DV set, not the file diff (which is empty
+    for a DV-only range)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)]), "date"
+    )
+    v0 = t.snapshot().version
+    t.delete_keys_dv(spark, spark.createDataFrame([("b",)], "k string"), ["k"])
+    assert _feed(t, spark, v0) == [("delete", "b", 2)]
+    # ...and the IVM view built on the feed tracks the DV delete too.
+    from data_lake_medallion_architecture_project_spark.storage.ivm import maintain_sum_view
+
+    view = TxnTable(str(tmp_path / "view"))
+    maintain_sum_view(t, view, spark, ["k"], "date", "v")
+    got = {r["group"]: (r["total"], r["n_rows"]) for r in view.read(spark).collect()}
+    assert got == {"d1": (1, 1), "d2": (3, 1)}
