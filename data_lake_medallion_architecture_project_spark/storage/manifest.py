@@ -34,6 +34,15 @@ def write_symlink_manifest(table: TxnTable, version: int | None = None) -> str:
     write-to-temp + directory swap: readers see the old manifest or the new
     one, never a mix. Returns the manifest root."""
     snap = table.snapshot(version)
+    if snap.dvs:
+        # A manifest is a bare file list — it cannot express merge-on-read
+        # deletes, so external readers would see DV-deleted rows resurrected.
+        # Same rule as Delta (GENERATE is blocked on DV tables): compact()
+        # first to fold the DVs into rewritten files.
+        raise ValueError(
+            "cannot write a symlink manifest while deletion vectors are "
+            "live; run compact() to materialize the deletes first"
+        )
     root = os.path.join(table.path, _MANIFEST_DIR)
     tmp = root + f".tmp-{uuid.uuid4().hex}"
     by_part: dict = {}

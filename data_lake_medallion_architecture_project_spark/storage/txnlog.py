@@ -267,6 +267,8 @@ class TxnTable:
                 snap.partition_col = commit["partition_col"]
             if "dv_reset" in commit:
                 snap.dvs = dict(commit["dv_reset"])
+            for p in commit.get("dv_remove", []):
+                snap.dvs.pop(p, None)
             if commit.get("dv_add"):
                 dv = commit["dv_add"]
                 snap.dvs[dv["path"]] = dv.get("partitions", [])
@@ -934,10 +936,13 @@ class TxnTable:
         for rel, pv in snap.files.items():
             by_part.setdefault(pv, []).append(rel)
         wanted = None if partition_values is None else {str(v) for v in partition_values}
+        dv_covered = {p for parts in snap.dvs.values() for p in parts}
         targets = {
             pv: rels
             for pv, rels in by_part.items()
-            if (len(rels) > 1 or zorder_cols is not None)
+            # DV-covered partitions compact even at one file: compaction is
+            # what materializes merge-on-read deletes into real files.
+            if (len(rels) > 1 or zorder_cols is not None or pv in dv_covered)
             and (wanted is None or pv in wanted)
         }
         if not targets:
@@ -945,7 +950,10 @@ class TxnTable:
         adds, removes = [], []
         for pv, rels in sorted(targets.items()):
             staging = os.path.join(self.data_dir, uuid.uuid4().hex)
-            src = spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
+            # Read THROUGH the snapshot (committed schema + deletion vectors
+            # applied), not the raw files: a DV-hidden row must not survive
+            # into the rewritten partition.
+            src = self.read(spark, partition_values=[pv], version=snap.version)
             if zorder_cols is not None:
                 from .layout import zorder_by
 
@@ -966,13 +974,23 @@ class TxnTable:
         read_files = frozenset(removes)
         targeted = sorted(targets, key=str)
         read_dvs = self._dv_cover(snap, set(targeted))
+        # DV entries whose every covered partition was rewritten are fully
+        # materialized by this compaction — drop them from the live set.
+        dv_drop = [
+            p
+            for p, parts in snap.dvs.items()
+            if parts and set(parts) <= set(targeted)
+        ]
         while True:
             head = self.snapshot()
             # A rival rewriting a targeted partition (MERGE, DELETE, another
             # OPTIMIZE) invalidates the staged compaction — committing it
             # would resurrect the pre-rival rows.
             self._check_unchanged(head, targeted, read_files, "compact", read_dvs)
-            if self._try_commit(head.version + 1, {"add": adds, "remove": removes}):
+            commit = {"add": adds, "remove": removes}
+            if dv_drop:
+                commit["dv_remove"] = dv_drop
+            if self._try_commit(head.version + 1, commit):
                 return len(removes)
 
     # ------------------------------------------------------------- history
@@ -1139,5 +1157,10 @@ def clone_shallow(src: TxnTable, dst_path: str) -> TxnTable:
         dst._try_commit(
             dst.snapshot().version + 1,
             {"set_constraint": {"name": name, "expr": expr}},
+        )
+    for name, expr in snap.generated.items():
+        dst._try_commit(
+            dst.snapshot().version + 1,
+            {"set_generated": {"name": name, "expr": expr}},
         )
     return dst

@@ -70,3 +70,18 @@ def test_manifest_layout_is_partitioned(spark, tmp_path):
     t.merge_overwrite_partitions(_df(spark, [("d1", "a", 100)]), "date")
     old_root = write_symlink_manifest(t, version=v0)
     assert ("d1", "a", 1) in _duck_rows(read_manifest_paths(old_root))
+
+
+def test_manifest_refuses_live_deletion_vectors(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1), ("d1", "b", 2)]), "date")
+    t.delete_keys_dv(spark, spark.createDataFrame([("a",)], "k string"), ["k"])
+    # A bare file list would resurrect the deleted row for external readers.
+    with pytest.raises(ValueError, match="deletion vectors"):
+        write_symlink_manifest(t)
+    # Compaction folds the DV in; the manifest then serves the true rows.
+    t.compact(spark)
+    root = write_symlink_manifest(t)
+    assert _duck_rows(read_manifest_paths(root)) == [("d1", "b", 2)]

@@ -1064,3 +1064,18 @@ def test_merge_race_with_rival_dv_raises(spark, tmp_path):
     # Re-run against the fresh state: lands, and 'b' stays deleted.
     t.merge_upsert(spark, _df(spark, [("d1", "a", 10)]), ["k"])
     assert _rows(t.read(spark)) == [("d1", "a", 10)]
+
+
+def test_shallow_clone_carries_generated_columns(spark, tmp_path):
+    from data_lake_medallion_architecture_project_spark.storage import clone_shallow
+
+    src = TxnTable(str(tmp_path / "src"))
+    src.merge_overwrite_partitions(_df(spark, [("d_1", "a", 1)]), "date")
+    src.set_generated_column("date", "concat('d_', CAST(v % 2 AS STRING))")
+    clone = clone_shallow(src, str(tmp_path / "clone"))
+    assert clone.snapshot().generated == src.snapshot().generated
+    # The clone derives the partition column just like the source would.
+    clone.merge_upsert(
+        spark, spark.createDataFrame([("b", 2)], "k string, v long"), ["k"]
+    )
+    assert ("d_0", "b", 2) in _rows(clone.read(spark))
