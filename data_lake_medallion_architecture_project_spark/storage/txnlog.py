@@ -1077,14 +1077,18 @@ class TxnTable:
 
     # --------------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_last: int = 0) -> int:
+    def vacuum(self, retain_last: int = 0, dry_run: bool = False) -> int:
         """Physically delete data files not referenced by the last
         ``retain_last + 1`` snapshots: superseded versions and crash orphans.
         The default (0) keeps only the CURRENT snapshot's files — Delta
         VACUUM with retention 0, forfeiting all time travel; ``retain_last=N``
         preserves time travel to the N most recent prior versions (Delta's
         retention window, counted in versions rather than hours so tests and
-        batch jobs stay deterministic). Returns number of files removed."""
+        batch jobs stay deterministic). ``dry_run=True`` counts what WOULD
+        be removed without deleting (Delta's VACUUM DRY RUN — the sanity
+        check before an irreversible purge, and the way to audit whether a
+        shallow clone still depends on files a purge would take). Returns
+        the number of files removed (or would-be removed)."""
         head = self.snapshot().version
         live: set = set()
         for v in range(max(0, head - retain_last), head + 1):
@@ -1108,7 +1112,8 @@ class TxnTable:
             for n in names:
                 p = os.path.normpath(os.path.join(root, n))
                 if n.endswith(".parquet") and p not in live:
-                    os.remove(p)
+                    if not dry_run:
+                        os.remove(p)
                     removed += 1
         return removed
 

@@ -1079,3 +1079,16 @@ def test_shallow_clone_carries_generated_columns(spark, tmp_path):
         spark, spark.createDataFrame([("b", 2)], "k string, v long"), ["k"]
     )
     assert ("d_0", "b", 2) in _rows(clone.read(spark))
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 1)]), "date")
+    t.merge_overwrite_partitions(_df(spark, [("d1", "a", 2)]), "date")
+    before = _rows(t.read(spark, version=0))
+    n = t.vacuum(dry_run=True)
+    assert n > 0
+    # Nothing was deleted: time travel still works...
+    assert _rows(t.read(spark, version=0)) == before
+    # ...and the real vacuum removes exactly what the dry run reported.
+    assert t.vacuum() == n
