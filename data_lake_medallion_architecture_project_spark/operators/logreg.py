@@ -113,6 +113,8 @@ def fit_logreg(
             schema="n long, gw array<double>, gb double",
         ).collect()
         n = sum(r["n"] for r in rows)
+        if n == 0:
+            raise ValueError("fit_logreg: empty input")
         gw = np.sum([np.array(r["gw"]) for r in rows], axis=0) / n + l2 * w
         gb = sum(r["gb"] for r in rows) / n
         w = w - lr * gw

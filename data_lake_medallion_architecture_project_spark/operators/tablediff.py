@@ -42,7 +42,6 @@ def table_diff(
         compare = [c for c in left.columns if c in shared and c not in keys]
     l = left.select(*keys, *[F.col(c).alias(f"_l_{c}") for c in compare])
     r = right.select(*keys, *[F.col(c).alias(f"_r_{c}") for c in compare])
-    j = l.join(r, on=keys, how="full_outer")
     # Presence: any left-side column non-null is not enough (a genuinely NULL
     # row would look absent) — carry explicit presence flags instead.
     l = l.withColumn("_l_present", F.lit(True))

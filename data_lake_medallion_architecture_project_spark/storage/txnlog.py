@@ -107,6 +107,18 @@ def _file_may_match(stats: dict, where: list) -> bool:
         if col not in stats:
             continue
         lo, hi = stats[col]
+        # Parquet footer min/max EXCLUDE NaN, but Spark SQL orders NaN above
+        # every numeric — a file whose only rows matching `col > v` are NaN
+        # would be wrongly pruned from its NaN-free footer stats. Float is
+        # the only stat type that can hide NaN rows, so its upper bound is
+        # untrusted for >/>= pruning; a NaN comparison value likewise never
+        # prunes (Spark evaluates NaN = NaN as true). </ >= stay safe: NaN
+        # sorts above everything, so it can never satisfy them.
+        is_float = isinstance(lo, float) or isinstance(hi, float)
+        if is_float and op in (">", ">="):
+            continue
+        if isinstance(val, float) and val != val:
+            continue
         if (
             (op == "=" and not (lo <= val <= hi))
             or (op == "<" and not lo < val)
@@ -271,7 +283,10 @@ class TxnTable:
                 snap.dvs.pop(p, None)
             if commit.get("dv_add"):
                 dv = commit["dv_add"]
-                snap.dvs[dv["path"]] = dv.get("partitions", [])
+                # Single dict (delete_keys_dv) or list (compact's partial-DV
+                # rewrite can replace several DVs in one atomic commit).
+                for d in dv if isinstance(dv, list) else [dv]:
+                    snap.dvs[d["path"]] = d.get("partitions", [])
             if commit.get("set_generated"):
                 g = commit["set_generated"]
                 snap.generated[g["name"]] = g["expr"]
@@ -973,14 +988,44 @@ class TxnTable:
             removes.extend(rels)
         read_files = frozenset(removes)
         targeted = sorted(targets, key=str)
-        read_dvs = self._dv_cover(snap, set(targeted))
+        targeted_set = set(targeted)
+        read_dvs = self._dv_cover(snap, targeted_set)
         # DV entries whose every covered partition was rewritten are fully
         # materialized by this compaction — drop them from the live set.
         dv_drop = [
             p
             for p, parts in snap.dvs.items()
-            if parts and set(parts) <= set(targeted)
+            if parts and set(parts) <= targeted_set
         ]
+        # DVs that cover a targeted partition only PARTIALLY: their (file,
+        # pos) entries for the rewritten files are dead, but entries for the
+        # untouched partitions must survive. Rewrite each such DV without the
+        # dead rows and shrink its partition list, so partition-at-a-time
+        # compaction retires the DV incrementally instead of pinning its
+        # partitions merge-on-read (and blocking symlink manifests) forever.
+        removed_set = sorted(set(removes))
+        dv_adds = []
+        for p, parts in snap.dvs.items():
+            if not parts or p in dv_drop or not (set(parts) & targeted_set):
+                continue
+            keep = spark.read.parquet(os.path.join(self.path, p)).filter(
+                # DV volume is O(deleted rows) metadata and removed_set is
+                # the targeted partitions' file list — driver-side isin is
+                # the right size here, no join needed.
+                ~F.col("file").isin(removed_set)
+            )
+            if keep.limit(1).count() == 0:
+                dv_drop.append(p)
+                continue
+            staging = os.path.join(self.data_dir, f"dv_{uuid.uuid4().hex}")
+            keep.coalesce(1).write.parquet(staging)
+            dv_drop.append(p)
+            dv_adds.append(
+                {
+                    "path": os.path.relpath(staging, self.path),
+                    "partitions": sorted(set(parts) - targeted_set, key=str),
+                }
+            )
         while True:
             head = self.snapshot()
             # A rival rewriting a targeted partition (MERGE, DELETE, another
@@ -990,6 +1035,8 @@ class TxnTable:
             commit = {"add": adds, "remove": removes}
             if dv_drop:
                 commit["dv_remove"] = dv_drop
+            if dv_adds:
+                commit["dv_add"] = dv_adds
             if self._try_commit(head.version + 1, commit):
                 return len(removes)
 
@@ -1158,14 +1205,19 @@ def clone_shallow(src: TxnTable, dst_path: str) -> TxnTable:
         commit["schema_json"] = snap.schema_json
     if not dst._try_commit(0, commit):
         raise ValueError(f"{dst_path} already holds a table")
+    # Retry-loop these metadata commits like add_constraint does: a lost
+    # version race silently dropping a CHECK constraint or generated-column
+    # rule would make later clone writes skip validation.
     for name, expr in snap.constraints.items():
-        dst._try_commit(
+        while not dst._try_commit(
             dst.snapshot().version + 1,
             {"set_constraint": {"name": name, "expr": expr}},
-        )
+        ):
+            pass
     for name, expr in snap.generated.items():
-        dst._try_commit(
+        while not dst._try_commit(
             dst.snapshot().version + 1,
             {"set_generated": {"name": name, "expr": expr}},
-        )
+        ):
+            pass
     return dst

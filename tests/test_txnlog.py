@@ -1092,3 +1092,75 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     assert _rows(t.read(spark, version=0)) == before
     # ...and the real vacuum removes exactly what the dry run reported.
     assert t.vacuum() == n
+
+
+def test_compact_partial_dv_partitions_retires_dv_incrementally(spark, tmp_path):
+    """A DV covering {d1, d2} must shrink to {d2} when only d1 is compacted
+    (and die entirely once d2 is too) — otherwise partition-at-a-time
+    compaction pins both partitions merge-on-read forever."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.merge_overwrite_partitions(
+        _df(spark, [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3), ("d2", "d", 4)]),
+        "date",
+    )
+    # One DV spanning both partitions.
+    t.delete_keys_dv(spark, spark.createDataFrame([("a",), ("c",)], "k string"), ["k"])
+    snap = t.snapshot()
+    assert len(snap.dvs) == 1
+    assert sorted(next(iter(snap.dvs.values()))) == ["d1", "d2"]
+
+    # Compact ONLY d1: the DV survives but now covers just d2, and its dead
+    # d1 (file,pos) entries are gone.
+    t.compact(spark, partition_values=["d1"])
+    snap = t.snapshot()
+    assert len(snap.dvs) == 1
+    assert list(snap.dvs.values()) == [["d2"]]
+    assert _rows(t.read(spark)) == [("d1", "b", 2), ("d2", "d", 4)]
+
+    # Compact d2: the DV is fully materialized and dropped.
+    t.compact(spark, partition_values=["d2"])
+    snap = t.snapshot()
+    assert snap.dvs == {}
+    assert _rows(t.read(spark)) == [("d1", "b", 2), ("d2", "d", 4)]
+    # Idempotent: both partitions are single-file and DV-free now.
+    assert t.compact(spark) == 0
+
+
+def test_where_never_prunes_nan_rows(spark, tmp_path):
+    """Parquet footer min/max exclude NaN but Spark sorts NaN above every
+    numeric — >/>= pruning on a float column must not skip a file whose only
+    matching rows are NaN."""
+    import math
+
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d1", "b", float("nan")), ("d2", "c", 500.0)],
+        "date string, k string, x double",
+    )
+    t.merge_overwrite_partitions(df, "date")
+    # d1's footer max for x is 1.0 (NaN excluded) — naive pruning would skip
+    # the whole d1 file even though its NaN row satisfies x > 50 in Spark.
+    got = sorted(r["k"] for r in t.read(spark, where=[("x", ">", 50.0)]).collect())
+    assert got == ["b", "c"]
+    got = sorted(r["k"] for r in t.read(spark, where=[("x", ">=", 50.0)]).collect())
+    assert got == ["b", "c"]
+    # < pruning on floats is still safe (NaN can never satisfy it) and the
+    # row filter applies.
+    got = sorted(r["k"] for r in t.read(spark, where=[("x", "<", 50.0)]).collect())
+    assert got == ["a"]
+    # A NaN comparison value never prunes from NaN-free footer stats.
+    got = sorted(
+        r["k"] for r in t.read(spark, where=[("x", "=", float("nan"))]).collect()
+    )
+    assert got == ["b"]
+    assert math.isnan  # keep the import honest
+
+
+def test_fit_logreg_empty_input_raises_value_error(spark):
+    import pytest as _pytest
+
+    from data_lake_medallion_architecture_project_spark.operators.logreg import fit_logreg
+
+    empty = spark.createDataFrame([], "f double, y long")
+    with _pytest.raises(ValueError, match="empty input"):
+        fit_logreg(empty, ["f"], "y", n_iters=1)
