@@ -327,24 +327,74 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
-# Distributed k-means cluster profile (iterative algorithm → rows-only check).
+# k-means cluster profile against the pinned seeded model (hash-checked).
 # --------------------------------------------------------------------------- #
 
 
-@register("embedding_cluster_sizes", oracle=None, tags=("similarity", "ml"))
-def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-size profile from full-corpus distributed spherical k-means
-    (operators/kmeans.py: Lloyd's as DataFrame aggs — Arrow argmax
-    assignment, model-sized posexplode shuffle, k×d driver round-trip).
-    Iterative with floating-point re-estimation → no SQL oracle (the driver
-    records a rows-only check; row count is always k); the operator's exact
-    properties — blob recovery, monotone inertia, determinism — are asserted
-    in tests/test_kmeans.py."""
-    from ..operators.kmeans import distributed_kmeans
-    from ..operators.similarity import _assign_udf, to_double_array
+def _cluster_sizes_oracle() -> str:
+    """Argmax-dot assignment against the pinned centroid matrix in DuckDB.
 
+    Cosine argmax equals dot argmax (L2 normalization scales every dot by
+    the same positive factor), so the oracle skips the normalize step. The
+    chained CASE is first-max-wins, matching numpy argmax tie-breaking: if
+    case i fails, d_i < max(d_{i+1}..), so the first case whose d_i >= all
+    LATER dots is the global first maximum."""
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+
+    k = len(cent)
+    dots = ",\n         ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(v) for v in row)
+        + f"]::DOUBLE[]) AS d{i}"
+        for i, row in enumerate(cent)
+    )
+    whens = "\n    ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(i + 1, k))
+        + f" THEN {i}"
+        for i in range(k - 1)
+    )
+    return f"""
+WITH dots AS (
+  SELECT {dots}
+  FROM embeddings
+),
+assigned AS (
+  SELECT CASE
+    {whens}
+    ELSE {k - 1} END AS centroid
+  FROM dots
+)
+SELECT CAST(centroid AS BIGINT) AS centroid, COUNT(*) AS n_vectors
+FROM assigned
+GROUP BY centroid
+"""
+
+
+@register(
+    "embedding_cluster_sizes",
+    oracle=_cluster_sizes_oracle(),
+    tags=("similarity", "ml"),
+)
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size profile: every embedding assigned (Arrow-batched BLAS
+    argmax, map-only) to the PINNED seeded k-means model and counted — one
+    model-sized broadcast plus a k-row shuffle, nothing corpus-sized moves.
+
+    The model is the full-corpus distributed spherical k-means fit
+    (operators/kmeans.py: Lloyd's as DataFrame aggs) exported once by
+    tools/pin_centroids.py into plans/_pinned_centroids.py; pinning it lets
+    the DuckDB oracle replay the identical assignment, making this
+    hash-checked instead of rows-only. The live fit's exact properties —
+    blob recovery, monotone inertia, determinism, and agreement with the
+    pinned matrix — are asserted in tests/test_kmeans.py."""
+    import numpy as np
+
+    from ..operators.similarity import _assign_udf, to_double_array
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8
+
+    cent = np.array(_CLUSTER_CENTROIDS_K8, dtype=np.float64)
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = distributed_kmeans(emb, k=8, iters=4)
     return (
         emb.select(to_double_array("embedding").alias("v"))
         .withColumn("centroid", _assign_udf(cent)(F.col("v")))

@@ -83,3 +83,21 @@ def test_more_clusters_than_points_rejected_or_padded(spark):
     small = _blob_df(spark, n_per=1)  # 3 points
     with pytest.raises(Exception):
         distributed_kmeans(small, k=8, iters=1)
+
+
+def test_pinned_centroids_match_fresh_fit(spark):
+    """plans/_pinned_centroids.py is a generated export of the seeded fit on
+    the gate-scale embeddings — drift in the fit algorithm (or a regenerated
+    gate dataset) must fail here, prompting a tools/pin_centroids.py rerun."""
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    fresh = distributed_kmeans(emb, k=8, iters=4)
+    pinned = np.array(_CLUSTER_CENTROIDS_K8, dtype=np.float64)
+    assert pinned.shape == fresh.shape
+    # Partition-layout float-sum reordering allows tiny per-dim wiggle; an
+    # algorithm change moves centroids by orders of magnitude more.
+    assert np.allclose(pinned, fresh, atol=1e-8)
