@@ -83,6 +83,32 @@ def dec_avg(col: Column | str, alias: str, scale: int = 2, precision: int = 18) 
     return (scaled_long_sum(c, scale) / F.count(c)).alias(alias)
 
 
+def decimal_sum(
+    col: Column | str, alias: str, scale: int = 2, precision: int = 12
+) -> Column:
+    """DecimalType-native SUM — the SURVEY §1.4 ``DecimalType(12,2)`` upgrade
+    path. Exact and order-independent like ``scaled_long_sum`` but the value
+    STAYS decimal end-to-end (no double round-trip), which is what a money
+    ledger wants; the cost is leaving the primitive codegen sum (~60% slower
+    than the split-long trick — use this when the output type matters, the
+    split-long form when only the value does)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).alias(alias)
+
+
+def oracle_decimal_sum(
+    expr: str, alias: str, scale: int = 2, precision: int = 12
+) -> str:
+    """DuckDB twin of ``decimal_sum`` rendered as VARCHAR: a fixed-scale
+    decimal string ('123.45') is the one representation both engines print
+    identically, so the value-hash compares the EXACT decimal, not a double
+    projection of it."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS VARCHAR)"
+        f" AS {alias}"
+    )
+
+
 def oracle_dec_sum(expr: str, alias: str, scale: int = 2, precision: int = 18) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE) AS {alias}"
 

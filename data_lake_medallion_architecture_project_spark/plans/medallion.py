@@ -30,7 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum
+from ..functions.money import (
+    dec_avg,
+    dec_sum,
+    decimal_sum,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    oracle_decimal_sum,
+)
 from ..schemas import EVENTS_EVENT_TYPES
 from ..sources.readers import load_table
 from .registry import register
@@ -88,6 +95,48 @@ def daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("order_count"),
             dec_avg("o_totalprice", "avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A1-decimal — daily_sales_summary on the DecimalType(12,2) money path
+# --------------------------------------------------------------------------- #
+
+_A1_DECIMAL_ORACLE = f"""
+SELECT
+  strftime(o_orderdate, '%Y-%m-%d') AS date,
+  {oracle_decimal_sum("o_totalprice", "total_revenue_dec")},
+  COUNT(o_orderkey) AS order_count,
+  {oracle_dec_avg("o_totalprice", "avg_order_value", precision=12)}
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+@register("daily_sales_summary_decimal", oracle=_A1_DECIMAL_ORACLE, tags=("gold",))
+def daily_sales_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on the flag-gated decimal money path (SURVEY §1.4's named upgrade):
+    revenue aggregates as ``DecimalType(12,2)`` end-to-end instead of the
+    scaled-long/double discipline. The exact decimal total is emitted as its
+    fixed-scale string — the one rendering Spark and DuckDB print identically
+    — so the gate hash-checks the DECIMAL value itself; avg_order_value
+    derives from the same exact sum via double division, proving the decimal
+    and double paths agree to the last ulp."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _finish_date(
+        orders.select(_day("o_orderdate"), "o_totalprice", "o_orderkey")
+        .groupBy("date")
+        .agg(
+            decimal_sum("o_totalprice", "_rev"),
+            F.count("o_orderkey").alias("order_count"),
+            F.count("o_totalprice").alias("_n"),
+        )
+        .select(
+            "date",
+            F.col("_rev").cast("string").alias("total_revenue_dec"),
+            "order_count",
+            (F.col("_rev").cast("double") / F.col("_n")).alias("avg_order_value"),
         )
     )
 

@@ -56,23 +56,43 @@ def _finalize(df: DataFrame, errors: Column, processed_at: str) -> DataFrame:
     )
 
 
-def clean_sales(df: DataFrame, processed_at: str) -> DataFrame:
+def clean_sales(
+    df: DataFrame, processed_at: str, money_type: str = "double"
+) -> DataFrame:
     """Sales cleaner (bronze_to_silver.py:35-85): dedup on sale_id, NULL rules,
-    total_amount auto-correction with half-even rounding and 0.01 epsilon."""
+    total_amount auto-correction with half-even rounding and 0.01 epsilon.
+
+    ``money_type="decimal"`` is the SURVEY §1.4 upgrade path: unit_price and
+    total_amount flow as ``DecimalType(12,2)``, the expected total is the
+    EXACT 2-dp product (integer quantity × 2-dp price needs no rounding, so
+    pandas' half-even bround and the decimal product agree by construction)
+    and the 0.01 epsilon comparison happens in exact decimal arithmetic —
+    the reference's epsilon contract is preserved, just without float noise.
+    Default stays ``"double"`` for byte-fidelity to the reference outputs."""
     df = df.withColumn("timestamp", F.col("timestamp").try_cast("timestamp"))
     df = df.dropDuplicates(["sale_id"])
 
     # Auto-correction before stamping: computable rows whose stored total
-    # deviates from bround(q×price, 2) by >0.01 get the recomputed value.
+    # deviates from the recomputed total by >0.01 get the recomputed value.
     # Null-safe: if total_amount is NULL the comparison is NULL → no fix,
     # matching pandas NaN comparison semantics at line 69.
-    expected = F.bround(F.col("quantity") * F.col("unit_price"), 2)
+    if money_type == "decimal":
+        df = df.withColumn(
+            "unit_price", F.col("unit_price").cast("decimal(12,2)")
+        ).withColumn("total_amount", F.col("total_amount").cast("decimal(12,2)"))
+        expected = (
+            F.col("quantity").cast("decimal(10,0)") * F.col("unit_price")
+        ).cast("decimal(12,2)")
+        epsilon = F.expr("CAST(0.01 AS DECIMAL(12,2))")
+    else:
+        expected = F.bround(F.col("quantity") * F.col("unit_price"), 2)
+        epsilon = F.lit(0.01)
     computable = F.col("quantity").isNotNull() & F.col("unit_price").isNotNull()
-    mismatch = F.abs(F.col("total_amount") - expected) > 0.01
-    df = df.withColumn(
-        "total_amount",
-        F.when(computable & mismatch, expected).otherwise(F.col("total_amount")),
-    )
+    mismatch = F.abs(F.col("total_amount") - expected) > epsilon
+    fixed = F.when(computable & mismatch, expected).otherwise(F.col("total_amount"))
+    if money_type == "decimal":
+        fixed = fixed.cast("decimal(12,2)")
+    df = df.withColumn("total_amount", fixed)
 
     errors = _accumulate_errors(_null_checks(SALES_REQUIRED))
     return _finalize(df, errors, processed_at)

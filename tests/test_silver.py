@@ -159,3 +159,47 @@ def test_dedup_removes_exact_duplicates(spark):
     cleaned = clean_sales(_spark_df(spark, rows, "sales"), RUN_TS)
     ids = [r["sale_id"] for r in cleaned.select("sale_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+@pytest.mark.parametrize("seed", [42, 7])
+def test_sales_cleaner_decimal_mode_agrees_with_double(spark, seed):
+    """SURVEY §1.4's DecimalType(12,2) upgrade path: same rows corrected, same
+    2-dp money values, same validity verdicts as the default double path —
+    the epsilon contract survives the type change."""
+    from decimal import Decimal
+
+    rows = gen_sales_batch(seed, n=60, now=GEN_NOW)
+    rows += [
+        {**rows[0], "sale_id": "edge-bad-total", "quantity": 2.0,
+         "unit_price": 10.0, "total_amount": 25.0},     # corrected to 20.00
+        {**rows[1], "sale_id": "edge-eps", "quantity": 3.0, "unit_price": 1.0,
+         "total_amount": 3.01},                          # ==0.01 → untouched
+        {**rows[2], "sale_id": "edge-null-qty", "quantity": None},
+    ]
+    src = _spark_df(spark, rows, "sales")
+    dbl = {r["sale_id"]: r for r in clean_sales(src, RUN_TS).collect()}
+    dec = {
+        r["sale_id"]: r
+        for r in clean_sales(src, RUN_TS, money_type="decimal").collect()
+    }
+    assert set(dbl) == set(dec)
+    # The decimal path really is decimal.
+    dec_schema = dict(
+        clean_sales(src, RUN_TS, money_type="decimal").dtypes
+    )
+    assert dec_schema["total_amount"] == "decimal(12,2)"
+    assert dec_schema["unit_price"] == "decimal(12,2)"
+    for k, d in dbl.items():
+        g = dec[k]
+        assert g["is_valid"] == d["is_valid"], k
+        assert g["validation_errors"] == d["validation_errors"], k
+        if d["total_amount"] is None:
+            assert g["total_amount"] is None, k
+        else:
+            # Same money value to the cent, exactly.
+            assert g["total_amount"] == Decimal(
+                f"{d['total_amount']:.2f}"
+            ), k
+    # The hand-crafted corrections happened identically in both modes.
+    assert dec["edge-bad-total"]["total_amount"] == Decimal("20.00")
+    assert dec["edge-eps"]["total_amount"] == Decimal("3.01")
