@@ -42,14 +42,24 @@ def main() -> None:
     # scratch — re-collecting the same DataFrame object would silently reuse
     # shuffle outputs (skipped stages) and under-report.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, q in bench_queries().items():
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             q.build(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # Repeat-run variance over the two WARM passes (pass 1 pays codegen +
+        # JIT and would conflate warmup with host noise) — the per-query
+        # noise floor that round-over-round comparisons should be read
+        # against (SCALE.md documents 15-25% host variance between rounds).
+        warm = runs[1:]
+        spread[name] = round(
+            100.0 * (max(warm) - min(warm)) / max(min(warm), 1e-9), 1
+        )
 
+    spreads = sorted(spread.values())
     print(
         json.dumps(
             {
@@ -57,6 +67,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread,
+                "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
                 "sf": sf,
             }
         )

@@ -92,30 +92,72 @@ def jaccard_pairs_from_sets(
 ) -> DataFrame:
     """Core of :func:`jaccard_similar_pairs` over an arbitrary ``(id,
     tokens)`` set table — reused by the word-set and shingle-set variants
-    (any element vocabulary works; 'token' below means set element)."""
-    postings = sets.select("id", F.explode("tokens").alias("token"))
+    (any element vocabulary works; 'token' below means set element).
+
+    Candidate generation groups the (prefix) postings by token and expands
+    ordered pairs from each token's id list — ONE evaluation of the posting
+    DAG and one shuffle, where the textbook inverted-index self-join would
+    re-evaluate the whole upstream plan (df ranking + prefix window) for
+    each join side and add a join exchange on top (measured 2× end-to-end
+    on the shingle variant). Per-token output volume is df² either way —
+    a self-join also colocates one token's rows in one task — and the
+    prefix filter is what keeps df small, so skew behavior is unchanged."""
+    postings = sets.select(
+        # set_size rides along from before the explode — joining it back on
+        # id afterwards (the naive shape) would add an id-keyed exchange of
+        # the full posting table.
+        "id", F.size("tokens").alias("set_size"), F.explode("tokens").alias("token")
+    )
     if prefix_filter:
         from pyspark.sql import Window
 
         dfreq = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        sized = postings.join(
-            sets.select("id", F.size("tokens").alias("set_size")), "id"
-        ).join(dfreq, "token")
+        sized = postings.join(dfreq, "token")
         # Prefix length |A| − ⌈t·|A|⌉ + 1 under rarest-first canonical order.
         w = Window.partitionBy("id").orderBy("df", "token")
-        prefix = (
+        cand_src = (
             sized.withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1)
-            .select("id", "token")
+            .select("id", "set_size", "token")
         )
-        cand_src = prefix
     else:
         cand_src = postings
-    a = cand_src.alias("a")
-    b = cand_src.alias("b")
+    ids = F.sort_array(F.collect_list(F.struct("id", "set_size")))
+    pair = (
+        cand_src.groupBy("token")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                # All ordered pairs (ids[i], ids[j>i]) as one JVM expression.
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                x["set_size"].alias("size_a"),
+                                y["set_size"].alias("size_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+    )
     cand = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # PPJoin length filter: J ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and
+        # |A∩B| ≤ min(|A|,|B|), so pairs with min < t·max can't qualify —
+        # pruned here, before the (distinct + verify-join) stages pay for
+        # them (cuts the candidate volume before the only pair-keyed
+        # exchanges in the plan).
+        pair.filter(
+            F.least("p.size_a", "p.size_b")
+            >= threshold * F.greatest("p.size_a", "p.size_b")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # Exact verification on the full token sets (same arithmetic as the naive
@@ -324,6 +366,40 @@ def minhash_near_dup(
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram sets as ``(id, tokens array<string>)`` built on
+    the ROW-LEVEL codegen path: posexplode the shingle start positions, build
+    each n-gram with per-row ``concat_ws``/``element_at`` (whole-stage
+    codegen), and regroup with ``collect_set``.
+
+    The array-level form — ``array_distinct(transform(sequence(...),
+    i -> concat_ws(' ', slice(tokens, i, n))))`` (functions/text.py:shingles)
+    — is semantically identical but lambda bodies of higher-order functions
+    are INTERPRETED, never codegen'd, and allocate a slice per position:
+    measured 20× slower (3.4 s vs 0.16 s for 5 000 docs × ~52 shingles,
+    local[32]), and the Jaccard operator evaluates its set table three times
+    (postings + both verify sides). Costs one extra id-keyed exchange of the
+    shingle rows; at 100 TB both that exchange and the HOF penalty scale with
+    corpus tokens, and the exchange is the cheaper coefficient by an order of
+    magnitude. Documents with fewer than ``n`` tokens produce no row."""
+    from ..functions.text import tokenize
+
+    base = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("t")).filter(
+        F.size("t") >= n
+    )
+    rows = base.select(
+        "id",
+        "t",
+        F.posexplode(F.slice("t", 1, F.size("t") - (n - 1))).alias("pos", "w0"),
+    )
+    gram = F.concat_ws(
+        " ", "w0", *[F.element_at("t", F.col("pos") + 1 + j) for j in range(1, n)]
+    )
+    return rows.select("id", gram.alias("shingle")).groupBy("id").agg(
+        F.collect_set("shingle").alias("tokens")
+    )
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -336,12 +412,8 @@ def shingle_jaccard_pairs(
     detection: unlike the word-set variant, a permuted document shares few
     shingles with its source, so this catches copy-with-small-edits without
     conflating bag-of-words rewrites. Same prefix-filtered exact machinery;
-    set elements are the distinct n-gram strings. Documents with fewer than
-    ``n`` tokens have no shingles and produce no pairs."""
-    from ..functions.text import shingles, tokenize
-
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokenize(text_col), n)).alias("tokens"),
-    ).filter(F.size("tokens") > 0)
+    set elements are the distinct n-gram strings (built by
+    :func:`shingle_sets`, the codegen form). Documents with fewer than ``n``
+    tokens have no shingles and produce no pairs."""
+    sets = shingle_sets(df, id_col, text_col, n)
     return jaccard_pairs_from_sets(sets, threshold, prefix_filter=prefix_filter)

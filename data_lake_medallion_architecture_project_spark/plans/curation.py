@@ -424,7 +424,7 @@ FROM yearly
 """
 
 
-@register("nation_yoy_revenue", oracle=_YOY_ORACLE, tags=("tpch", "window"))
+@register("nation_yoy_revenue", oracle=_YOY_ORACLE, tags=("tpch", "window", "bench"))
 def nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue per nation: aggregate-then-window — the lag
     runs over the ~nations×years aggregate (hundreds of rows), not the fact,
@@ -474,7 +474,7 @@ FROM base
 """
 
 
-@register("customer_rfm_scores", oracle=_RFM_ORACLE, tags=("window", "analytics"))
+@register("customer_rfm_scores", oracle=_RFM_ORACLE, tags=("window", "analytics", "bench"))
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary quartile
     scores (higher = more recent / frequent / valuable). The three NTILEs

@@ -114,7 +114,7 @@ GROUP BY strftime(o_orderdate, '%Y-%m-%d')
 """
 
 
-@register("daily_sales_summary_decimal", oracle=_A1_DECIMAL_ORACLE, tags=("gold",))
+@register("daily_sales_summary_decimal", oracle=_A1_DECIMAL_ORACLE, tags=("gold", "bench"))
 def daily_sales_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on the flag-gated decimal money path (SURVEY §1.4's named upgrade):
     revenue aggregates as ``DecimalType(12,2)`` end-to-end instead of the

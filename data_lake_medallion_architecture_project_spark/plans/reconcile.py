@@ -49,7 +49,7 @@ GROUP BY status
 """
 
 
-@register("orders_reconciliation_diff", oracle=_DIFF_ORACLE, tags=("quality",))
+@register("orders_reconciliation_diff", oracle=_DIFF_ORACLE, tags=("quality", "bench"))
 def orders_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff ``orders`` against a deterministically-drifted replica of itself
     (price bumps on keys ≡0 mod 97 → changed; keys ≡0 mod 101 dropped →
@@ -84,7 +84,7 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
-@register("supplier_name_near_matches", oracle=_EDITDIST_ORACLE, tags=("dedup",))
+@register("supplier_name_near_matches", oracle=_EDITDIST_ORACLE, tags=("dedup", "bench"))
 def supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution on supplier names: all pairs within edit distance 1
     via FastSS deletion-neighborhood blocking (``operators/editdist.py``) —

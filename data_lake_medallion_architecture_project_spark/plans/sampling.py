@@ -88,7 +88,7 @@ GROUP BY s.doc_id
 """
 
 
-@register("segment_dedup_docs", oracle=_SEGMENT_DEDUP_ORACLE, tags=("dedup", "text"))
+@register("segment_dedup_docs", oracle=_SEGMENT_DEDUP_ORACLE, tags=("dedup", "text", "bench"))
 def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document segment dedup (CCNet's line-level dedup with fixed
     8-word segments standing in for lines): every segment that appears in
@@ -260,7 +260,7 @@ HAVING COUNT(*) * {FREQ_K} > (SELECT n_total FROM tot)
 """
 
 
-@register("frequent_bigrams", oracle=_FREQ_ORACLE, tags=("text", "sketch"))
+@register("frequent_bigrams", oracle=_FREQ_ORACLE, tags=("text", "sketch", "bench"))
 def frequent_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word bigrams with frequency > 1/FREQ_K of the corpus — exact counts
     via the two-phase heavy-hitter operator (``operators/freqitems.py``):
@@ -368,7 +368,7 @@ GROUP BY p.anchor_id, p.positive_id
 """
 
 
-@register("contrastive_training_triples", oracle=_TRIPLES_ORACLE, tags=("training",))
+@register("contrastive_training_triples", oracle=_TRIPLES_ORACLE, tags=("training", "bench"))
 def contrastive_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor, positive, negative) triples for contrastive embedding
     training: positives are the shingle-Jaccard ≥ 0.8 near-dup pairs (the
