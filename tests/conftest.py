@@ -1,11 +1,31 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# google.protobuf (the transformWithState worker protocol) is not installed
+# in this sandbox, but the Google Cloud SDK on the image bundles a
+# pure-python protobuf runtime. Borrow it for the state-API e2e tests: add
+# it to sys.path AND PYTHONPATH (Spark's python workers inherit the env, so
+# this must happen before the SparkSession is built) and use protobuf's own
+# escape hatch for the one-minor-version gencode skew (runtime 6.32 vs
+# pyspark's 6.33 gencode — wire-compatible). On a machine with a real
+# protobuf install this block is a no-op.
+_BUNDLED_PROTOBUF = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    if os.path.isdir(os.path.join(_BUNDLED_PROTOBUF, "google", "protobuf")):
+        sys.path.append(_BUNDLED_PROTOBUF)
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            filter(None, [os.environ.get("PYTHONPATH"), _BUNDLED_PROTOBUF])
+        )
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
 from data_lake_medallion_architecture_project_spark.session import get_spark  # noqa: E402
 
