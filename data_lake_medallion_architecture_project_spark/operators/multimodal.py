@@ -91,15 +91,25 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (h, w, 3) uint8 RGB array.
 
-    Real for BMP (pure-stdlib codec above). JPEG/PNG/etc. need external
-    codecs not present in this environment — this dispatch point is where
-    PIL/libvips plugs in; downstream operators are format-agnostic."""
+    BMP decodes through the pure-stdlib codec above (always available, the
+    sandbox default). Every other format (JPEG/PNG/WebP/...) dispatches to
+    pillow when it is installed — the opt-in production path; downstream
+    operators (dHash, resize, frame stats) are format-agnostic either way.
+    Without pillow, non-BMP payloads raise NotImplementedError so a
+    misconfigured cluster fails loudly instead of producing fake features."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise NotImplementedError(
-        "only BMP decoding is built in; JPEG/PNG/video require an external "
-        "codec (PIL/libvips/ffmpeg) wired in at this dispatch point"
-    )
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "only BMP decoding is built in; JPEG/PNG/WebP need pillow "
+            "(pip install pillow) wired in at this dispatch point"
+        ) from None
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def resize_image(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -398,6 +408,30 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("no data chunk")
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio payload → (int16 mono samples, sample_rate).
+
+    RIFF/WAVE PCM16 decodes through the stdlib codec above (the sandbox
+    default). Other containers/codecs (FLAC/OGG/MP3 via libsndfile)
+    dispatch to soundfile when installed — the opt-in production path;
+    multichannel input is folded to mono by channel mean, matching common
+    ASR-corpus preprocessing. Without soundfile, non-WAV payloads raise."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    try:
+        import soundfile as sf
+    except ImportError:
+        raise NotImplementedError(
+            "only PCM16 WAV decoding is built in; FLAC/OGG/MP3 need "
+            "soundfile (pip install soundfile) at this dispatch point"
+        ) from None
+    import io
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+    mono = data.mean(axis=1)
+    return np.round(np.clip(mono, -1.0, 1.0) * 32767.0).astype(np.int16), int(rate)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "doc_id long, n_samples long, sample_rate long, duration_ms long, "
     "rms double, peak long, zero_crossings long"
@@ -415,7 +449,7 @@ def audio_features(payloads: DataFrame) -> DataFrame:
             rows = {k: [] for k in
                     ("n", "rate", "dur", "rms", "peak", "zc")}
             for payload in batch.column("payload"):
-                x, rate = decode_wav(payload.as_py())
+                x, rate = decode_audio(payload.as_py())
                 xf = x.astype(np.float64)
                 rows["n"].append(len(x))
                 rows["rate"].append(rate)

@@ -66,3 +66,36 @@ def test_audio_features_physics(spark):
     # Louder clip → higher rms; sine rms ≈ amp/√2 in int16 units.
     assert got[2]["rms"] > got[0]["rms"]
     assert abs(got[2]["rms"] - 0.999 * 32767 / np.sqrt(2)) / 32767 < 0.01
+
+
+def test_decode_audio_dispatch_and_soundfile_backend():
+    """decode_audio routes RIFF/WAVE to the stdlib PCM16 codec; other
+    containers go to soundfile when installed (multichannel folded to mono)
+    or fail loudly when not — meaningful and green under both backends."""
+    import numpy as np
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    x = np.array([0.0, 0.5, -0.5, 1.0], dtype=np.float64)
+    samples, rate = decode_audio(encode_wav(x, 8000))
+    assert rate == 8000 and samples.dtype == np.int16
+    try:
+        import soundfile as sf  # noqa: F401
+
+        has_sf = True
+    except ImportError:
+        has_sf = False
+    if not has_sf:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"fLaC" + b"\x00" * 16)
+        return
+    import io
+
+    buf = io.BytesIO()
+    sf.write(buf, np.stack([x, x], axis=1), 8000, format="FLAC")
+    mono, r2 = decode_audio(buf.getvalue())
+    assert r2 == 8000 and len(mono) == len(x)

@@ -91,6 +91,15 @@ def test_bmp_codec_roundtrip():
     assert (decode_bmp(encode_bmp(px)) == px).all()
 
 
+def _has_pillow() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_image_dispatch():
     import numpy as np
 
@@ -98,8 +107,35 @@ def test_decode_image_dispatch():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert (decode_image(encode_bmp(px)) == px).all()
-    with pytest.raises(NotImplementedError):
+    # Without pillow the dispatch point fails loudly; with it, a truncated
+    # PNG header still raises (pillow can't identify it) — never silent.
+    with pytest.raises(Exception if _has_pillow() else NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")  # real codec integration point
+
+
+def test_decode_image_pillow_backend_matches_bmp():
+    """With pillow installed, a PNG round-trip of the same pixels must decode
+    to the identical RGB array the stdlib BMP path produces (so dHash and
+    decode stats agree across backends). Without pillow this asserts the
+    loud-failure contract instead, so the test is meaningful — and green —
+    under both backends."""
+    import io
+
+    import numpy as np
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_image, encode_bmp
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    if not _has_pillow():
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        return
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(px, "RGB").save(buf, format="PNG")  # lossless
+    assert (decode_image(buf.getvalue()) == decode_image(encode_bmp(px))).all()
 
 
 def test_resize_nearest_matches_manual_gather():
