@@ -123,26 +123,29 @@ def jaccard_pairs_from_sets(
     else:
         cand_src = postings
     ids = F.sort_array(F.collect_list(F.struct("id", "set_size")))
+    # Two-stage expansion keeps every materialized array O(df): the grouped
+    # ids list is posexploded to (left element, ids) rows FIRST, and each row
+    # then expands only its tail slice. A single flatten(transform(transform))
+    # would build all O(df²) ordered pairs of a token as one in-memory array —
+    # with a high-df token (any stopword on the prefix_filter=False baseline
+    # path) that hits executor OOM / Spark's 2 GB array limit before the
+    # explode ever streams it. Both explodes are narrow (no extra shuffle).
     pair = (
         cand_src.groupBy("token")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "a"))
         .select(
             F.explode(
-                # All ordered pairs (ids[i], ids[j>i]) as one JVM expression.
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(
-                                x["id"].alias("id_a"),
-                                y["id"].alias("id_b"),
-                                x["set_size"].alias("size_a"),
-                                y["set_size"].alias("size_b"),
-                            ),
-                        ),
-                    )
+                # Ordered pairs (a, ids[j>i]); slice start is 1-based.
+                F.transform(
+                    F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids")),
+                    lambda y: F.struct(
+                        F.col("a.id").alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.col("a.set_size").alias("size_a"),
+                        y["set_size"].alias("size_b"),
+                    ),
                 )
             ).alias("p")
         )

@@ -338,7 +338,14 @@ def _cluster_sizes_oracle() -> str:
     the same positive factor), so the oracle skips the normalize step. The
     chained CASE is first-max-wins, matching numpy argmax tie-breaking: if
     case i fails, d_i < max(d_{i+1}..), so the first case whose d_i >= all
-    LATER dots is the global first maximum."""
+    LATER dots is the global first maximum.
+
+    Numerical assumption: the two engines sum the dot in different orders
+    (Spark BLAS over the normalized vector vs DuckDB list_dot_product over
+    the raw vector), so an argmax near-tie could round to different winners.
+    tools/pin_centroids.py guards this at pin time — it refuses to export a
+    model whose minimum relative top-2 margin over the gate corpus is within
+    a few hundred ulps of float64."""
     from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
 
     k = len(cent)

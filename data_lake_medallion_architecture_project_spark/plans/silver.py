@@ -80,8 +80,15 @@ def clean_sales(
         df = df.withColumn(
             "unit_price", F.col("unit_price").cast("decimal(12,2)")
         ).withColumn("total_amount", F.col("total_amount").cast("decimal(12,2)"))
+        # Scale-preserving quantity cast: decimal(12,2), NOT decimal(10,0) —
+        # an integer-scale cast would silently half-up-round a fractional
+        # quantity before the multiply, diverging from the double path's
+        # bround(q×price, 2). With scale-2 quantity the product carries
+        # scale 4 and only the final cast rounds (half-up; differs from the
+        # double path's half-even only at exact .xx5 ties, which cannot
+        # occur for the reference generator's integer quantities).
         expected = (
-            F.col("quantity").cast("decimal(10,0)") * F.col("unit_price")
+            F.col("quantity").cast("decimal(12,2)") * F.col("unit_price")
         ).cast("decimal(12,2)")
         epsilon = F.expr("CAST(0.01 AS DECIMAL(12,2))")
     else:

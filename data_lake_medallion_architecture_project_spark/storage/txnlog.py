@@ -963,8 +963,10 @@ class TxnTable:
         if not targets:
             return 0
         adds, removes = [], []
+        staged_dirs: list[str] = []
         for pv, rels in sorted(targets.items()):
             staging = os.path.join(self.data_dir, uuid.uuid4().hex)
+            staged_dirs.append(staging)
             # Read THROUGH the snapshot (committed schema + deletion vectors
             # applied), not the raw files: a DV-hidden row must not survive
             # into the rewritten partition.
@@ -1018,6 +1020,7 @@ class TxnTable:
                 dv_drop.append(p)
                 continue
             staging = os.path.join(self.data_dir, f"dv_{uuid.uuid4().hex}")
+            staged_dirs.append(staging)
             keep.coalesce(1).write.parquet(staging)
             dv_drop.append(p)
             dv_adds.append(
@@ -1026,19 +1029,30 @@ class TxnTable:
                     "partitions": sorted(set(parts) - targeted_set, key=str),
                 }
             )
-        while True:
-            head = self.snapshot()
-            # A rival rewriting a targeted partition (MERGE, DELETE, another
-            # OPTIMIZE) invalidates the staged compaction — committing it
-            # would resurrect the pre-rival rows.
-            self._check_unchanged(head, targeted, read_files, "compact", read_dvs)
-            commit = {"add": adds, "remove": removes}
-            if dv_drop:
-                commit["dv_remove"] = dv_drop
-            if dv_adds:
-                commit["dv_add"] = dv_adds
-            if self._try_commit(head.version + 1, commit):
-                return len(removes)
+        try:
+            while True:
+                head = self.snapshot()
+                # A rival rewriting a targeted partition (MERGE, DELETE,
+                # another OPTIMIZE) invalidates the staged compaction —
+                # committing it would resurrect the pre-rival rows.
+                self._check_unchanged(head, targeted, read_files, "compact", read_dvs)
+                commit = {"add": adds, "remove": removes}
+                if dv_drop:
+                    commit["dv_remove"] = dv_drop
+                if dv_adds:
+                    commit["dv_add"] = dv_adds
+                if self._try_commit(head.version + 1, commit):
+                    return len(removes)
+        except ConcurrentModificationError:
+            # The staged rewrite (data AND DV parquet) will never be
+            # committed — best-effort removal now instead of orphaning it
+            # until vacuum. Never committed, so no reader can hold a
+            # snapshot that references these paths.
+            import shutil
+
+            for d in staged_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            raise
 
     # ------------------------------------------------------------- history
 

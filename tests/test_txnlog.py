@@ -677,6 +677,21 @@ def test_compact_race_with_merge_raises(spark, tmp_path):
     )
     assert got["a"] == 100  # rival's merge survived
 
+    # Aborted compaction must not orphan its staged rewrite until vacuum:
+    # every on-disk parquet either belongs to the live snapshot or to a
+    # committed historical version (the rival's), never to the dead staging.
+    import os
+
+    committed = set()
+    for v in range(t.snapshot().version + 1):
+        committed.update(t.snapshot(version=v).files)
+    on_disk = set()
+    for root, _dirs, names in os.walk(t.path):
+        for n in names:
+            if n.endswith(".parquet") and "_txn_log" not in root:
+                on_disk.add(os.path.relpath(os.path.join(root, n), t.path))
+    assert on_disk <= committed, f"orphaned staged files: {on_disk - committed}"
+
 
 def test_evolution_survives_pre_evolution_overwrite(spark, tmp_path):
     """add_columns must not be undone by a later merge_overwrite_partitions
