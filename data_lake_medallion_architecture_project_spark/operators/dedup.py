@@ -205,6 +205,40 @@ def _simhash_counters(tokens: Column) -> Column:
     )
 
 
+def _simhash_signatures_md5(sets: DataFrame) -> DataFrame:
+    """(id, sig) via the md5 bit family: bit j of a token is the high bit of
+    hex digit j+1 of md5("0|"+t) ∥ md5("1|"+t) (two seeded md5s → 64 bits).
+
+    Every engine with md5() computes the identical bits, so this family makes
+    the whole SimHash pipeline oracle-replayable (the xxhash64 default
+    doesn't exist outside the JVM). Shape differs from the fold-based
+    default on purpose: posexplode + one md5 pair per token + a 64-column
+    codegen'd SUM agg — HOF lambdas are interpreted, and referencing the
+    md5 from inside one would re-hash per bit."""
+    tok = sets.select("id", F.explode("tokens").alias("t"))
+    h = F.concat(
+        F.md5(F.concat(F.lit("0|"), F.col("t"))),
+        F.md5(F.concat(F.lit("1|"), F.col("t"))),
+    )
+    hx = tok.select("id", h.alias("hx"))
+    high = tuple("89abcdef")
+    sums = [
+        F.sum(
+            F.when(F.substring("hx", j + 1, 1).isin(*high), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    counters = hx.groupBy("id").agg(*sums)
+    return counters.select(
+        "id",
+        _pack_simhash(
+            F.array(*[F.col(f"s{j}") for j in range(SIMHASH_BITS)])
+        ).alias("sig"),
+    )
+
+
 def _pack_simhash(counters: Column) -> Column:
     """Sign vector → packed long (bit j set iff counter j > 0).
 
@@ -234,6 +268,7 @@ def simhash_near_dup(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming distance ≤ max_hamming.
 
@@ -242,6 +277,10 @@ def simhash_near_dup(
     bit_count of the XOR. Shuffle carries (band, band-bits, id, sig) only.
     ``bands`` must divide SIMHASH_BITS and exceed ``max_hamming`` for the
     pigeonhole guarantee (default 4 bands × 16 bits covers max_hamming ≤ 3).
+
+    ``hash_family``: "xxhash64" (default, JVM-only) or "md5"
+    (cross-engine-reproducible bits — see :func:`_simhash_signatures_md5`);
+    banding and verification are family-independent.
     """
     if SIMHASH_BITS % bands != 0:
         raise ValueError("bands must divide SIMHASH_BITS")
@@ -249,11 +288,14 @@ def simhash_near_dup(
         raise ValueError("need bands > max_hamming for exact candidate recall")
     rows = SIMHASH_BITS // bands
     sets = _token_sets(df, id_col, text_col).filter(F.size("tokens") > 0)
-    # Materialize the counter array before packing — packing references it
-    # 32×, and inlining would duplicate the token fold 32× in the plan.
-    sig = sets.select(
-        "id", _simhash_counters(F.col("tokens")).alias("counters")
-    ).select("id", _pack_simhash(F.col("counters")).alias("sig"))
+    if hash_family == "md5":
+        sig = _simhash_signatures_md5(sets)
+    else:
+        # Materialize the counter array before packing — packing references
+        # it 32×, and inlining would duplicate the token fold 32× in the plan.
+        sig = sets.select(
+            "id", _simhash_counters(F.col("tokens")).alias("counters")
+        ).select("id", _pack_simhash(F.col("counters")).alias("sig"))
     banded = sig.select(
         "id",
         "sig",
@@ -293,9 +335,21 @@ def simhash_near_dup(
     )
 
 
-def _minhash_signature(tokens: Column, num_perms: int) -> Column:
+def _minhash_signature(
+    tokens: Column, num_perms: int, hash_family: str = "xxhash64"
+) -> Column:
     """num_perms MinHash values: for perm i, min over tokens of
-    xxhash64("i|" + token). Seeded by prefix → deterministic everywhere.
+    hash("i|" + token). Seeded by prefix → deterministic everywhere.
+
+    ``hash_family="xxhash64"`` (default) is the production family — one JVM
+    codegen hash per (perm, token), long-typed mins. ``"md5"`` is the
+    cross-engine-reproducible family: the min is taken over the first 16 hex
+    chars of md5, as a STRING — lexicographic min of fixed-width lowercase
+    hex equals numeric min, and every engine with an md5() builtin (DuckDB
+    included) computes the identical value, so the whole
+    signature → band → candidate → verify pipeline becomes oracle-checkable.
+    md5 costs more per hash than xxhash64; same asymptotics, same shuffle
+    shape.
 
     NB: the transform lambda must be single-arg (a two-arg lambda would
     receive the array index as its second argument); the perm index is closed
@@ -304,6 +358,13 @@ def _minhash_signature(tokens: Column, num_perms: int) -> Column:
 
     def _perm_min(i: int) -> Column:
         prefix = F.lit(f"{i}|")
+        if hash_family == "md5":
+            return F.array_min(
+                F.transform(
+                    tokens,
+                    lambda t: F.substring(F.md5(F.concat(prefix, t)), 1, 16),
+                )
+            )
         return F.array_min(F.transform(tokens, lambda t: F.xxhash64(F.concat(prefix, t))))
 
     return F.array(*[_perm_min(i) for i in range(num_perms)])
@@ -316,18 +377,27 @@ def minhash_near_dup(
     threshold: float = 0.7,
     num_perms: int = 32,
     bands: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
     bands × rows = num_perms; with (32, 8) the S-curve crosses ~0.55 — callers
     verifying at threshold ≥ 0.6 get high recall. Candidate generation shuffles
     (band, bucket, id) only; signatures never leave the map side.
+
+    ``hash_family`` picks the permutation family (see
+    :func:`_minhash_signature`): xxhash64 for production speed, md5 for
+    bit-identical cross-engine replay.
     """
     if num_perms % bands != 0:
         raise ValueError("bands must divide num_perms")
     rows = num_perms // bands
     sets = _token_sets(df, id_col, text_col).filter(F.size("tokens") > 0)
-    sig = sets.select("id", "tokens", _minhash_signature(F.col("tokens"), num_perms).alias("sig"))
+    sig = sets.select(
+        "id",
+        "tokens",
+        _minhash_signature(F.col("tokens"), num_perms, hash_family).alias("sig"),
+    )
     # One row per (band, bucket-hash, id): bucket hash = md5 of the band slice.
     banded = sig.select(
         "id",

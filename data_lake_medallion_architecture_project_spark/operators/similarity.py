@@ -96,6 +96,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     sample_limit: int = 4096,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the 100 TB scale path.
 
@@ -116,14 +117,22 @@ def ivf_topk(
 
     With n_probe == n_centroids nothing is pruned and the result equals
     ``brute_force_topk`` exactly (tested); smaller n_probe trades recall for
-    a proportional scan reduction."""
-    # orderBy+limit inside train_ivf_centroids = distributed TakeOrdered on
-    # the id — a deterministic sample regardless of partitioning (plain
-    # limit() is partition-order dependent and would make the centroids,
-    # hence the result, unstable).
-    cent = train_ivf_centroids(
-        corpus, id_col, vec_col, n_centroids, seed, sample_limit
-    )
+    a proportional scan reduction.
+
+    ``centroids`` (optional, n×dim array-like of unit-norm rows) skips the
+    fit and probes against a caller-supplied model — the amortized shape
+    when the model is trained once and reused (or pinned for cross-engine
+    replay); ``n_centroids``/``seed``/``sample_limit`` are then ignored."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        # orderBy+limit inside train_ivf_centroids = distributed TakeOrdered
+        # on the id — a deterministic sample regardless of partitioning
+        # (plain limit() is partition-order dependent and would make the
+        # centroids, hence the result, unstable).
+        cent = train_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids, seed, sample_limit
+        )
     n_probe = min(n_probe, len(cent))
     cent_bc = cent  # captured in UDF closures; ~n_centroids*dim doubles
     assign_centroid = _assign_udf(cent)

@@ -240,10 +240,76 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similar_pairs(docs, id_col="doc_id", text_col="text", threshold=0.9)
 
 
-@register("minhash_near_dup_pairs", oracle=None, tags=("dedup",))
+# DuckDB replay of the FULL MinHash-LSH pipeline (md5 hash family): the same
+# 32 per-perm minima over substr(md5(i || '|' || token), 1, 16) — lexicographic
+# min of fixed-width lowercase hex ≡ numeric min — the same 8 bands of 4 with
+# md5-of-joined-slice buckets, the same bucket-equality candidates, and the
+# same exact-Jaccard verification. Hash-green means the Spark side's banding
+# and recall behavior are bit-identical, not just its final verify step.
+_MINHASH_PAIRS_CTE = """
+WITH sets AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents
+),
+words AS (SELECT doc_id, unnest(toks) AS w FROM sets),
+perms AS (SELECT range AS i FROM range(32)),
+mins AS (
+  SELECT doc_id, i, MIN(substr(md5(CAST(i AS VARCHAR) || '|' || w), 1, 16)) AS mh
+  FROM words CROSS JOIN perms
+  GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS bucket
+  FROM mins
+  GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(toks) AS sz FROM sets),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN words a ON a.doc_id = c.id_a
+  JOIN words b ON b.doc_id = c.id_b AND b.w = a.w
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes x ON id_a = x.doc_id
+  JOIN sizes y ON id_b = y.doc_id
+  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.9
+)
+"""
+
+_MINHASH_PAIRS_ORACLE = _MINHASH_PAIRS_CTE + "SELECT id_a, id_b, jaccard FROM pairs"
+
+_MINHASH_KEEP_ORACLE = (
+    _MINHASH_PAIRS_CTE
+    + """,
+neighbors AS (
+  SELECT doc_id, MIN(nbr) AS min_nbr FROM (
+    SELECT id_a AS doc_id, id_b AS nbr FROM pairs
+    UNION ALL
+    SELECT id_b AS doc_id, id_a AS nbr FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(n.min_nbr, d.doc_id)) AS keep_id
+FROM documents d LEFT JOIN neighbors n ON d.doc_id = n.doc_id
+"""
+)
+
+
+@register("minhash_near_dup_pairs", oracle=_MINHASH_PAIRS_ORACLE, tags=("dedup",))
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate generation + exact verification (rows-only check:
-    the seeded hash family is not expressible in the DuckDB oracle).
+    """MinHash-LSH candidate generation + exact verification, hash-checked
+    end-to-end: the md5 permutation family is computable in DuckDB, so the
+    oracle replays the identical signatures, bands, buckets, and verify —
+    any drift in banding (not just in the verified output) hash-mismatches.
+    Production callers default to the faster xxhash64 family; the banding
+    logic is family-independent (operators/dedup.py:minhash_near_dup).
 
     Not bench-tagged: this testdata corpus is near-dup dense (~1M true pairs
     at jaccard ≥ 0.9 among 5K docs at sf0.1), so pair enumeration is
@@ -251,11 +317,17 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-output production shape is ``minhash_dedup_keep_list`` below."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup(
-        docs, id_col="doc_id", text_col="text", threshold=0.9, num_perms=32, bands=8
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.9,
+        num_perms=32,
+        bands=8,
+        hash_family="md5",
     )
 
 
-@register("minhash_dedup_keep_list", oracle=None, tags=("dedup",))
+@register("minhash_dedup_keep_list", oracle=_MINHASH_KEEP_ORACLE, tags=("dedup",))
 def minhash_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup as a keep/drop decision per document — the 100 TB product.
 
@@ -264,10 +336,16 @@ def minhash_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline keeps rows where doc_id == keep_id. Work is still
     bounded below by the corpus's true near-dup pair count (~1M here), so
     like the pairs query it stays un-bench-tagged on this dup-dense
-    testdata. Rows-only check (seeded hashes)."""
+    testdata. Hash-checked via the md5 family (see minhash_near_dup_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup(
-        docs, id_col="doc_id", text_col="text", threshold=0.9, num_perms=32, bands=8
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.9,
+        num_perms=32,
+        bands=8,
+        hash_family="md5",
     )
     # Smallest neighbor over both pair orientations, then min against self.
     neighbors = (
@@ -319,20 +397,97 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
 
 
-@register("ivf_similarity_topk", oracle=None, tags=("bench", "similarity", "approx"))
+def _ivf_topk_oracle(n_probe: int = 6, k_top: int = 5) -> str:
+    """DuckDB replay of the full IVF pipeline against the PINNED spherical
+    k-means model (plans/_pinned_centroids.py): assignment = first-max-wins
+    raw-dot argmax (≡ Spark's normalized-dot argmax — normalization scales
+    every dot by the same positive factor; tie robustness guarded at pin
+    time by tools/pin_centroids.py), probe order = per-query raw-dot rank
+    over the same 8 centroid literals (≡ Spark's stable argsort of
+    normalized dots), then exact cosine top-k within the probed partitions.
+    Hash-green means the PRUNING is bit-identical, not just the final rank."""
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+
+    k = len(cent)
+    dots = ",\n         ".join(
+        "list_dot_product(e, ["
+        + ", ".join(repr(v) for v in row)
+        + f"]::DOUBLE[]) AS d{i}"
+        for i, row in enumerate(cent)
+    )
+    whens = "\n    ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(i + 1, k))
+        + f" THEN {i}"
+        for i in range(k - 1)
+    )
+    structs = ", ".join("{'idx': %d, 'd': d%d}" % (i, i) for i in range(k))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+nv AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+d AS (
+  SELECT vec_id, e, nrm,
+         {dots}
+  FROM nv
+),
+assigned AS (
+  SELECT vec_id, e, nrm, CASE
+    {whens}
+    ELSE {k - 1} END AS centroid
+  FROM d
+),
+qd AS (
+  SELECT vec_id AS qid, e AS qe, nrm AS qnrm, unnest([{structs}]) AS u
+  FROM d WHERE vec_id < 8
+),
+probes AS (
+  SELECT qid, qe, qnrm, idx AS centroid FROM (
+    SELECT qid, qe, qnrm, u.idx AS idx,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u.d DESC, u.idx) AS r
+    FROM qd
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS cid,
+         list_sum(list_transform(list_zip(p.qe, a.e), t -> t[1] * t[2]))
+           / (p.qnrm * a.nrm) AS cos
+  FROM probes p
+  JOIN assigned a ON a.centroid = p.centroid AND a.vec_id <> p.qid
+)
+SELECT qid, cid, rank FROM (
+  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM scored
+)
+WHERE rank <= {k_top}
+"""
+
+
+@register(
+    "ivf_similarity_topk",
+    oracle=_ivf_topk_oracle(),
+    tags=("bench", "similarity", "approx"),
+)
 def ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate cosine top-5 (the ANN scale path: spherical
-    k-means partitioning + n_probe pruning). Approximate by design → no SQL
-    oracle; tests/test_dedup_similarity.py asserts exact equality to brute
-    force at full probe and recall ≥ 0.9 at n_probe=12/16. The testdata
-    embeddings are near-isotropic (little cluster structure — the worst case
-    for IVF), so the probe fraction is high; clustered real-world corpora
-    prune much harder at the same recall."""
+    """IVF approximate cosine top-5 (the ANN scale path: spherical k-means
+    partitioning + n_probe pruning), hash-checked end-to-end: probing the
+    PINNED k=8 model lets the DuckDB oracle replay assignment, probe order,
+    and in-partition scoring exactly, so this certifies the pruning logic —
+    not just the output's plausibility. The fit-per-call shape
+    (n_centroids=16 trained on a deterministic sample) remains the operator
+    default; tests/test_dedup_similarity.py asserts brute-force equality at
+    full probe and recall ≥ 0.9 for both shapes. The testdata embeddings are
+    near-isotropic (little cluster structure — IVF's worst case), so the
+    probe fraction is high; clustered real-world corpora prune much harder
+    at the same recall."""
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(
         queries, emb, id_col="vec_id", vec_col="embedding",
-        k=5, n_centroids=16, n_probe=12,
+        k=5, n_probe=6, centroids=_CLUSTER_CENTROIDS_K8,
     )
 
 
@@ -523,13 +678,68 @@ def embedding_blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register("simhash_near_dup_pairs", oracle=None, tags=("dedup",))
+def _simhash_oracle(max_hamming: int = 3, bands: int = 4, bits: int = 64) -> str:
+    """DuckDB replay of the FULL SimHash pipeline (md5 bit family): the same
+    per-token 64 bits (high bit of each hex digit of md5('0|'+t) ∥
+    md5('1|'+t)), the same ±1 majority per bit, the same 4×16-bit bands for
+    candidates, the same Hamming verify. Signatures travel as 64-char bit
+    strings — band b is chars [b·16+1, b·16+16], matching the packed long's
+    bit indices on the Spark side."""
+    rows = bits // bands
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN substr(hx, {j + 1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".replace(
+            "{j}", str(j)
+        )
+        for j in range(bits)
+    )
+    bitstr = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents
+),
+words AS (SELECT doc_id, unnest(toks) AS w FROM sets),
+h AS (SELECT doc_id, md5('0|' || w) || md5('1|' || w) AS hx FROM words),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {bitstr} AS bits FROM sums),
+banded AS (
+  SELECT doc_id, bits, b, substr(bits, b * {rows} + 1, {rows}) AS bb
+  FROM sig, (SELECT unnest(range({bands})) AS b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.bits AS ba, y.bits AS bbits
+  FROM banded x
+  JOIN banded y ON x.b = y.b AND x.bb = y.bb AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range({bits}),
+           j -> CASE WHEN substr(ba, j + 1, 1) <> substr(bbits, j + 1, 1)
+                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM cand
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+@register("simhash_near_dup_pairs", oracle=_simhash_oracle(), tags=("dedup",))
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits). Rows-only check:
-    xxhash64 is not available in the DuckDB oracle; precision/recall are
-    covered by unit tests against exact Jaccard."""
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits), hash-checked
+    end-to-end via the md5 bit family — the DuckDB oracle recomputes the
+    identical signatures, bands, and Hamming verify, so banding drift (not
+    just output plausibility) fails the gate. Production callers default to
+    the faster xxhash64 family; precision/recall vs exact Jaccard are
+    covered by unit tests for both."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup(docs, id_col="doc_id", text_col="text", max_hamming=3)
+    return simhash_near_dup(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, hash_family="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # --------------------------------------------------------------------------- #

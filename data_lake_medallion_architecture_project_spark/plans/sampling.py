@@ -328,6 +328,163 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Replayable HLL — deterministic md5-register sketch, hash-checked.
+# --------------------------------------------------------------------------- #
+
+_HLL_M = 64          # registers (2^6 buckets)
+_HLL_B = 6           # bucket bits
+_HLL_SUFFIX = 64 - _HLL_B          # 58 rho bits
+_HLL_RHO_EMPTY = _HLL_SUFFIX + 1   # rho when the suffix is all zeros
+_HLL_ALPHA = 0.709   # Flajolet et al. bias constant for m=64
+# alpha·m²·2^59 as one double literal: the whole numerator is a constant, so
+# the only runtime float ops are one decimal→double cast and one division —
+# both IEEE-correctly-rounded from identical operands in every engine.
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * 2.0 ** _HLL_RHO_EMPTY)
+_HLL_LINEAR_THRESHOLD = 2.5 * _HLL_M
+
+
+def _hll_oracle() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    bit_cases = " || ".join(
+        f"CASE WHEN substr(hx, {j + 1}, 1) IN {high} THEN '1' ELSE '0' END"
+        for j in range(64)
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         md5('0|' || CAST(user_id AS VARCHAR)) || md5('1|' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+bits AS (SELECT day, {bit_cases} AS bits FROM ev),
+br AS (
+  SELECT day, substr(bits, 1, {_HLL_B}) AS bucket,
+         CASE WHEN strpos(substr(bits, {_HLL_B + 1}), '1') = 0
+              THEN {_HLL_RHO_EMPTY}
+              ELSE strpos(substr(bits, {_HLL_B + 1}), '1') END AS rho
+  FROM bits
+),
+daily AS (SELECT day, bucket, MAX(rho) AS r FROM br GROUP BY day, bucket),
+weekly AS (
+  SELECT weekofyear(day) AS week, bucket, MAX(r) AS r FROM daily GROUP BY 1, 2
+),
+agg AS (
+  SELECT week,
+         SUM(CAST(power(2, {_HLL_RHO_EMPTY} - r) AS HUGEINT)) AS s,
+         COUNT(*) AS hit
+  FROM weekly GROUP BY week
+),
+ex AS (
+  SELECT weekofyear(CAST(ts AS DATE)) AS week,
+         COUNT(DISTINCT user_id) AS exact_weekly
+  FROM events GROUP BY 1
+),
+est AS (
+  SELECT week,
+         CAST({_HLL_NUM} AS DOUBLE)
+           / CAST(s + ({_HLL_M} - hit) * CAST(power(2, {_HLL_RHO_EMPTY}) AS HUGEINT)
+                  AS DOUBLE) AS raw,
+         {_HLL_M} - hit AS v
+  FROM agg
+)
+SELECT e.week AS week,
+       CASE WHEN raw <= {_HLL_LINEAR_THRESHOLD} AND v > 0
+            THEN {_HLL_M} * ln({_HLL_M} / CAST(v AS DOUBLE))
+            ELSE raw END AS est_weekly_users,
+       ex.exact_weekly
+FROM est e JOIN ex ON e.week = ex.week
+"""
+
+
+@register(
+    "hll_weekly_users_md5",
+    oracle=_hll_oracle(),
+    tags=("sketch", "approx"),
+)
+def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user HLL estimate from a FROM-SCRATCH deterministic
+    sketch — the hash-checked twin of ``daily_user_sketch_rollup``.
+
+    The builtin DataSketches/HLL++ aggregates are rows-only-checkable (every
+    engine implements a different sketch); this one is replayable anywhere:
+
+    * register hash: 64 bits = the high bit of each hex digit of
+      md5("0|"+uid) ∥ md5("1|"+uid) (the same md5 bit family the oracled
+      SimHash uses) — any engine with md5() computes identical bits;
+    * bucket = first 6 bits (string key), rho = 1-based position of the
+      first set suffix bit (59 if none);
+    * per-day registers = max(rho) per (day, bucket) — KB per day; the
+      weekly rollup MERGES day sketches by max, never rescanning events.
+      The DuckDB oracle computes weekly registers the same way, so hash
+      equality certifies merge ≡ direct (max associativity) on real data;
+    * estimate arithmetic is exact-integer until the last step: register
+      sum Σ2^(59−r) is a DECIMAL/HUGEINT of exact powers of two (a double
+      Σ2^−r would round differently per summation order), the numerator
+      α·m²·2^59 is one Python-emitted double literal, so both engines do
+      one identical cast + one identical IEEE division. The small-range
+      linear-counting branch (taken identically — its operands are exact)
+      uses ln(), where cross-engine agreement is ulp-level, absorbed by the
+      gate's 12-significant-digit float rounding.
+
+    m=64 → ±13% standard error; tests bound the estimate on the gate corpus.
+    """
+    high = tuple("89abcdef")
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.to_date("ts").alias("day"),
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("user_id").cast("string"))),
+            F.md5(F.concat(F.lit("1|"), F.col("user_id").cast("string"))),
+        ).alias("hx"),
+    )
+    bits = ev.select(
+        "day",
+        F.concat(
+            *[
+                F.when(F.substring("hx", j + 1, 1).isin(*high), F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for j in range(64)
+            ]
+        ).alias("bits"),
+    )
+    suffix = F.substring("bits", _HLL_B + 1, _HLL_SUFFIX)
+    rho_raw = F.instr(suffix, "1")
+    br = bits.select(
+        "day",
+        F.substring("bits", 1, _HLL_B).alias("bucket"),
+        F.when(rho_raw == 0, F.lit(_HLL_RHO_EMPTY)).otherwise(rho_raw).alias("rho"),
+    )
+    daily = br.groupBy("day", "bucket").agg(F.max("rho").alias("r"))
+    weekly = daily.groupBy(
+        F.weekofyear("day").cast("long").alias("week"), "bucket"
+    ).agg(F.max("r").alias("r"))
+    agg = weekly.groupBy("week").agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_EMPTY) - F.col("r")).cast("decimal(38,0)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("hit"),
+    )
+    v = F.lit(_HLL_M) - F.col("hit")
+    denom = (
+        F.col("s")
+        + v.cast("decimal(38,0)") * F.lit(2 ** _HLL_RHO_EMPTY).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(float(_HLL_NUM)) / denom
+    est = F.when(
+        (raw <= F.lit(_HLL_LINEAR_THRESHOLD)) & (v > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = events.groupBy(
+        F.weekofyear(F.to_date("ts")).cast("long").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_weekly"))
+    return (
+        agg.select("week", est.alias("est_weekly_users"))
+        .join(exact, "week")
+        .select("week", "est_weekly_users", "exact_weekly")
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Contrastive training triples.
 # --------------------------------------------------------------------------- #
 

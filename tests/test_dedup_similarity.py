@@ -168,6 +168,32 @@ def test_ivf_pruned_recall(spark):
     assert approx == approx2
 
 
+def test_ivf_pinned_model_recall(spark):
+    """The registry's oracle-replayable shape — probing the pinned k=8 model
+    with n_probe=6 — must still be a usable ANN, not just hash-reproducible."""
+    from data_lake_medallion_architecture_project_spark.operators.similarity import ivf_topk
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+
+    # sf0.01 is the corpus the pinned model was fit on (the gate scale);
+    # out-of-domain corpora probe worse (measured 0.85 at sf0.001) — refit
+    # via tools/pin_centroids.py when the target corpus changes.
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["qid"], r["cid"]) for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(
+            q, emb, k=5, n_probe=6, centroids=_CLUSTER_CENTROIDS_K8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
 def test_frame_sampling_explodes_and_matches_arithmetic(spark):
     from data_lake_medallion_architecture_project_spark.operators.multimodal import (
         attach_text_payloads,
