@@ -143,6 +143,89 @@ def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Bigram language-model perplexity (the conditional upgrade of the rarity
+# profile above — the KenLM/CCNet scoring signal with an actual LM).
+# --------------------------------------------------------------------------- #
+
+_LM_K = 0.5  # add-k smoothing constant
+
+_LM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+big AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i+1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(ws) AS tok FROM w)
+),
+s AS (
+  SELECT b.doc_id,
+         log2((c2.c2 + {_LM_K}) / (c1.c1 + {_LM_K} * v.vocab)) AS lp
+  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       -AVG(lp) AS cross_entropy,
+       POWER(2, -AVG(lp)) AS perplexity
+FROM s GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_lm_perplexity", oracle=_LM_ORACLE, tags=("text", "training", "bench")
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity: train an add-k-smoothed bigram
+    model on the corpus in one pass, score every document against it —
+    the CCNet quality-filter shape (they score against a KenLM 5-gram;
+    the operator pipeline is identical, the model order is a parameter).
+    P(w2|w1) = (C(w1,w2)+k) / (C(w1·)+k·|V|), per-doc cross-entropy is the
+    mean −log2 P over its bigram OCCURRENCES (a multiset, unlike the
+    set-based dedup shingles), perplexity = 2^H.
+
+    Plan shape at 100 TB: the model is two vocabulary-sized aggregates
+    (bigram counts, then left-context sums folded FROM the bigram table —
+    never a second corpus scan); scoring joins each bigram occurrence to the
+    model under AQE (Zipf-skewed keys split at runtime) and regroups by
+    document. |V| rides along as a broadcast 1-row aggregate, keeping the
+    whole thing one lazy DAG — no driver-side count."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    big = ws.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("a"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = ws.select(F.explode("ws").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    lp = F.log2(
+        (F.col("c2") + F.lit(_LM_K)) / (F.col("c1") + F.lit(_LM_K) * F.col("vocab"))
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    h = -F.avg("lp")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        h.alias("cross_entropy"),
+        F.pow(F.lit(2.0), h).alias("perplexity"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Incremental dedup: new batch vs existing corpus.
 # --------------------------------------------------------------------------- #
 
