@@ -354,6 +354,18 @@ def _minhash_signature(
     NB: the transform lambda must be single-arg (a two-arg lambda would
     receive the array index as its second argument); the perm index is closed
     over via a factory function.
+
+    Why the interpreted HOF and not the row-level codegen shape (explode +
+    32-column groupBy-min), which wins 2.4× on the signature stage in
+    isolation: the agg inserts a doc-grain exchange that AQE coalesces to
+    ~1 partition at small corpus sizes, and everything downstream of it —
+    band explode, candidate self-join, exact verify, which dominate
+    end-to-end — then runs nearly single-task (measured 82 s vs 19 s for
+    the full pairs pipeline at sf0.1, local[32]). The narrow HOF pipeline
+    inherits the scan's full parallelism instead. At 100 TB the agg output
+    is corpus-sized and AQE would keep it wide, but the signature cost is
+    noise next to the verify join at any scale, so the shape that also
+    behaves at bench scale wins.
     """
 
     def _perm_min(i: int) -> Column:
