@@ -52,6 +52,10 @@ NESTED_LOOP_OK = {
     # both sides are already post-aggregation small. (The Q15 twin becomes a
     # BroadcastHashJoin because its predicate is an equality.)
     "major_supply_nations",
+    # Scalar broadcast again: |V| (vocabulary size) is a 1-row aggregate
+    # cross-joined into the smoothing denominator — O(n)·O(1), keeps the
+    # model computation one lazy DAG instead of a driver-side count.
+    "doc_lm_perplexity",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
