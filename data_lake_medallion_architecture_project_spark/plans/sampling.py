@@ -485,6 +485,114 @@ def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Replayable DDSketch — mergeable quantiles with a relative-error guarantee
+# (Masson et al., "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees", VLDB'19). The quantile sibling of the HLL above.
+# --------------------------------------------------------------------------- #
+
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
+_DD_LNG = __import__("math").log(_DD_GAMMA)  # bucket width in log space
+_DD_QS = (0.5, 0.9, 0.99)
+
+
+def _ddsketch_oracle() -> str:
+    sels = ",\n         ".join(
+        f"MIN(CASE WHEN cum >= {q} * total THEN bucket END) AS b{int(q * 100)}"
+        for q in _DD_QS
+    )
+    ests = ",\n       ".join(
+        f"2 * power({_DD_GAMMA!r}, b{int(q * 100)}) / {_DD_GAMMA + 1!r} AS p{int(q * 100)}_est"
+        for q in _DD_QS
+    )
+    return f"""
+WITH b AS (
+  SELECT o_orderstatus, CAST(ceil(ln(o_totalprice) / {_DD_LNG!r}) AS BIGINT) AS bucket
+  FROM orders
+),
+m AS (SELECT o_orderstatus, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderstatus, bucket,
+         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderstatus) AS total
+  FROM m
+),
+sel AS (
+  SELECT o_orderstatus, MAX(total) AS n_orders,
+         {sels}
+  FROM cum GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders,
+       {ests}
+FROM sel
+"""
+
+
+@register(
+    "order_price_ddsketch",
+    oracle=_ddsketch_oracle(),
+    tags=("sketch", "approx", "bench"),
+)
+def order_price_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order-price quantiles (p50/p90/p99) from a DDSketch —
+    log-γ-bucketed counts with a ±1% RELATIVE value-error guarantee at any
+    quantile, fully mergeable by bucket-wise addition.
+
+    Why this next to the exact ``order_price_quantiles``: exact percentile
+    buffers every group value; the sketch is a ≤~700-bucket table per group
+    however large the group, and — like the HLL rollup — per-day sketches
+    fold into coarser rollups WITHOUT rescanning history. The Spark side
+    deliberately routes through per-day sketches merged to status level,
+    while the oracle buckets status-directly: hash equality certifies
+    merge ≡ direct (bucket-sum associativity) on real data.
+
+    Determinism notes: bucket = ceil(ln(x)/ln γ) — both engines evaluate
+    ln/division on identical doubles (a disagreement would need the ratio
+    within ulps of an integer; money inputs sit far from the irrational
+    bucket boundaries). Quantile selection is integer cumulative-count
+    logic; the value estimate 2γᵇ/(γ+1) is one pow() per OUTPUT row, ulp
+    differences absorbed by the gate's 12-significant-digit rounding."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    bucket = F.ceil(F.log(F.col("o_totalprice")) / F.lit(_DD_LNG)).cast("long")
+    daily = orders.groupBy(
+        "o_orderstatus", "o_orderdate", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("o_orderstatus", "bucket").agg(F.sum("c").alias("c"))
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderstatus")
+    cum = merged.select(
+        "o_orderstatus",
+        "bucket",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    sels = [
+        F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bucket"))
+        ).alias(f"b{int(q * 100)}")
+        for q in _DD_QS
+    ]
+    sel = cum.groupBy("o_orderstatus").agg(F.max("total").alias("n_orders"), *sels)
+    ests = [
+        (
+            F.lit(2.0)
+            * F.pow(F.lit(_DD_GAMMA), F.col(f"b{int(q * 100)}"))
+            / F.lit(_DD_GAMMA + 1)
+        ).alias(f"p{int(q * 100)}_est")
+        for q in _DD_QS
+    ]
+    return sel.select("o_orderstatus", F.col("n_orders").cast("long"), *ests)
+
+
+# --------------------------------------------------------------------------- #
 # Contrastive training triples.
 # --------------------------------------------------------------------------- #
 

@@ -129,3 +129,29 @@ def test_hll_md5_estimate_bounded_and_merge_invariant(spark):
     for r in rows:
         err = abs(r["est_weekly_users"] - r["exact_weekly"]) / r["exact_weekly"]
         assert err <= 0.39, (r, err)
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """DDSketch estimates must be within the alpha=1% relative-error
+    guarantee of the exact quantiles (plus discrete-rank slack at gate-scale
+    group sizes)."""
+    est = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["order_price_ddsketch"].build(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("q50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("q90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("q99"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for s in est:
+        for q in (50, 90, 99):
+            e, x = est[s][f"p{q}_est"], exact[s][f"q{q}"]
+            assert abs(e - x) / x <= 0.03, (s, q, e, x)
