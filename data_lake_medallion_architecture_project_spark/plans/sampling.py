@@ -328,6 +328,82 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Deterministic corpus mixing — per-source downsampling to target weights.
+# --------------------------------------------------------------------------- #
+
+# Per-source target keep rates (the training-mix recipe: upweight the clean
+# source, downsample the bulk ones). Rates are expressed in 1/256 hex-prefix
+# granularity so the decision is a pure string comparison in any engine.
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT_RATE = 0.125
+
+
+def _mix_threshold(rate: float) -> str:
+    return format(min(256, int(round(rate * 256))), "02x")
+
+
+def _mix_oracle() -> str:
+    whens = "\n              ".join(
+        f"WHEN source = '{s}' THEN '{_mix_threshold(r)}'"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    rate_whens = "\n              ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT source, n_chars,
+         substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+         CASE {whens}
+              ELSE '{_mix_threshold(_MIX_DEFAULT_RATE)}' END AS thr,
+         CASE {rate_whens}
+              ELSE {_MIX_DEFAULT_RATE!r} END AS target_rate
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       CAST(COUNT(CASE WHEN h < thr THEN 1 END) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(SUM(CASE WHEN h < thr THEN n_chars END), 0) AS BIGINT)
+         AS sum_chars_kept,
+       MAX(target_rate) AS target_rate
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "corpus_mix_summary", oracle=_mix_oracle(), tags=("sampling", "training")
+)
+def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: downsample each source to a target weight
+    (the Pile/Dolma-style mixture recipe) with a DETERMINISTIC per-document
+    decision — keep iff the first two hex chars of md5("mix|"+doc_id) fall
+    under the source's rate threshold (1/256 granularity, pure string
+    comparison). Stable across runs, engines, partitionings, and retries —
+    never rand(), and keyed independently of the train/val/test split hash
+    (different prefix) so mixing and splitting don't correlate.
+
+    Map-only + one per-source aggregate; the full mix is reproducible from
+    the recipe dict alone, so a 100 TB re-run (or a second engine, as the
+    oracle proves) selects byte-identical documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2)
+    thr = F.lit(_mix_threshold(_MIX_DEFAULT_RATE))
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for s, r in sorted(_MIX_RATES.items()):
+        thr = F.when(F.col("source") == s, F.lit(_mix_threshold(r))).otherwise(thr)
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = h < thr
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.count(F.when(keep, 1)).alias("n_docs_kept"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("sum_chars_kept"),
+        F.max(rate).alias("target_rate"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Replayable HLL — deterministic md5-register sketch, hash-checked.
 # --------------------------------------------------------------------------- #
 
