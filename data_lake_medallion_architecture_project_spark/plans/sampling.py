@@ -48,6 +48,8 @@ to BIGINT (DuckDB types integer SUMs as HUGEINT).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -568,7 +570,7 @@ def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD_ALPHA = 0.01
 _DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
-_DD_LNG = __import__("math").log(_DD_GAMMA)  # bucket width in log space
+_DD_LNG = math.log(_DD_GAMMA)  # bucket width in log space
 _DD_QS = (0.5, 0.9, 0.99)
 
 
