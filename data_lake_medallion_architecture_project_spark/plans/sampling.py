@@ -476,7 +476,7 @@ FROM est e JOIN ex ON e.week = ex.week
 @register(
     "hll_weekly_users_md5",
     oracle=_hll_oracle(),
-    tags=("sketch", "approx"),
+    tags=("sketch", "approx", "bench"),
 )
 def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly distinct-user HLL estimate from a FROM-SCRATCH deterministic
