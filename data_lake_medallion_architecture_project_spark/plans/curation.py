@@ -163,14 +163,19 @@ v AS (
 ),
 s AS (
   SELECT b.doc_id,
-         log2((c2.c2 + {_LM_K}) / (c1.c1 + {_LM_K} * v.vocab)) AS lp
+         CAST(log2((c2.c2 + {_LM_K}) / (c1.c1 + {_LM_K} * v.vocab))
+              AS DECIMAL(20,9)) AS lp
   FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         -(CAST(SUM(lp) AS DOUBLE) / COUNT(*)) AS h
+  FROM s GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       -AVG(lp) AS cross_entropy,
-       POWER(2, -AVG(lp)) AS perplexity
-FROM s GROUP BY doc_id
+SELECT doc_id, n_bigrams, h AS cross_entropy,
+       round(power(2, h), 6) AS perplexity
+FROM agg
 """
 
 
@@ -191,7 +196,20 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a second corpus scan); scoring joins each bigram occurrence to the
     model under AQE (Zipf-skewed keys split at runtime) and regroups by
     document. |V| rides along as a broadcast 1-row aggregate, keeping the
-    whole thing one lazy DAG — no driver-side count."""
+    whole thing one lazy DAG — no driver-side count.
+
+    Cross-engine float discipline (the money-module rule applied to logs):
+    a double SUM of per-bigram log terms is summation-order-dependent, and
+    at sf0.1 the accumulated ulps crossed the gate's 12-significant-digit
+    rounding (measured: 3 215 of 50 000 rows off in the last ulp). So each
+    log term is quantized to DECIMAL(20,9) — identical rounding of
+    identical doubles in both engines, irrational values never tie — and
+    summed EXACTLY (order-independent), then one identical cast + division
+    yields a bit-identical cross-entropy everywhere. perplexity = 2^H is
+    rounded to 6 decimals as part of the contract because pow() is the one
+    remaining op where libms may differ in the last ulp; at 1e-6 spacing a
+    boundary-crossing disagreement needs the pow outputs to straddle a
+    grid line (~1e-9/row odds) instead of any of 12 significant digits."""
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
     big = ws.select(
@@ -210,18 +228,18 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = F.log2(
         (F.col("c2") + F.lit(_LM_K)) / (F.col("c1") + F.lit(_LM_K) * F.col("vocab"))
-    )
+    ).cast("decimal(20,9)")
     scored = (
         big.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", lp.alias("lp"))
     )
-    h = -F.avg("lp")
+    h = -(F.sum("lp").cast("double") / F.count(F.lit(1)))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         h.alias("cross_entropy"),
-        F.pow(F.lit(2.0), h).alias("perplexity"),
+        F.bround(F.pow(F.lit(2.0), h), 6).alias("perplexity"),
     )
 
 
