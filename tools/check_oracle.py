@@ -6,6 +6,17 @@ order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified). Exit non-zero on any mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Operational notes for large sweeps:
+* At sf0.1, exclude the pair-enumeration queries (jaccard/minhash/simhash
+  pairs, *_near_dup_pairs, near_dup_clusters, contrastive triples…): their
+  DuckDB oracles are deliberately naive-quadratic (or a recursive CTE over
+  a ~1M-edge graph) and run for hours on the dup-dense corpus. They are
+  gated at sf0.01 and their Spark sides are scale-probed in SCALE.md.
+* One observed flake (round 8): a 100+-query single-process sweep hung
+  once at ~query 65 (python-side CPU spin; same query instantly green in a
+  fresh process and in every later batch). If a long sweep stalls, split
+  the query list across two or three invocations.
 """
 
 from __future__ import annotations
