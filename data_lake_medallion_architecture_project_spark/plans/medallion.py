@@ -75,26 +75,37 @@ GROUP BY strftime(o_orderdate, '%Y-%m-%d')
 
 @register("daily_sales_summary", oracle=_A1_ORACLE, tags=("bench", "gold"))
 def daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: revenue / order count / AOV / distinct customers per day."""
+    """A1: revenue / order count / AOV / distinct customers per day.
+
+    Same two-phase shape as ``category_sales_summary`` (see its docstring):
+    pre-aggregate on (date, custkey) so the remaining COUNT(DISTINCT
+    o_custkey) becomes a plain COUNT(*) and no Expand duplicates the fact
+    rows through the exchange. o_orderkey is the orders PK, so its distinct
+    count is the plain row count (summed through the phases); the
+    split-long money partials flow through both phases bit-identically."""
+    from ..functions.money import _SPLIT, _SPLIT_BITS, _SPLIT_MASK
+
     orders = load_table(spark, sf_dir, "orders")
-    return _finish_date(
-        orders.select(
-            _day("o_orderdate"),
-            "o_totalprice",
-            "o_orderkey",
-            "o_custkey",
-        )
-        .groupBy("date")
+    price_scaled = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        orders.select(_day("o_orderdate"), "o_totalprice", "o_custkey")
+        .groupBy("date", "o_custkey")
         .agg(
-            dec_sum("o_totalprice", "total_revenue"),
-            # o_orderkey is the orders PK (one row per key), so
-            # COUNT(DISTINCT o_orderkey) ≡ COUNT(o_orderkey); the plain count
-            # avoids a second distinct aggregate (multi-distinct → Expand
-            # multiplies the shuffle by #distinct-aggs — at 100 TB that's the
-            # difference between one exchange and three).
-            F.count("o_orderkey").alias("order_count"),
-            dec_avg("o_totalprice", "avg_order_value"),
-            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.sum(F.shiftright(price_scaled, _SPLIT_BITS)).alias("ph"),
+            F.sum(price_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("pl"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    revenue = (
+        F.sum("ph").cast("decimal(38,0)") * _SPLIT
+        + F.sum("pl").cast("decimal(38,0)")
+    ) / 100.0
+    return _finish_date(
+        per_cust.groupBy("date").agg(
+            revenue.alias("total_revenue"),
+            F.sum("n").cast("long").alias("order_count"),
+            (revenue / F.sum("n")).alias("avg_order_value"),
+            F.count(F.lit(1)).alias("unique_customers"),
         )
     )
 
