@@ -272,17 +272,35 @@ GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 
 @register("customer_activity_summary", oracle=_A4_ORACLE, tags=("bench", "gold"))
 def customer_activity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: event count + distinct users/props per day per event type."""
+    """A4: event count + distinct users/props per day per event type.
+
+    TWO distinct columns + a plain count would Expand every event row ×3
+    through the exchange (multi-distinct planning). Instead each distinct
+    runs as its own pre-aggregated branch — (date, type, user) and
+    (date, type, props) grains, where the outer COUNT(col) counts the
+    non-null groups exactly like COUNT(DISTINCT col) counts non-null
+    values — joined on the tiny (date, type) result grain. Trade: events
+    is scanned twice (columnar, 4/3 pruned columns), but the 100 TB-scale
+    events shuffle is never tripled, and each branch's exchange carries
+    group-grain rows, not raw events."""
     events = load_table(spark, sf_dir, "events")
-    return _finish_date(
-        events.select(_day("ts"), "event_type", "event_id", "user_id", "props")
+    base = events.select(_day("ts"), "event_type", "event_id", "user_id", "props")
+    users = (
+        base.groupBy("date", "event_type", "user_id")
+        .agg(F.count("event_id").alias("n"))
         .groupBy("date", "event_type")
         .agg(
-            F.count("event_id").alias("event_count"),
-            F.countDistinct("user_id").alias("unique_users"),
-            F.countDistinct("props").alias("unique_props"),
+            F.sum("n").cast("long").alias("event_count"),
+            F.count("user_id").alias("unique_users"),
         )
     )
+    props = (
+        base.select("date", "event_type", "props")
+        .distinct()
+        .groupBy("date", "event_type")
+        .agg(F.count("props").alias("unique_props"))
+    )
+    return _finish_date(users.join(props, ["date", "event_type"]))
 
 
 # --------------------------------------------------------------------------- #
@@ -302,15 +320,32 @@ GROUP BY strftime(ts, '%Y-%m-%d')
 
 @register("daily_event_summary", oracle=_A5_ORACLE, tags=("gold",))
 def daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 analog: whole-day event rollup (count, distinct users, value sum)."""
+    """A5 analog: whole-day event rollup (count, distinct users, value sum).
+
+    Two-phase on (date, user) — same Expand-free shape as
+    ``daily_sales_summary``; split-long value partials carry exactly."""
+    from ..functions.money import _SPLIT, _SPLIT_BITS, _SPLIT_MASK
+
     events = load_table(spark, sf_dir, "events")
-    return _finish_date(
+    value_scaled = F.round(F.col("value") * 100).cast("long")
+    per_user = (
         events.select(_day("ts"), "event_id", "user_id", "value")
-        .groupBy("date")
+        .groupBy("date", "user_id")
         .agg(
-            F.count("event_id").alias("event_count"),
-            F.countDistinct("user_id").alias("unique_users"),
-            dec_sum("value", "total_value"),
+            F.count("event_id").alias("n"),
+            F.sum(F.shiftright(value_scaled, _SPLIT_BITS)).alias("vh"),
+            F.sum(value_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("vl"),
+        )
+    )
+    total_value = (
+        F.sum("vh").cast("decimal(38,0)") * _SPLIT
+        + F.sum("vl").cast("decimal(38,0)")
+    ) / 100.0
+    return _finish_date(
+        per_user.groupBy("date").agg(
+            F.sum("n").cast("long").alias("event_count"),
+            F.count("user_id").alias("unique_users"),
+            total_value.alias("total_value"),
         )
     )
 
