@@ -105,7 +105,9 @@ def daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             revenue.alias("total_revenue"),
             F.sum("n").cast("long").alias("order_count"),
             (revenue / F.sum("n")).alias("avg_order_value"),
-            F.count(F.lit(1)).alias("unique_customers"),
+            # count(col), not count(*): skips a NULL-custkey group, matching
+            # COUNT(DISTINCT o_custkey) null semantics in the oracle.
+            F.count("o_custkey").alias("unique_customers"),
         )
     )
 

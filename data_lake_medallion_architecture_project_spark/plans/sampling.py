@@ -341,7 +341,12 @@ _MIX_DEFAULT_RATE = 0.125
 
 
 def _mix_threshold(rate: float) -> str:
-    return format(min(256, int(round(rate * 256))), "02x")
+    # Three hex chars, zero-padded: rate 1.0 -> '100', which is strictly
+    # greater than every '0'-prefixed two-char hash ('000'..'0ff'), so a
+    # full-rate source keeps ALL documents. A two-char threshold cannot
+    # express 256/256 ('100' is 3 chars and '00'..'ff' compare lexically),
+    # which silently decimated rate-1.0 sources to ~6.6% before round 9.
+    return format(min(256, int(round(rate * 256))), "03x")
 
 
 def _mix_oracle() -> str:
@@ -355,7 +360,7 @@ def _mix_oracle() -> str:
     return f"""
 WITH d AS (
   SELECT source, n_chars,
-         substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+         '0' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h,
          CASE {whens}
               ELSE '{_mix_threshold(_MIX_DEFAULT_RATE)}' END AS thr,
          CASE {rate_whens}
@@ -388,7 +393,14 @@ def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recipe dict alone, so a 100 TB re-run (or a second engine, as the
     oracle proves) selects byte-identical documents."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2)
+    # '0' prefix pads the 2-char hash to the 3-char threshold width so that
+    # the rate-1.0 threshold '100' compares greater than every hash.
+    h = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2
+        ),
+    )
     thr = F.lit(_mix_threshold(_MIX_DEFAULT_RATE))
     rate = F.lit(_MIX_DEFAULT_RATE)
     for s, r in sorted(_MIX_RATES.items()):
@@ -492,9 +504,9 @@ def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       The DuckDB oracle computes weekly registers the same way, so hash
       equality certifies merge ≡ direct (max associativity) on real data;
     * estimate arithmetic is exact-integer until the last step: register
-      sum Σ2^(59−r) is a DECIMAL/HUGEINT of exact powers of two (a double
+      sum Σ2^(63−r) is a DECIMAL/HUGEINT of exact powers of two (a double
       Σ2^−r would round differently per summation order), the numerator
-      α·m²·2^59 is one Python-emitted double literal, so both engines do
+      α·m²·2^63 is one Python-emitted double literal, so both engines do
       one identical cast + one identical IEEE division. The small-range
       linear-counting branch (taken identically — its operands are exact)
       uses ln(), where cross-engine agreement is ulp-level, absorbed by the
@@ -564,8 +576,14 @@ _DD_QS = (0.5, 0.9, 0.99)
 
 
 def _ddsketch_oracle() -> str:
+    # Scaled-integer boundary (100*cum >= q100*total): DuckDB parses a bare
+    # 0.9 literal as exact DECIMAL while Spark multiplies doubles, and
+    # 0.9(double)*total can exceed the exact product at an exact-boundary
+    # cumulative count, selecting adjacent buckets in the two engines.
+    # Integers sidestep the float boundary entirely on both sides.
     sels = ",\n         ".join(
-        f"MIN(CASE WHEN cum >= {q} * total THEN bucket END) AS b{int(q * 100)}"
+        f"MIN(CASE WHEN 100 * cum >= {int(round(q * 100))} * total"
+        f" THEN bucket END) AS b{int(q * 100)}"
         for q in _DD_QS
     )
     ests = ",\n       ".join(
@@ -641,9 +659,15 @@ def order_price_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_all).alias("total"),
     )
+    # Scaled-integer boundary — matches the oracle's 100*cum >= q100*total
+    # (see _ddsketch_oracle); avoids double-vs-DECIMAL boundary divergence.
     sels = [
         F.min(
-            F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bucket"))
+            F.when(
+                F.col("cum") * F.lit(100)
+                >= F.lit(int(round(q * 100))) * F.col("total"),
+                F.col("bucket"),
+            )
         ).alias(f"b{int(q * 100)}")
         for q in _DD_QS
     ]

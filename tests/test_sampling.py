@@ -131,6 +131,27 @@ def test_hll_md5_estimate_bounded_and_merge_invariant(spark):
         assert err <= 0.20, (r, err)
 
 
+def test_corpus_mix_kept_fraction_matches_target_rate(spark):
+    """Regression for the round-8 threshold bug: a rate-1.0 source must keep
+    ALL documents (the old 2-char hex compare silently kept ~6.6%), and every
+    source's kept fraction must track its target rate (binomial slack at
+    gate-scale source sizes)."""
+    rows = REGISTRY["corpus_mix_summary"].build(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        frac = r["n_docs_kept"] / r["n_docs_total"]
+        rate = r["target_rate"]
+        if rate >= 1.0:
+            assert r["n_docs_kept"] == r["n_docs_total"], r
+        else:
+            # 1/256-granular hash decision: allow 4σ binomial slack + the
+            # rounding granularity.
+            import math
+
+            sigma = math.sqrt(rate * (1 - rate) / r["n_docs_total"])
+            assert abs(frac - rate) <= 4 * sigma + 1 / 256, (r, frac)
+
+
 def test_ddsketch_relative_error_guarantee(spark):
     """DDSketch estimates must be within the alpha=1% relative-error
     guarantee of the exact quantiles (plus discrete-rank slack at gate-scale
