@@ -1,0 +1,177 @@
+"""Deterministic, mergeable sketch primitives — shared by the registry
+queries (``plans/sampling.py``) and the incremental Gold maintenance
+(``streaming/sketch_refresh.py``).
+
+Two sketch families, both commutative monoids so partial states merge in any
+order and any grouping:
+
+* **md5-register HLL** (distinct counts): state = max-rho per (group, bucket),
+  merge = element-wise MAX. The register hash is the replayable md5 family
+  (``hll_weekly_users_md5``'s oracle recomputes the exact same bits in
+  DuckDB), so any engine can verify any rollup of the state.
+* **DDSketch** (quantiles, Masson et al. VLDB'19): state = log-γ bucket
+  counts, merge = element-wise SUM, ±1% relative value error at any quantile.
+
+The monoid property is the 100 TB design point: a day's state is KBs, so an
+incremental Gold refresh folds new days into weekly/monthly rollups by
+register-MAX / bucket-SUM without ever rescanning event history — the
+aggregate-level fix for the reference's O(history) recompute
+(/root/reference/pipeline/silver_to_gold.py:222-229).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------- #
+# HLL — md5-register, 256 buckets, exact-integer estimate arithmetic.
+# --------------------------------------------------------------------------- #
+
+HLL_M = 256          # registers: bucket = the first two hex digits (8 bits)
+HLL_SUFFIX = 62      # rho source: the remaining 62 digits' HIGH bits
+HLL_RHO_EMPTY = HLL_SUFFIX + 1   # rho when every suffix bit is low
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # Flajolet et al. bias constant
+# alpha·m²·2^63 as one double literal: the whole numerator is a constant, so
+# the only runtime float ops are one decimal→double cast and one division —
+# both IEEE-correctly-rounded from identical operands in every engine.
+HLL_NUM = repr(HLL_ALPHA * HLL_M * HLL_M * 2.0 ** HLL_RHO_EMPTY)
+HLL_LINEAR_THRESHOLD = 2.5 * HLL_M
+
+
+def hll_hash(id_col: str | Column) -> Column:
+    """The 64-hex-digit deterministic register hash md5("0|"+id)∥md5("1|"+id)
+    — identical digits in any engine with md5()."""
+    s = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("string")
+    return F.concat(
+        F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], id_col: str | Column
+) -> DataFrame:
+    """The mergeable HLL state: one (group..., bucket, r) row per non-empty
+    register, r = max leading-low-digit run. KB-scale per group."""
+    hx = hll_hash(id_col)
+    bucket = F.substring(hx, 1, 2)
+    rho = (
+        F.length(F.regexp_extract(F.substring(hx, 3, HLL_SUFFIX), "^[0-7]*", 0))
+        + 1
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], alias: str = "est_users"
+) -> DataFrame:
+    """Merge register states by MAX onto ``group_cols`` and estimate the
+    distinct count per group. Exact-integer register sums (DECIMAL) until one
+    IEEE division — the cross-engine-replayable arithmetic proven by
+    ``hll_weekly_users_md5``'s hash-green oracle."""
+    agg = (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(HLL_RHO_EMPTY) - F.col("r")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("hit"),
+        )
+    )
+    v = F.lit(HLL_M) - F.col("hit")
+    denom = (
+        F.col("s")
+        # String literal: 2^63 overflows a LongType lit; string→decimal is exact.
+        + v.cast("decimal(38,0)")
+        * F.lit(str(2 ** HLL_RHO_EMPTY)).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(float(HLL_NUM)) / denom
+    est = F.when(
+        (raw <= F.lit(HLL_LINEAR_THRESHOLD)) & (v > 0),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias(alias))
+
+
+# --------------------------------------------------------------------------- #
+# DDSketch — log-γ buckets, ±1% relative error, merge = bucket-wise SUM.
+# --------------------------------------------------------------------------- #
+
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+DD_LNG = math.log(DD_GAMMA)  # bucket width in log space
+DD_QS = (0.5, 0.9, 0.99)
+
+
+def dd_bucket(value_col: str | Column) -> Column:
+    """bucket = ceil(ln(x)/ln γ) — positive values only (DDSketch domain)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.ceil(F.log(c) / F.lit(DD_LNG)).cast("long")
+
+
+def dd_bucket_counts(
+    df: DataFrame, group_cols: list[str], value_col: str | Column
+) -> DataFrame:
+    """The mergeable DDSketch state: (group..., bucket, c) counts."""
+    return df.groupBy(*group_cols, dd_bucket(value_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def dd_quantiles(
+    buckets: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = DD_QS,
+    total_alias: str = "n_orders",
+) -> DataFrame:
+    """Merge bucket states by SUM onto ``group_cols`` and select quantile
+    estimates. Bucket selection is scaled-INTEGER cumulative-count logic
+    (100*cum >= q100*total — no float boundary, so every engine picks the
+    same bucket); the value estimate 2γᵇ/(γ+1) is one pow per output row."""
+    from pyspark.sql import Window
+
+    merged = buckets.groupBy(*group_cols, "bucket").agg(F.sum("c").alias("c"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols,
+        "bucket",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    sels = [
+        F.min(
+            F.when(
+                F.col("cum") * F.lit(100)
+                >= F.lit(int(round(q * 100))) * F.col("total"),
+                F.col("bucket"),
+            )
+        ).alias(f"b{int(q * 100)}")
+        for q in qs
+    ]
+    sel = cum.groupBy(*group_cols).agg(
+        F.max("total").cast("long").alias(total_alias), *sels
+    )
+    ests = [
+        (
+            F.lit(2.0)
+            * F.pow(F.lit(DD_GAMMA), F.col(f"b{int(q * 100)}"))
+            / F.lit(DD_GAMMA + 1)
+        ).alias(f"p{int(q * 100)}_est")
+        for q in qs
+    ]
+    return sel.select(*group_cols, total_alias, *ests)

@@ -244,6 +244,144 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Capped-model perplexity — the 100 TB form of the bigram LM above.
+# --------------------------------------------------------------------------- #
+
+_LM_CAP_K = 512   # heavy-hitter model size: top-K bigrams by (count, w1, w2)
+_LM_ALPHA = 0.4   # stupid-backoff weight (Brants et al. 2007, "Large Language
+#                   Models in Machine Translation") for bigrams outside the cap
+
+_LM_CAPPED_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+big AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i+1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+cap AS (
+  SELECT w1, w2, c2 FROM (
+    SELECT w1, w2, c2,
+           ROW_NUMBER() OVER (ORDER BY c2 DESC, w1, w2) AS rk
+    FROM c2
+  ) WHERE rk <= {_LM_CAP_K}
+),
+capm AS (SELECT cap.w1, cap.w2, cap.c2, c1.c1 FROM cap JOIN c1 USING (w1)),
+u AS (
+  SELECT tok, COUNT(*) AS cu
+  FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY tok
+),
+nv AS (SELECT SUM(cu) AS n, COUNT(*) AS vocab FROM u),
+s AS (
+  SELECT b.doc_id,
+         CAST(log2(CASE WHEN m.c2 IS NOT NULL
+              THEN (m.c2 + {_LM_K}) / (m.c1 + {_LM_K} * nv.vocab)
+              ELSE {_LM_ALPHA} * (u.cu + {_LM_K}) / (nv.n + {_LM_K} * nv.vocab)
+              END) AS DECIMAL(20,9)) AS lp,
+         CASE WHEN m.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM big b
+  LEFT JOIN capm m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN u ON b.w2 = u.tok
+  CROSS JOIN nv
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(hit) AS BIGINT) AS n_capped_hits,
+         -(CAST(SUM(lp) AS DOUBLE) / COUNT(*)) AS h
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_capped_hits, h AS cross_entropy,
+       round(power(2, h), 6) AS perplexity
+FROM agg
+"""
+
+
+@register(
+    "doc_lm_perplexity_capped",
+    oracle=_LM_CAPPED_ORACLE,
+    tags=("text", "training", "bench"),
+)
+def doc_lm_perplexity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_lm_perplexity`` with the CAPPED model SCALE.md prescribes for a
+    real corpus: the exact variant's bigram table is the one object whose
+    size is corpus-shaped (Zipf tail), so here the model is the top-K
+    bigrams by (count DESC, w1, w2) — a FIXED-size heavy-hitter table
+    (K={512}) whatever the corpus — and every bigram outside the cap backs
+    off to the unigram term with the stupid-backoff weight α=0.4 (Brants et
+    al. 2007). The deterministic total order makes the cap replayable: the
+    DuckDB oracle selects the identical K rows and the gate hash-checks the
+    two-branch scoring end-to-end (n_capped_hits pins the branch split).
+
+    Plan shape at 100 TB: one bigram aggregate (map-side partials), then
+    TakeOrderedAndProject computes the top-K distributively (per-partition
+    partial top-K, never a single-partition global window); the K-row model
+    (with its left-context totals pre-attached) BROADCASTS into the scoring
+    join, so the corpus-shaped bigram table never enters a join — the only
+    non-broadcast scoring join is the vocab-sized (Heaps-sublinear,
+    AQE-skew-split) unigram lookup the backoff term needs. In production
+    the candidate generation composes with ``frequent_bigrams``'s
+    guaranteed-recall per-partition pass to bound even the aggregate's
+    shuffle to candidate size.
+
+    Float discipline: identical to ``doc_lm_perplexity`` — integer-plus-
+    exact-half smoothing operands, one identically-rounded IEEE division
+    per term (the backoff branch adds one α product of identical doubles),
+    DECIMAL(20,9)-quantized log terms summed exactly so the per-doc sum is
+    summation-order-independent in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    big = ws.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("a"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Distributed top-K: orderBy+limit plans as TakeOrderedAndProject.
+    cap = c2.orderBy(F.col("c2").desc(), "w1", "w2").limit(_LM_CAP_K)
+    capm = F.broadcast(cap).join(c1, "w1").select("w1", "w2", "c2", "c1")
+    u = ws.select(F.explode("ws").alias("w2")).groupBy("w2").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    nv = u.agg(
+        F.sum("cu").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    seen = F.col("c2").isNotNull()
+    lp = F.log2(
+        F.when(
+            seen,
+            (F.col("c2") + F.lit(_LM_K)) / (F.col("c1") + F.lit(_LM_K) * F.col("vocab")),
+        ).otherwise(
+            F.lit(_LM_ALPHA)
+            * (F.col("cu") + F.lit(_LM_K))
+            / (F.col("n") + F.lit(_LM_K) * F.col("vocab"))
+        )
+    ).cast("decimal(20,9)")
+    scored = (
+        big.join(F.broadcast(capm), ["w1", "w2"], "left_outer")
+        .join(u, "w2")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            lp.alias("lp"),
+            F.when(seen, 1).otherwise(0).alias("hit"),
+        )
+    )
+    h = -(F.sum("lp").cast("double") / F.count(F.lit(1)))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("hit").cast("long").alias("n_capped_hits"),
+        h.alias("cross_entropy"),
+        F.bround(F.pow(F.lit(2.0), h), 6).alias("perplexity"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Incremental dedup: new batch vs existing corpus.
 # --------------------------------------------------------------------------- #
 

@@ -48,7 +48,6 @@ to BIGINT (DuckDB types integer SUMs as HUGEINT).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -421,15 +420,17 @@ def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Replayable HLL — deterministic md5-register sketch, hash-checked.
 # --------------------------------------------------------------------------- #
 
-_HLL_M = 256         # registers: bucket = the first two hex digits (8 bits)
-_HLL_SUFFIX = 62     # rho source: the remaining 62 digits' HIGH bits
-_HLL_RHO_EMPTY = _HLL_SUFFIX + 1   # rho when every suffix bit is low
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. bias constant
-# alpha·m²·2^63 as one double literal: the whole numerator is a constant, so
-# the only runtime float ops are one decimal→double cast and one division —
-# both IEEE-correctly-rounded from identical operands in every engine.
-_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * 2.0 ** _HLL_RHO_EMPTY)
-_HLL_LINEAR_THRESHOLD = 2.5 * _HLL_M
+# Constants and expression builders live in functions/sketches.py so the
+# incremental Gold maintenance (streaming/sketch_refresh.py) folds the SAME
+# state the oracle certifies here.
+from ..functions.sketches import (  # noqa: E402
+    HLL_LINEAR_THRESHOLD as _HLL_LINEAR_THRESHOLD,
+    HLL_M as _HLL_M,
+    HLL_NUM as _HLL_NUM,
+    HLL_RHO_EMPTY as _HLL_RHO_EMPTY,
+    hll_estimate,
+    hll_registers,
+)
 
 
 def _hll_oracle() -> str:
@@ -516,50 +517,18 @@ def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.
     """
     events = load_table(spark, sf_dir, "events")
-    ev = events.select(
-        F.to_date("ts").alias("day"),
-        F.concat(
-            F.md5(F.concat(F.lit("0|"), F.col("user_id").cast("string"))),
-            F.md5(F.concat(F.lit("1|"), F.col("user_id").cast("string"))),
-        ).alias("hx"),
+    daily = hll_registers(
+        events.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id"
     )
-    br = ev.select(
-        "day",
-        F.substring("hx", 1, 2).alias("bucket"),
-        (
-            F.length(F.regexp_extract(F.substring("hx", 3, _HLL_SUFFIX), "^[0-7]*", 0))
-            + 1
-        ).alias("rho"),
+    weekly = daily.select(
+        F.weekofyear("day").cast("long").alias("week"), "bucket", "r"
     )
-    daily = br.groupBy("day", "bucket").agg(F.max("rho").alias("r"))
-    weekly = daily.groupBy(
-        F.weekofyear("day").cast("long").alias("week"), "bucket"
-    ).agg(F.max("r").alias("r"))
-    agg = weekly.groupBy("week").agg(
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(_HLL_RHO_EMPTY) - F.col("r")).cast("decimal(38,0)")
-        ).alias("s"),
-        F.count(F.lit(1)).alias("hit"),
-    )
-    v = F.lit(_HLL_M) - F.col("hit")
-    denom = (
-        F.col("s")
-        # String literal: 2^63 overflows a LongType lit; the string→decimal
-        # cast is exact.
-        + v.cast("decimal(38,0)") * F.lit(str(2 ** _HLL_RHO_EMPTY)).cast("decimal(38,0)")
-    ).cast("double")
-    raw = F.lit(float(_HLL_NUM)) / denom
-    est = F.when(
-        (raw <= F.lit(_HLL_LINEAR_THRESHOLD)) & (v > 0),
-        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
-    ).otherwise(raw)
+    est = hll_estimate(weekly, ["week"], alias="est_weekly_users")
     exact = events.groupBy(
         F.weekofyear(F.to_date("ts")).cast("long").alias("week")
     ).agg(F.countDistinct("user_id").alias("exact_weekly"))
-    return (
-        agg.select("week", est.alias("est_weekly_users"))
-        .join(exact, "week")
-        .select("week", "est_weekly_users", "exact_weekly")
+    return est.join(exact, "week").select(
+        "week", "est_weekly_users", "exact_weekly"
     )
 
 
@@ -569,10 +538,13 @@ def hll_weekly_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relative-error guarantees", VLDB'19). The quantile sibling of the HLL above.
 # --------------------------------------------------------------------------- #
 
-_DD_ALPHA = 0.01
-_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
-_DD_LNG = math.log(_DD_GAMMA)  # bucket width in log space
-_DD_QS = (0.5, 0.9, 0.99)
+from ..functions.sketches import (  # noqa: E402
+    DD_GAMMA as _DD_GAMMA,
+    DD_LNG as _DD_LNG,
+    DD_QS as _DD_QS,
+    dd_bucket_counts,
+    dd_quantiles,
+)
 
 
 def _ddsketch_oracle() -> str:
@@ -637,50 +609,82 @@ def order_price_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries). Quantile selection is integer cumulative-count
     logic; the value estimate 2γᵇ/(γ+1) is one pow() per OUTPUT row, ulp
     differences absorbed by the gate's 12-significant-digit rounding."""
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderdate", "o_totalprice"
     )
-    bucket = F.ceil(F.log(F.col("o_totalprice")) / F.lit(_DD_LNG)).cast("long")
-    daily = orders.groupBy(
-        "o_orderstatus", "o_orderdate", bucket.alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    merged = daily.groupBy("o_orderstatus", "bucket").agg(F.sum("c").alias("c"))
-    w_cum = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily = dd_bucket_counts(
+        orders, ["o_orderstatus", "o_orderdate"], "o_totalprice"
     )
-    w_all = Window.partitionBy("o_orderstatus")
-    cum = merged.select(
+    return dd_quantiles(
+        daily.drop("o_orderdate"), ["o_orderstatus"], _DD_QS, total_alias="n_orders"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Day-grain sketch STATE — the tables the incremental Gold maintenance
+# (streaming/sketch_refresh.py) folds batches into. Hash-oracling the state
+# itself (not just the rollups above) certifies cross-engine that what the
+# fold maintains is exactly what a from-scratch build produces.
+# --------------------------------------------------------------------------- #
+
+_HLL_STATE_ORACLE = """
+WITH ev AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         md5('0|' || CAST(user_id AS VARCHAR)) || md5('1|' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+)
+SELECT day, substr(hx, 1, 2) AS bucket,
+       CAST(MAX(length(regexp_extract(substr(hx, 3), '^[0-7]*')) + 1) AS BIGINT) AS r
+FROM ev GROUP BY day, bucket
+"""
+
+
+@register(
+    "hll_daily_register_state", oracle=_HLL_STATE_ORACLE, tags=("sketch", "gold")
+)
+def hll_daily_register_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-grain HLL register state (day, bucket, max-rho) — the exact
+    table ``streaming/sketch_refresh.fold_hll_state`` maintains
+    incrementally. ≤256 rows per day whatever the event volume; weekly/
+    monthly distinct estimates derive from it by register MAX without
+    rescanning events (equivalence proven in tests/test_sketch_refresh.py;
+    estimate arithmetic certified by ``hll_weekly_users_md5``)."""
+    events = load_table(spark, sf_dir, "events")
+    return hll_registers(
+        events.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+        ),
+        ["day"],
+        "user_id",
+    ).select("day", "bucket", F.col("r").cast("long").alias("r"))
+
+
+_DD_STATE_ORACLE = f"""
+SELECT o_orderstatus,
+       strftime(o_orderdate, '%Y-%m-%d') AS day,
+       CAST(ceil(ln(o_totalprice) / {_DD_LNG!r}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM orders GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m-%d'), bucket
+"""
+
+
+@register(
+    "ddsketch_daily_bucket_state", oracle=_DD_STATE_ORACLE, tags=("sketch", "gold")
+)
+def ddsketch_daily_bucket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-grain DDSketch bucket state (status, day, bucket, count) —
+    the table ``streaming/sketch_refresh.fold_dd_state`` maintains by
+    bucket-SUM. ≤~700 buckets per (status, day); any coarser quantile rollup
+    derives from it without re-reading orders (``order_price_ddsketch``
+    certifies the merge arithmetic on this same bucketing)."""
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
-        "bucket",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("total"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day"),
+        "o_totalprice",
     )
-    # Scaled-integer boundary — matches the oracle's 100*cum >= q100*total
-    # (see _ddsketch_oracle); avoids double-vs-DECIMAL boundary divergence.
-    sels = [
-        F.min(
-            F.when(
-                F.col("cum") * F.lit(100)
-                >= F.lit(int(round(q * 100))) * F.col("total"),
-                F.col("bucket"),
-            )
-        ).alias(f"b{int(q * 100)}")
-        for q in _DD_QS
-    ]
-    sel = cum.groupBy("o_orderstatus").agg(F.max("total").alias("n_orders"), *sels)
-    ests = [
-        (
-            F.lit(2.0)
-            * F.pow(F.lit(_DD_GAMMA), F.col(f"b{int(q * 100)}"))
-            / F.lit(_DD_GAMMA + 1)
-        ).alias(f"p{int(q * 100)}_est")
-        for q in _DD_QS
-    ]
-    return sel.select("o_orderstatus", F.col("n_orders").cast("long"), *ests)
+    return dd_bucket_counts(orders, ["o_orderstatus", "day"], "o_totalprice").select(
+        "o_orderstatus", "day", "bucket", F.col("c").cast("long").alias("c")
+    )
 
 
 # --------------------------------------------------------------------------- #

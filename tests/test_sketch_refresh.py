@@ -1,0 +1,128 @@
+"""Sketch-state incremental Gold (streaming/sketch_refresh.py): folding new
+days into the day-grain register/bucket state must equal a from-scratch
+build — the aggregate-level equivalence that lets distinct-count and
+quantile Gold tables stop rescanning history."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.functions.sketches import (
+    dd_bucket_counts,
+    dd_quantiles,
+    hll_estimate,
+    hll_registers,
+)
+from data_lake_medallion_architecture_project_spark.storage import TxnTable
+from data_lake_medallion_architecture_project_spark.streaming.sketch_refresh import (
+    run_sketch_gold_refresh,
+    quantiles_from_state,
+    weekly_users_from_state,
+)
+
+
+def _events(spark, day_lo: int, day_hi: int):
+    """Synthetic events: days 2024-03-<lo..hi>, overlapping user sets across
+    days (so weekly distinct < sum of daily distincts), positive values."""
+    rows = [
+        (
+            datetime(2024, 3, d, 12, 0, 0),
+            f"user_{(d * 37 + i) % 500}",
+            "A" if i % 3 else "B",
+            float(1 + (i * 7 + d) % 900) + 0.25,
+        )
+        for d in range(day_lo, day_hi + 1)
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, ["ts", "user_id", "status", "value"])
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_sketch_fold_equals_full_recompute_on_append(spark, tmp_path):
+    src = str(tmp_path / "events")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Batch 1: days 1-7 land and fold.
+    _events(spark, 1, 7).write.mode("append").parquet(src)
+    run_sketch_gold_refresh(
+        spark, src, state_root, ckpt, group_col="status", value_col="value"
+    )
+    # Batch 2: days 5-12 (overlapping days 5-7 — the fold must MERGE into
+    # existing day partitions, not just add new ones).
+    _events(spark, 5, 12).write.mode("append").parquet(src)
+    run_sketch_gold_refresh(
+        spark, src, state_root, ckpt, group_col="status", value_col="value"
+    )
+
+    full = spark.read.parquet(src)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+
+    # State tables == from-scratch build over ALL data (exact row equality).
+    hll_state = TxnTable(f"{state_root}/hll_day_registers").read(spark)
+    direct_regs = hll_registers(full.select(day, "user_id"), ["day"], "user_id")
+    assert _sorted(hll_state.select("day", "bucket", "r")) == _sorted(direct_regs)
+
+    dd_state = TxnTable(f"{state_root}/dd_day_buckets").read(spark)
+    direct_bks = dd_bucket_counts(
+        full.select("status", day, "value"), ["status", "day"], "value"
+    )
+    assert _sorted(dd_state.select("status", "day", "bucket", "c")) == _sorted(
+        direct_bks
+    )
+
+    # Serving rollups from state alone == direct sketch over all events.
+    weekly = weekly_users_from_state(spark, TxnTable(f"{state_root}/hll_day_registers"))
+    direct_weekly = hll_estimate(
+        direct_regs.select(
+            F.weekofyear(F.to_date("day")).cast("long").alias("week"), "bucket", "r"
+        ),
+        ["week"],
+        alias="est_weekly_users",
+    )
+    assert _sorted(weekly) == _sorted(direct_weekly)
+    assert weekly.count() >= 2  # the 12 days span multiple ISO weeks
+
+    q_state = quantiles_from_state(
+        spark, TxnTable(f"{state_root}/dd_day_buckets"), "status"
+    )
+    q_direct = dd_quantiles(direct_bks.drop("day"), ["status"])
+    assert _sorted(q_state) == _sorted(q_direct)
+
+    # Sanity: the estimates are near the exact answers (sketch guarantees).
+    exact = {
+        r["week"]: r["n"]
+        for r in full.groupBy(F.weekofyear(F.to_date("ts")).alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in weekly.collect():
+        assert abs(r["est_weekly_users"] - exact[r["week"]]) <= 0.2 * exact[r["week"]]
+
+
+def test_sketch_fold_idempotent_without_new_files(spark, tmp_path):
+    src = str(tmp_path / "events")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _events(spark, 1, 3).write.mode("append").parquet(src)
+    run_sketch_gold_refresh(
+        spark, src, state_root, ckpt, group_col="status", value_col="value"
+    )
+    hll = TxnTable(f"{state_root}/hll_day_registers")
+    dd = TxnTable(f"{state_root}/dd_day_buckets")
+    v_hll, v_dd = hll.snapshot().version, dd.snapshot().version
+    before = _sorted(dd.read(spark))
+
+    # Replay with no new files: no new commits, identical state (the DD fold
+    # ADDS counts, so a non-idempotent replay would double them).
+    run_sketch_gold_refresh(
+        spark, src, state_root, ckpt, group_col="status", value_col="value"
+    )
+    assert hll.snapshot().version == v_hll
+    assert dd.snapshot().version == v_dd
+    assert _sorted(dd.read(spark)) == before

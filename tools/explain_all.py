@@ -56,6 +56,9 @@ NESTED_LOOP_OK = {
     # cross-joined into the smoothing denominator — O(n)·O(1), keeps the
     # model computation one lazy DAG instead of a driver-side count.
     "doc_lm_perplexity",
+    # Same |V|/N 1-row scalar broadcast; the model itself is the K-row
+    # broadcast hash join, not this.
+    "doc_lm_perplexity_capped",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")

@@ -47,13 +47,10 @@ FACT_KEYS = {
 STRIDE = 1 << 40
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale10"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-
-    spark = get_spark("make_scale10")
-    spark.sparkContext.setLogLevel("ERROR")
+def replicate(spark, src: str, dst: str, factor: int) -> None:
+    """Replicate ``src``'s fact tables ``factor``× into ``dst`` (see module
+    docstring for the key-shift semantics). Shared by the 10× and 100×
+    probes (tools/make_scale100.py)."""
     os.makedirs(dst, exist_ok=True)
 
     for t in DIMS:
@@ -69,6 +66,16 @@ def main() -> None:
         rep.drop("__copy").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
         print(f"{t}: {n} rows ({factor}x)")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale10"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = get_spark("make_scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark, src, dst, factor)
 
 
 if __name__ == "__main__":
