@@ -7,6 +7,16 @@ Prints exactly ONE JSON line:
 Headline set = queries tagged "bench" in the registry (scan-heavy aggregate,
 join chains, pivot, window, dedup, text, similarity) — the queries whose plan
 shape matters at 100 TB.
+
+Cross-session protocol (round 9): the whole query set runs in TWO fresh JVM
+subprocesses and the reported time is the per-query best across sessions.
+Rationale: rounds 6 and 8 both produced 15-55% apparent per-query
+"regressions" on byte-identical code that a fresh-session re-measurement
+refuted — single-session numbers conflate plan cost with host/JIT/session
+drift. The JSON also carries the observed between-session delta
+(``session_delta_pct`` per query, ``median_session_delta_pct`` overall), the
+noise floor any round-over-round comparison should be read against.
+Set SPARK_GRAFT_BENCH_SESSIONS=1 to fall back to the old single-session run.
 """
 
 from __future__ import annotations
@@ -14,19 +24,22 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY, bench_queries  # noqa: E402
-from data_lake_medallion_architecture_project_spark.session import get_spark  # noqa: E402
 
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+def run_pass(sf_dir: str) -> dict[str, dict]:
+    """One full bench pass in THIS process: best-of-3 fresh plans per query
+    (pass 1 pays codegen + C2 JIT; each pass rebuilds the plan so shuffle
+    reuse can't under-report). Returns {query: {"best": s, "spread_pct": p}}."""
+    from data_lake_medallion_architecture_project_spark.plans.registry import (
+        REGISTRY,
+        bench_queries,
+    )
+    from data_lake_medallion_architecture_project_spark.session import get_spark
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,30 +48,64 @@ def main() -> None:
     # measured query doesn't pay session startup.
     REGISTRY["top_orders"].build(spark, sf_dir).limit(1).collect()
 
-    # Three passes per query, report the best: the first runs pay one-time
-    # codegen + C2 JIT compilation for that plan shape (observed 10s → 5s →
-    # 2.2s on the heaviest query); the best pass is the steady-state cost a
-    # long-running cluster actually sees. Each pass REBUILDS the plan from
-    # scratch — re-collecting the same DataFrame object would silently reuse
-    # shuffle outputs (skipped stages) and under-report.
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
+    out: dict[str, dict] = {}
     for name, q in bench_queries().items():
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             q.build(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
-        # Repeat-run variance over the two WARM passes (pass 1 pays codegen +
-        # JIT and would conflate warmup with host noise) — the per-query
-        # noise floor that round-over-round comparisons should be read
-        # against (SCALE.md documents 15-25% host variance between rounds).
+        # Spread over the two WARM passes — the within-session noise floor.
         warm = runs[1:]
-        spread[name] = round(
-            100.0 * (max(warm) - min(warm)) / max(min(warm), 1e-9), 1
-        )
+        out[name] = {
+            "best": round(min(runs), 3),
+            "spread_pct": round(
+                100.0 * (max(warm) - min(warm)) / max(min(warm), 1e-9), 1
+            ),
+        }
+    return out
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+
+    if os.environ.get("_SPARK_GRAFT_BENCH_CHILD"):
+        print("\n" + json.dumps(run_pass(sf_dir)))
+        return
+
+    passes: list[dict[str, dict]] = []
+    if n_sessions <= 1:
+        passes.append(run_pass(sf_dir))
+    else:
+        env = dict(os.environ, _SPARK_GRAFT_BENCH_CHILD="1")
+        for _ in range(n_sessions):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(proc.returncode)
+            passes.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+
+    names = list(passes[0])
+    timings = {n: round(min(p[n]["best"] for p in passes), 3) for n in names}
+    spread = {n: max(p[n]["spread_pct"] for p in passes) for n in names}
+    session_delta = {
+        n: round(
+            100.0
+            * (max(p[n]["best"] for p in passes) - min(p[n]["best"] for p in passes))
+            / max(min(p[n]["best"] for p in passes), 1e-9),
+            1,
+        )
+        for n in names
+    }
+    deltas = sorted(session_delta.values())
     spreads = sorted(spread.values())
     print(
         json.dumps(
@@ -69,6 +116,11 @@ def main() -> None:
                 "queries": timings,
                 "spread_pct": spread,
                 "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
+                "sessions": len(passes),
+                "session_delta_pct": session_delta,
+                "median_session_delta_pct": (
+                    deltas[len(deltas) // 2] if len(passes) > 1 else None
+                ),
                 "sf": sf,
             }
         )

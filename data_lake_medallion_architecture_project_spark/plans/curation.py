@@ -329,7 +329,17 @@ def doc_lm_perplexity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     per term (the backoff branch adds one α product of identical doubles),
     DECIMAL(20,9)-quantized log terms summed exactly so the per-doc sum is
     summation-order-independent in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_capped_scores(load_table(spark, sf_dir, "documents"))
+
+
+def lm_perplexity_capped_scores(
+    docs: DataFrame, k: int = _LM_CAP_K
+) -> DataFrame:
+    """The capped-model scorer behind ``doc_lm_perplexity_capped`` as a
+    reusable operator (``trainprep``'s --max-perplexity stage trains on and
+    scores the in-flight corpus). Input needs (doc_id, text); returns
+    (doc_id, n_bigrams, n_capped_hits, cross_entropy, perplexity).
+    Deterministic given the corpus — no randomness, total-ordered cap."""
     ws = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
     big = ws.select(
         "doc_id",
@@ -343,7 +353,7 @@ def doc_lm_perplexity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # Distributed top-K: orderBy+limit plans as TakeOrderedAndProject.
-    cap = c2.orderBy(F.col("c2").desc(), "w1", "w2").limit(_LM_CAP_K)
+    cap = c2.orderBy(F.col("c2").desc(), "w1", "w2").limit(k)
     capm = F.broadcast(cap).join(c1, "w1").select("w1", "w2", "c2", "c1")
     u = ws.select(F.explode("ws").alias("w2")).groupBy("w2").agg(
         F.count(F.lit(1)).alias("cu")

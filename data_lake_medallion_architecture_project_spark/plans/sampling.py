@@ -348,6 +348,26 @@ def _mix_threshold(rate: float) -> str:
     return format(min(256, int(round(rate * 256))), "03x")
 
 
+def mix_keep(
+    id_col: str, source_col: str, rates: dict[str, float], default_rate: float
+) -> F.Column:
+    """The deterministic training-mix keep decision as a reusable predicate:
+    keep iff '0'+first-two-hex(md5("mix|"+id)) < the source's 3-char
+    threshold (1/256 granularity; rate ≥ 1.0 keeps everything). Shared by
+    ``corpus_mix_summary`` (where the DuckDB oracle replays it bit-for-bit)
+    and the ``trainprep`` front door's --mix stage."""
+    h = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col(id_col).cast("string"))), 1, 2
+        ),
+    )
+    thr = F.lit(_mix_threshold(default_rate))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(_mix_threshold(r))).otherwise(thr)
+    return h < thr
+
+
 def _mix_oracle() -> str:
     whens = "\n              ".join(
         f"WHEN source = '{s}' THEN '{_mix_threshold(r)}'"
@@ -392,20 +412,10 @@ def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recipe dict alone, so a 100 TB re-run (or a second engine, as the
     oracle proves) selects byte-identical documents."""
     docs = load_table(spark, sf_dir, "documents")
-    # '0' prefix pads the 2-char hash to the 3-char threshold width so that
-    # the rate-1.0 threshold '100' compares greater than every hash.
-    h = F.concat(
-        F.lit("0"),
-        F.substring(
-            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2
-        ),
-    )
-    thr = F.lit(_mix_threshold(_MIX_DEFAULT_RATE))
     rate = F.lit(_MIX_DEFAULT_RATE)
     for s, r in sorted(_MIX_RATES.items()):
-        thr = F.when(F.col("source") == s, F.lit(_mix_threshold(r))).otherwise(thr)
         rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
-    keep = h < thr
+    keep = mix_keep("doc_id", "source", _MIX_RATES, _MIX_DEFAULT_RATE)
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_total"),
         F.count(F.when(keep, 1)).alias("n_docs_kept"),

@@ -13,7 +13,10 @@ actually flows through before a tokenizer sees it:
 1. **exact dedup** — one row per distinct text (min doc_id wins);
 2. **near-dedup** — MinHash-LSH keep-list, keep ``doc_id == keep_id``;
 3. **quality gate** — minimum token count and distinct-token ratio (the
-   boilerplate/degenerate-repetition floor);
+   boilerplate/degenerate-repetition floor); optionally followed by
+   **mix** (``--mix`` — per-source downsampling to target weights via the
+   md5-prefix decision) and a **perplexity filter** (``--max-perplexity``
+   — capped-bigram-LM scoring, drop high-perplexity documents);
 4. **source cap** — at most ``--cap`` docs per source by hash order (the
    anti-domination rule);
 5. **split** — deterministic md5 80/10/10 train/val/test;
@@ -81,8 +84,24 @@ def prepare_corpus(
     source_cap: int = 10_000,
     n_shards: int = 4,
     pack_budget: int | None = None,
+    mix_rates: dict[str, float] | None = None,
+    mix_default_rate: float = 1.0,
+    max_perplexity: float | None = None,
 ) -> dict:
-    """Run the full prep flow; returns the per-stage attrition report."""
+    """Run the full prep flow; returns the per-stage attrition report.
+
+    Optional stages (both deterministic, same byte-reproducibility contract
+    as the rest of the flow):
+
+    * ``mix_rates`` — per-source target keep rates (the Pile/Dolma mixture
+      recipe): the md5-prefix decision of ``plans/sampling.mix_keep``, so
+      the selection is stable across runs, engines, and partitionings.
+    * ``max_perplexity`` — capped-bigram-LM quality filter
+      (``plans/curation.lm_perplexity_capped_scores``): trains the top-K
+      model on the in-flight corpus and drops documents whose perplexity
+      exceeds the threshold. Deterministic given the corpus (total-ordered
+      cap, quantized-decimal log sums).
+    """
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
 
@@ -98,6 +117,23 @@ def prepare_corpus(
         & ((distinct_token_count(toks) / token_count(toks)) >= min_distinct_ratio)
     )
     report["after_quality_gate"] = docs.count()
+
+    if mix_rates is not None:
+        from .plans.sampling import mix_keep
+
+        docs = docs.filter(mix_keep("doc_id", "source", mix_rates, mix_default_rate))
+        report["after_mix"] = docs.count()
+
+    if max_perplexity is not None:
+        from .plans.curation import lm_perplexity_capped_scores
+
+        scores = lm_perplexity_capped_scores(docs.select("doc_id", "text"))
+        docs = (
+            docs.join(scores.select("doc_id", "perplexity"), "doc_id")
+            .filter(F.col("perplexity") <= max_perplexity)
+            .drop("perplexity")
+        )
+        report["after_perplexity_filter"] = docs.count()
 
     cap_w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -146,6 +182,12 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=10_000)
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--pack-budget", type=int, default=None)
+    ap.add_argument(
+        "--mix", default=None,
+        help='per-source keep rates as JSON, e.g. \'{"src0": 1.0, "src1": 0.5}\'',
+    )
+    ap.add_argument("--mix-default", type=float, default=1.0)
+    ap.add_argument("--max-perplexity", type=float, default=None)
     args = ap.parse_args()
     from .session import get_spark
 
@@ -158,6 +200,9 @@ def main() -> None:
         source_cap=args.cap,
         n_shards=args.shards,
         pack_budget=args.pack_budget,
+        mix_rates=json.loads(args.mix) if args.mix else None,
+        mix_default_rate=args.mix_default,
+        max_perplexity=args.max_perplexity,
     )
     print(json.dumps(report))
 

@@ -194,18 +194,30 @@ def main() -> None:
         )
 
     # Head-to-head: rewritten two-phase form vs the old Expand form at 100×.
+    # INTERLEAVED passes (A,B,A,B,...), not sequential best-of-3 blocks:
+    # within-session drift on a 60 s query is 10-25% (observed 54→70 s over
+    # one probe session), larger than the effect being measured, and
+    # interleaving puts both forms under the same drift.
     h2h: dict[str, dict] = {}
     for name in REWRITTEN:
-        t_expand = _best_of(EXPAND_FORMS[name], spark, dst)
+        runs: dict[str, list] = {"two_phase": [], "expand": []}
+        for _ in range(3):
+            for key, fn in (
+                ("two_phase", REGISTRY[name].build),
+                ("expand", EXPAND_FORMS[name]),
+            ):
+                t0 = time.perf_counter()
+                fn(spark, dst).collect()
+                runs[key].append(time.perf_counter() - t0)
         row = {
-            "two_phase_s": result[name]["x100_s"],
-            "expand_s": t_expand,
-            "speedup": round(t_expand / max(result[name]["x100_s"], 1e-9), 2),
+            "two_phase_s": round(min(runs["two_phase"]), 3),
+            "expand_s": round(min(runs["expand"]), 3),
         }
+        row["speedup"] = round(row["expand_s"] / max(row["two_phase_s"], 1e-9), 2)
         h2h[name] = row
         print(
             f"h2h {name:28s} two_phase={row['two_phase_s']:7.2f}s "
-            f"expand={t_expand:7.2f}s speedup={row['speedup']:.2f}x"
+            f"expand={row['expand_s']:7.2f}s speedup={row['speedup']:.2f}x"
         )
 
     print(json.dumps({
