@@ -128,6 +128,43 @@ def dd_bucket_counts(
     )
 
 
+# --------------------------------------------------------------------------- #
+# Count-Min Sketch — frequency estimates in fixed memory, merge = cell SUM.
+# --------------------------------------------------------------------------- #
+
+CMS_DEPTH = 4    # independent hash rows
+CMS_WIDTH = 256  # cells per row: bucket = first two hex digits of md5(j|key)
+
+
+def cms_cells(df: DataFrame, key_col: str | Column) -> DataFrame:
+    """The mergeable CMS state: (j, bucket, c) — ≤ depth·width = 1024 cells
+    however many keys stream through. Each input row increments one cell per
+    hash row j; map-side partials collapse to cell grain before the (KB)
+    shuffle. Merge = cell-wise SUM; estimate(key) = MIN over j of
+    cell[j][md5(j|key) bucket] — an upper bound on the true count
+    (Cormode & Muthukrishnan 2005). The md5 bucketing is replayable in any
+    engine, same family as the HLL/MinHash/SimHash oracles."""
+    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    rows = df.select(
+        k.alias("_k"),
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("_k"))), 1, 2
+    )
+    return rows.groupBy("j", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_bucket(j_col: str | Column, key_col: str | Column) -> Column:
+    """The CMS bucket expression for a (hash-row, key) pair — used to look
+    keys up in the cell table with the exact hashing ``cms_cells`` built."""
+    j = (F.col(j_col) if isinstance(j_col, str) else j_col).cast("string")
+    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    return F.substring(F.md5(F.concat(j, F.lit("|"), k)), 1, 2)
+
+
 def dd_quantiles(
     buckets: DataFrame,
     group_cols: list[str],

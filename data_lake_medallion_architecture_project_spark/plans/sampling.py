@@ -698,6 +698,285 @@ def ddsketch_daily_bucket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Count-Min Sketch heavy hitters — frequency estimates in fixed memory.
+# --------------------------------------------------------------------------- #
+
+_CMS_TOP = 20
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT j.j, substr(md5(CAST(j.j AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)), 1, 2) AS bucket,
+         COUNT(*) AS c
+  FROM orders, (SELECT unnest([0, 1, 2, 3]) AS j) j
+  GROUP BY 1, 2
+),
+counts AS (SELECT o_custkey, COUNT(*) AS exact_orders FROM orders GROUP BY o_custkey),
+top AS (
+  SELECT o_custkey, exact_orders FROM counts
+  ORDER BY exact_orders DESC, o_custkey LIMIT {_CMS_TOP}
+),
+looked AS (
+  SELECT t.o_custkey, t.exact_orders, j.j,
+         substr(md5(CAST(j.j AS VARCHAR) || '|' || CAST(t.o_custkey AS VARCHAR)), 1, 2) AS bucket
+  FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j) j
+)
+SELECT l.o_custkey,
+       CAST(MAX(l.exact_orders) AS BIGINT) AS exact_orders,
+       CAST(MIN(c.c) AS BIGINT) AS cms_estimate
+FROM looked l JOIN cells c ON c.j = l.j AND c.bucket = l.bucket
+GROUP BY l.o_custkey
+"""
+
+
+@register(
+    "custkey_cms_heavyhitters", oracle=_CMS_ORACLE, tags=("sketch", "approx")
+)
+def custkey_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) order-frequency
+    estimates for the top-{20} customers, next to their exact counts.
+
+    The sketch is depth·width = 4·256 = 1024 cells HOWEVER many keys stream
+    through — at 100 TB the cell table is the ONLY maintained state (merge =
+    cell-wise SUM, the same incremental-Gold monoid as the HLL registers and
+    DDSketch buckets), where an exact per-key count table is key-cardinality-
+    shaped. estimate = min over hash rows of the key's cell, an upper bound
+    on the true count (cms_estimate ≥ exact_orders for every row — the CMS
+    guarantee, unit-tested; the DuckDB oracle replays hashing, cell sums,
+    and lookups bit-for-bit). The exact column here is the audit baseline a
+    verification query carries; a production rollup keeps cells only.
+
+    Plan shape: a ×4 hash-row explode collapses map-side to ≤1024 cells
+    (KB shuffle); the top-K exact counts are TakeOrderedAndProject; lookups
+    broadcast-join K·depth rows against the cell table."""
+    from ..functions.sketches import CMS_DEPTH, cms_bucket, cms_cells
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cells = cms_cells(orders, "o_custkey")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+        .orderBy(F.col("exact_orders").desc(), "o_custkey")
+        .limit(_CMS_TOP)
+    )
+    looked = top.select(
+        "o_custkey",
+        "exact_orders",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+    ).select(
+        "o_custkey",
+        "exact_orders",
+        "j",
+        cms_bucket("j", "o_custkey").alias("bucket"),
+    )
+    return (
+        F.broadcast(looked)
+        .join(cells, ["j", "bucket"])
+        .groupBy("o_custkey")
+        .agg(
+            F.max("exact_orders").cast("long").alias("exact_orders"),
+            F.min("c").cast("long").alias("cms_estimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Month-over-month customer retention — exact, plus the HLL-algebra variant.
+# --------------------------------------------------------------------------- #
+
+_RETENTION_ORACLE = """
+WITH mu AS (
+  SELECT DISTINCT
+    CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+    strftime(o_orderdate, '%Y-%m') AS month,
+    o_custkey AS ck
+  FROM orders
+),
+tot AS (SELECT mi, month, COUNT(*) AS active FROM mu GROUP BY mi, month),
+ret AS (
+  SELECT a.mi, COUNT(*) AS retained
+  FROM mu a JOIN mu b ON b.mi = a.mi + 1 AND b.ck = a.ck
+  GROUP BY a.mi
+)
+SELECT t.month,
+       CAST(t.active AS BIGINT) AS active_customers,
+       CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_customers,
+       CAST(COALESCE(r.retained, 0) AS DOUBLE) / t.active AS retention_rate
+FROM tot t
+LEFT JOIN ret r ON r.mi = t.mi
+WHERE t.mi + 1 IN (SELECT mi FROM tot)
+"""
+
+
+@register("monthly_customer_retention", oracle=_RETENTION_ORACLE, tags=("analytics",))
+def monthly_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact month-over-month customer retention: of the customers active in
+    month m, how many also ordered in m+1. The exact baseline for the
+    HLL-algebra variant below.
+
+    Plan: one distinct to (month, customer) grain, then a self equi-join on
+    (customer, consecutive-month) — the join shuffles month-grain distinct
+    rows, never raw orders; last month (no successor) is excluded rather
+    than reported as 0% retention."""
+    orders = load_table(spark, sf_dir, "orders")
+    mu = orders.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("ck"),
+    ).distinct()
+    tot = mu.groupBy("mi", "month").agg(F.count(F.lit(1)).alias("active"))
+    nxt = mu.select((F.col("mi") - 1).alias("mi"), "ck")
+    ret = (
+        mu.select("mi", "ck")
+        .join(nxt, ["mi", "ck"])
+        .groupBy("mi")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    has_next = tot.select((F.col("mi") - 1).alias("mi")).distinct()
+    return (
+        tot.join(has_next, "mi", "left_semi")
+        .join(ret, "mi", "left")
+        .select(
+            "month",
+            F.col("active").cast("long").alias("active_customers"),
+            F.coalesce(F.col("retained"), F.lit(0))
+            .cast("long")
+            .alias("retained_customers"),
+            (
+                F.coalesce(F.col("retained"), F.lit(0)).cast("double")
+                / F.col("active")
+            ).alias("retention_rate"),
+        )
+    )
+
+
+_HLL_RETENTION_ORACLE = f"""
+WITH mu AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         md5('0|' || CAST(o_custkey AS VARCHAR)) || md5('1|' || CAST(o_custkey AS VARCHAR)) AS hx
+  FROM orders
+),
+regs AS (
+  SELECT mi, substr(hx, 1, 2) AS bucket,
+         MAX(length(regexp_extract(substr(hx, 3), '^[0-7]*')) + 1) AS r
+  FROM mu GROUP BY mi, bucket
+),
+months AS (SELECT DISTINCT mi, month FROM mu),
+pairs AS (SELECT mi, month FROM months WHERE mi + 1 IN (SELECT mi FROM months)),
+stacked AS (
+  SELECT 'a' AS t, mi, bucket, r FROM regs
+  UNION ALL
+  SELECT 'b' AS t, mi - 1 AS mi, bucket, r FROM regs
+  UNION ALL
+  SELECT 'u' AS t, mi, bucket, MAX(r) AS r FROM (
+    SELECT mi, bucket, r FROM regs
+    UNION ALL SELECT mi - 1 AS mi, bucket, r FROM regs
+  ) GROUP BY mi, bucket
+),
+agg AS (
+  SELECT t, mi,
+         SUM(CAST(power(2, {_HLL_RHO_EMPTY} - r) AS HUGEINT)) AS s,
+         COUNT(*) AS hit
+  FROM stacked GROUP BY t, mi
+),
+est AS (
+  SELECT t, mi,
+         CASE WHEN CAST({_HLL_NUM} AS DOUBLE)
+                     / CAST(s + ({_HLL_M} - hit) * CAST(power(2, {_HLL_RHO_EMPTY}) AS HUGEINT) AS DOUBLE)
+                   <= {_HLL_LINEAR_THRESHOLD}
+               AND {_HLL_M} - hit > 0
+              THEN {_HLL_M} * ln({_HLL_M} / CAST({_HLL_M} - hit AS DOUBLE))
+              ELSE CAST({_HLL_NUM} AS DOUBLE)
+                     / CAST(s + ({_HLL_M} - hit) * CAST(power(2, {_HLL_RHO_EMPTY}) AS HUGEINT) AS DOUBLE)
+          END AS e
+  FROM agg
+),
+wide AS (
+  SELECT p.month, p.mi,
+         MAX(CASE WHEN e.t = 'a' THEN e.e END) AS ea,
+         MAX(CASE WHEN e.t = 'b' THEN e.e END) AS eb,
+         MAX(CASE WHEN e.t = 'u' THEN e.e END) AS eu
+  FROM pairs p JOIN est e ON e.mi = p.mi
+  GROUP BY p.month, p.mi
+)
+SELECT month,
+       ea AS est_active,
+       greatest(ea + eb - eu, 0.0) AS est_retained,
+       greatest(ea + eb - eu, 0.0) / ea AS est_retention_rate
+FROM wide
+"""
+
+
+@register(
+    "hll_monthly_retention_md5",
+    oracle=_HLL_RETENTION_ORACLE,
+    tags=("sketch", "approx"),
+)
+def hll_monthly_retention_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month retention from HLL register ALGEBRA — no distinct,
+    no self-join on customers: |A∩B| estimated by inclusion-exclusion
+    est(A)+est(B)−est(A∪B), where the union sketch is just the element-wise
+    register MAX of the two months' states. This is the operation the
+    sketch-state Gold layer (streaming/sketch_refresh.py) unlocks: retention
+    over a billion users costs three KB-scale register reductions per month
+    pair, reading ONLY the maintained state.
+
+    Determinism: the same md5 register family as ``hll_weekly_users_md5``,
+    estimated once per (tag, month) from exact-integer register sums; the
+    inclusion-exclusion sum/difference and the greatest(…, 0) clamp operate
+    on identically-computed doubles in both engines, so the DuckDB oracle
+    hash-matches the whole algebra. m=256 → each estimate carries ~6.5%
+    standard error, so the DIFFERENCE is noisy at small |A∩B| — the exact
+    twin ``monthly_customer_retention`` is the audit baseline; a production
+    deployment sizes m for the intersection, not the sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    mu = orders.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_custkey",
+    )
+    regs = hll_registers(mu, ["mi"], "o_custkey")
+    months = mu.select("mi", "month").distinct()
+    pairs = months.join(
+        months.select((F.col("mi") - 1).alias("mi")).distinct(), "mi", "left_semi"
+    )
+    shifted = regs.select((F.col("mi") - 1).alias("mi"), "bucket", "r")
+    union_regs = (
+        regs.unionByName(shifted)
+        .groupBy("mi", "bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("u").alias("t"), "mi", "bucket", "r")
+    )
+    stacked = (
+        regs.select(F.lit("a").alias("t"), "mi", "bucket", "r")
+        .unionByName(shifted.select(F.lit("b").alias("t"), "mi", "bucket", "r"))
+        .unionByName(union_regs)
+    )
+    est = hll_estimate(stacked, ["t", "mi"], alias="e")
+    wide = (
+        F.broadcast(pairs)
+        .join(est, "mi")
+        .groupBy("month", "mi")
+        .agg(
+            F.max(F.when(F.col("t") == "a", F.col("e"))).alias("ea"),
+            F.max(F.when(F.col("t") == "b", F.col("e"))).alias("eb"),
+            F.max(F.when(F.col("t") == "u", F.col("e"))).alias("eu"),
+        )
+    )
+    inter = F.greatest(F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0))
+    return wide.select(
+        "month",
+        F.col("ea").alias("est_active"),
+        inter.alias("est_retained"),
+        (inter / F.col("ea")).alias("est_retention_rate"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Contrastive training triples.
 # --------------------------------------------------------------------------- #
 

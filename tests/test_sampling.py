@@ -152,6 +152,41 @@ def test_corpus_mix_kept_fraction_matches_target_rate(spark):
             assert abs(frac - rate) <= 4 * sigma + 1 / 256, (r, frac)
 
 
+def test_cms_estimate_is_upper_bound(spark):
+    """The CMS guarantee: estimate >= true count for every key (min over
+    hash rows of an over-counted cell can never under-count)."""
+    rows = REGISTRY["custkey_cms_heavyhitters"].build(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_orders"], r
+
+
+def test_hll_retention_tracks_exact(spark):
+    """HLL inclusion-exclusion retention: per-month actives within sketch
+    error of exact, intersection non-negative and <= the union bound. The
+    intersection DIFFERENCE is noisy at m=256 (documented), so it gets a
+    sanity corridor, not a tight bound."""
+    est = {
+        r["month"]: r
+        for r in REGISTRY["hll_monthly_retention_md5"].build(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["month"]: r
+        for r in REGISTRY["monthly_customer_retention"]
+        .build(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for m, r in est.items():
+        x = exact[m]
+        assert (
+            abs(r["est_active"] - x["active_customers"])
+            <= 0.25 * x["active_customers"] + 3
+        ), (m, r, x)
+        assert 0 <= r["est_retained"] <= r["est_active"] * 1.3
+        assert 0 <= r["est_retention_rate"] <= 1.3
+
+
 def test_ddsketch_relative_error_guarantee(spark):
     """DDSketch estimates must be within the alpha=1% relative-error
     guarantee of the exact quantiles (plus discrete-rank slack at gate-scale
