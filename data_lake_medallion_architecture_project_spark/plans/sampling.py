@@ -745,19 +745,20 @@ def custkey_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lookups bit-for-bit). The exact column here is the audit baseline a
     verification query carries; a production rollup keeps cells only.
 
-    Plan shape: a ×4 hash-row explode collapses map-side to ≤1024 cells
-    (KB shuffle); the top-K exact counts are TakeOrderedAndProject; lookups
-    broadcast-join K·depth rows against the cell table."""
-    from ..functions.sketches import CMS_DEPTH, cms_bucket, cms_cells
+    Plan shape: ONE fact-scaled aggregate (per-key counts) feeds both the
+    cells — built key-grain via ``cms_cells_from_counts``, cell-identical
+    to per-row hashing but at |keys|·depth md5s instead of |rows|·depth
+    (measured 55.6 s → 8.5 s at 100×) — and the top-K exact counts
+    (TakeOrderedAndProject); lookups broadcast-join K·depth rows against
+    the ≤1024-cell table."""
+    from ..functions.sketches import CMS_DEPTH, cms_bucket, cms_cells_from_counts
 
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    cells = cms_cells(orders, "o_custkey")
-    top = (
-        orders.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("exact_orders"))
-        .orderBy(F.col("exact_orders").desc(), "o_custkey")
-        .limit(_CMS_TOP)
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_orders")
     )
+    cells = cms_cells_from_counts(counts, "o_custkey", "exact_orders")
+    top = counts.orderBy(F.col("exact_orders").desc(), "o_custkey").limit(_CMS_TOP)
     looked = top.select(
         "o_custkey",
         "exact_orders",
