@@ -27,7 +27,11 @@ This is the maintenance discipline of ``streaming/refresh.py``
 (affected-day Gold rebuild) generalized: the refresh recomputes affected
 partitions from source; IVM never touches source at all — the feed IS the
 input. Sum/count (self-inverting) aggregates only; min/max need the
-refresh path (a deleted minimum is not reconstructible from deltas).
+refresh path (a deleted minimum is not reconstructible from deltas), and
+distinct-count/quantile views use the third leg of the maintenance family,
+``streaming/sketch_refresh.py`` — mergeable HLL-register / DDSketch-bucket
+state (append-only folds; deletes there likewise require recompute,
+sketches are not invertible).
 """
 
 from __future__ import annotations

@@ -29,6 +29,13 @@ history, while the committed Gold stays bit-identical to a full recompute
 (the invariant the tests assert). All Gold aggregates are day-grain, so a day
 is recomputable in isolation.
 
+Two aggregate classes outgrow even affected-day recomputation — distinct
+counts (not distributive: one new day forces re-reading the rest of the
+week) and quantiles (exact percentile re-buffers the group). Those move to
+``streaming/sketch_refresh.py``: day-grain HLL-register / DDSketch-bucket
+STATE folded by max/sum, with rollups derived from state alone — the
+aggregate-level completion of the scan-level fix here.
+
 At 100 TB the same code holds: affected-day re-aggregation scans only those
 days' Silver files when Silver is laid out by *event* date
 (``writers.write_silver_event_partitioned`` — ``_scoped_silver`` detects the
