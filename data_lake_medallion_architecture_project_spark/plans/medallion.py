@@ -175,35 +175,49 @@ GROUP BY strftime(l.l_shipdate, '%Y-%m-%d'), p.p_brand
 def category_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-day, per-brand revenue; exercises the fact⋈dim join.
 
-    Manual TWO-PHASE distinct aggregation instead of the mixed
-    countDistinct+SUM form: Catalyst plans the mixed form as an Expand
-    (every row duplicated per grouping-set) feeding two shuffle rounds —
-    measured the heaviest shuffle in the bench set (29.5 MB at sf0.1).
-    Pre-aggregating on (date, brand, orderkey) makes the second phase's
-    COUNT(*) the exact distinct order count, halves the expanded row
-    volume, and measured ~25% faster. Money exactness is preserved by
-    carrying scaled_long_sum's split-long partials (functions/money.py)
-    through both phases — per-group long sums re-summed are bit-identical
-    to the one-phase sums (long addition is associative, envelope
-    unchanged), so the decimal recombination and the hash are unchanged."""
+    SINGLE-EXCHANGE two-phase distinct aggregation (round 9): one explicit
+    repartition on the RESULT grain (date, category), then both phases —
+    the (date, category, orderkey) pre-group that turns COUNT(DISTINCT)
+    into COUNT(*), and the final aggregate — pipeline in-partition with no
+    further exchange, because HashPartitioning on a subset of the grouping
+    keys satisfies the superset's clustering requirement. History of this
+    plan: Catalyst's mixed-distinct Expand form moved 29.5 MB over two
+    shuffle rounds (r5); the r8 two-phase rewrite removed the Expand's row
+    duplication but still paid two exchanges of the near-row-grain
+    pre-aggregate (~30 MB — the (date, brand, orderkey) grain is ≈ row
+    grain on lineitem, so partials cannot collapse); this form pays ONE
+    exchange of the raw narrow rows (18.4 MB at sf0.1) and measured 2.1×
+    faster than the r8 form at 100× (25.5 s vs 54.0 s interleaved),
+    1.19× at sf0.1. At 100 TB the (date, brand) result grain keys the
+    exchange — tens of thousands of groups, ample executor parallelism;
+    the in-partition phase-1 hash may spill for huge day×brand slices,
+    which the sort-based aggregation fallback absorbs. Money exactness is
+    preserved by carrying scaled_long_sum's split-long partials
+    (functions/money.py) through both phases — per-group long sums
+    re-summed are bit-identical (long addition is associative), so the
+    decimal recombination and the hash are unchanged."""
     from ..functions.money import _SPLIT, _SPLIT_BITS, _SPLIT_MASK
 
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         _day("l_shipdate"), "l_partkey", "l_orderkey", "l_extendedprice"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey).select(
+        "date",
+        F.col("p_brand").alias("category"),
+        "l_orderkey",
+        "l_extendedprice",
+        "p_retailprice",
+    )
+    rep = joined.repartition(F.col("date"), F.col("category"))
     price_scaled = F.round(F.col("l_extendedprice") * 100).cast("long")
     retail_scaled = F.round(F.col("p_retailprice") * 100).cast("long")
-    per_order = (
-        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
-        .groupBy("date", F.col("p_brand").alias("category"), "l_orderkey")
-        .agg(
-            F.sum(F.shiftright(price_scaled, _SPLIT_BITS)).alias("ph"),
-            F.sum(price_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("pl"),
-            F.sum(F.shiftright(retail_scaled, _SPLIT_BITS)).alias("rh"),
-            F.sum(retail_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("rl"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    per_order = rep.groupBy("date", "category", "l_orderkey").agg(
+        F.sum(F.shiftright(price_scaled, _SPLIT_BITS)).alias("ph"),
+        F.sum(price_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("pl"),
+        F.sum(F.shiftright(retail_scaled, _SPLIT_BITS)).alias("rh"),
+        F.sum(retail_scaled.bitwiseAND(F.lit(_SPLIT_MASK))).alias("rl"),
+        F.count(F.lit(1)).alias("n"),
     )
 
     def _recombine(h: str, l: str) -> F.Column:
