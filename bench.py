@@ -91,7 +91,22 @@ def main() -> None:
             if proc.returncode != 0:
                 sys.stderr.write(proc.stderr[-4000:])
                 raise SystemExit(proc.returncode)
-            passes.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+            # The child's result is the LAST stdout line that parses as a
+            # JSON object — JVM shutdown/log noise printed after (or before)
+            # the result line must not lose a completed pass.
+            parsed = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    candidate = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(candidate, dict):
+                    parsed = candidate
+                    break
+            if parsed is None:
+                sys.stderr.write(proc.stdout[-4000:])
+                raise SystemExit("bench child produced no JSON result line")
+            passes.append(parsed)
 
     names = list(passes[0])
     timings = {n: round(min(p[n]["best"] for p in passes), 3) for n in names}

@@ -149,10 +149,7 @@ def cms_cells(df: DataFrame, key_col: str | Column) -> DataFrame:
         k.alias("_k"),
         F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
     )
-    bucket = F.substring(
-        F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("_k"))), 1, 2
-    )
-    return rows.groupBy("j", bucket.alias("bucket")).agg(
+    return rows.groupBy("j", cms_bucket("j", "_k").alias("bucket")).agg(
         F.count(F.lit(1)).alias("c")
     )
 
@@ -172,10 +169,7 @@ def cms_cells_from_counts(
         F.col(count_col).alias("_c"),
         F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
     )
-    bucket = F.substring(
-        F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("_k"))), 1, 2
-    )
-    return rows.groupBy("j", bucket.alias("bucket")).agg(
+    return rows.groupBy("j", cms_bucket("j", "_k").alias("bucket")).agg(
         F.sum("_c").alias("c")
     )
 

@@ -276,7 +276,10 @@ s AS (
   SELECT b.doc_id,
          CAST(log2(CASE WHEN m.c2 IS NOT NULL
               THEN (m.c2 + {_LM_K}) / (m.c1 + {_LM_K} * nv.vocab)
-              ELSE {_LM_ALPHA} * (u.cu + {_LM_K}) / (nv.n + {_LM_K} * nv.vocab)
+              -- CAST: a bare 0.4 literal is DECIMAL in DuckDB (exact
+              -- multiply) while Spark multiplies doubles; forcing DOUBLE
+              -- makes both engines round the alpha product identically.
+              ELSE CAST({_LM_ALPHA} AS DOUBLE) * (u.cu + {_LM_K}) / (nv.n + {_LM_K} * nv.vocab)
               END) AS DECIMAL(20,9)) AS lp,
          CASE WHEN m.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
   FROM big b

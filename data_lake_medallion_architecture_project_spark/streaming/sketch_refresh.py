@@ -71,8 +71,9 @@ def fold_hll_state(
     batch_id: int,
 ) -> int:
     """Fold one batch's ids into the day-grain HLL register state by
-    element-wise MAX. Returns the number of state rows written (0 on a
-    replayed batch)."""
+    element-wise MAX. Returns the number of day partitions touched — 0 on a
+    replayed batch (derived from merge_upsert's own txn-marker no-op, so the
+    report can never claim work a replay skipped)."""
     regs = hll_registers(batch.select(_day(day_col), id_col), ["day"], id_col)
     snap = state.snapshot()
     if snap.version >= 0:
@@ -86,16 +87,16 @@ def fold_hll_state(
                 "r"
             ),
         )
-    rows = regs.count()
-    state.merge_upsert(
-        spark,
-        regs,
-        keys=["day", "bucket"],
-        partition_col="day",
-        app_id=app_id,
-        batch_id=batch_id,
+    return len(
+        state.merge_upsert(
+            spark,
+            regs,
+            keys=["day", "bucket"],
+            partition_col="day",
+            app_id=app_id,
+            batch_id=batch_id,
+        )
     )
-    return rows
 
 
 def fold_dd_state(
@@ -110,9 +111,15 @@ def fold_dd_state(
 ) -> int:
     """Fold one batch's values into the day-grain DDSketch bucket state by
     element-wise SUM (exactly-once via the txn marker — a replayed add would
-    otherwise double-count)."""
+    otherwise double-count). Returns the number of day partitions touched
+    (0 on a replayed batch). Non-positive values are OUTSIDE the DDSketch
+    domain (ln(x) is NULL/undefined): they are filtered at this boundary so
+    a zero-priced row can never commit a NULL bucket into the additive,
+    non-invertible state and permanently skew the cumulative quantile walk."""
     bks = dd_bucket_counts(
-        batch.select(group_col, _day(day_col), value_col),
+        batch.filter(F.col(value_col) > 0).select(
+            group_col, _day(day_col), value_col
+        ),
         [group_col, "day"],
         value_col,
     )
@@ -127,16 +134,16 @@ def fold_dd_state(
             "bucket",
             (F.col("c") + F.coalesce(F.col("_c_prev"), F.lit(0))).alias("c"),
         )
-    rows = bks.count()
-    state.merge_upsert(
-        spark,
-        bks,
-        keys=[group_col, "day", "bucket"],
-        partition_col="day",
-        app_id=app_id,
-        batch_id=batch_id,
+    return len(
+        state.merge_upsert(
+            spark,
+            bks,
+            keys=[group_col, "day", "bucket"],
+            partition_col="day",
+            app_id=app_id,
+            batch_id=batch_id,
+        )
     )
-    return rows
 
 
 def weekly_users_from_state(spark: SparkSession, state: TxnTable) -> DataFrame:
@@ -173,8 +180,9 @@ def run_sketch_gold_refresh(
     File-source checkpoint = exactly-once accounting of which files have
     been folded (same pattern as ``run_incremental_gold_refresh``); the txn
     markers close the crash window between a fold and its checkpoint commit.
-    Returns {state_table: rows_touched_in_last_batch}; re-running with no
-    new files touches nothing.
+    Returns {state_table: day_partitions_touched_in_last_batch}; re-running
+    with no new files (or replaying a committed batch) touches nothing and
+    reports 0.
     """
     hll_state = TxnTable(os.path.join(state_root, "hll_day_registers"))
     dd_state = (

@@ -128,9 +128,15 @@ def prepare_corpus(
         from .plans.curation import lm_perplexity_capped_scores
 
         scores = lm_perplexity_capped_scores(docs.select("doc_id", "text"))
+        # LEFT join: a document with <2 whitespace tokens has no bigrams and
+        # no score row — it passes the filter (no perplexity evidence against
+        # it) instead of silently vanishing when min_tokens is set below 2.
         docs = (
-            docs.join(scores.select("doc_id", "perplexity"), "doc_id")
-            .filter(F.col("perplexity") <= max_perplexity)
+            docs.join(scores.select("doc_id", "perplexity"), "doc_id", "left")
+            .filter(
+                F.col("perplexity").isNull()
+                | (F.col("perplexity") <= max_perplexity)
+            )
             .drop("perplexity")
         )
         report["after_perplexity_filter"] = docs.count()

@@ -161,6 +161,27 @@ def test_cms_estimate_is_upper_bound(spark):
         assert r["cms_estimate"] >= r["exact_orders"], r
 
 
+def test_cms_cells_per_row_equals_from_counts(spark):
+    """The streaming-shape builder (one increment per row) and the batch
+    builder (from a pre-aggregated count table) must produce IDENTICAL
+    cells — cell addition is commutative, so the two paths are
+    interchangeable and a fold of either state merges with the other."""
+    from data_lake_medallion_architecture_project_spark.functions.sketches import (
+        cms_cells,
+        cms_cells_from_counts,
+    )
+
+    rows = spark.createDataFrame(
+        [(f"k{i % 37}",) for i in range(500)], ["key"]
+    )
+    per_row = sorted(map(tuple, cms_cells(rows, "key").collect()))
+    counts = rows.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    from_counts = sorted(
+        map(tuple, cms_cells_from_counts(counts, "key", "n").collect())
+    )
+    assert per_row == from_counts and per_row
+
+
 def test_hll_retention_tracks_exact(spark):
     """HLL inclusion-exclusion retention: per-month actives within sketch
     error of exact, intersection non-negative and <= the union bound. The

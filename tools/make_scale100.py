@@ -1,8 +1,8 @@
 """100× fact-volume probe — the second decade of the SCALE.md ladder.
 
 Generates a 100×-replicated copy of sf0.1 (same key-shift replication as
-``make_scale10.replicate``: ~6 M orders / 60 M lineitem / 10 M events /
-5 M documents, dimensions untouched) and measures, in ONE session:
+``make_scale10.replicate``: 15 M orders / 60 M lineitem / 10 M events /
+500 k documents, dimensions untouched) and measures, in ONE session:
 
 1. Wall time at sf0.1 vs 100× (best-of-3 fresh plans, bench.py methodology)
    for the probe set: the four rewritten two-phase Gold summaries, the new
