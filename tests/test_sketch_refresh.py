@@ -105,6 +105,70 @@ def test_sketch_fold_equals_full_recompute_on_append(spark, tmp_path):
         assert abs(r["est_weekly_users"] - exact[r["week"]]) <= 0.2 * exact[r["week"]]
 
 
+def test_sketch_fold_crash_replay_exactly_once(spark, tmp_path):
+    """Crash between the state merges and the stream checkpoint commit:
+    deleting the checkpoint's commit marker forces the micro-batch to
+    re-run, and the (app_id, batch_id) txn markers must skip BOTH folds —
+    critical for the additive DD state, where a replayed add would
+    double-count — with the folds reporting 0 partitions touched."""
+    import os
+
+    src = str(tmp_path / "events")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _events(spark, 1, 4).write.mode("append").parquet(src)
+    run_sketch_gold_refresh(
+        spark, src, state_root, ckpt, group_col="status", value_col="value"
+    )
+    hll = TxnTable(f"{state_root}/hll_day_registers")
+    dd = TxnTable(f"{state_root}/dd_day_buckets")
+    v_hll, v_dd = hll.snapshot().version, dd.snapshot().version
+    dd_before = _sorted(dd.read(spark))
+
+    commits = os.path.join(ckpt, "sketch_gold", "commits")
+    latest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    touched = run_sketch_gold_refresh(
+        spark, src, state_root, ckpt, group_col="status", value_col="value"
+    )
+    # The batch re-ran, but the table layer skipped both merges.
+    assert touched == {"hll_day_registers": 0, "dd_day_buckets": 0}
+    assert hll.snapshot().version == v_hll
+    assert dd.snapshot().version == v_dd
+    assert _sorted(dd.read(spark)) == dd_before  # counts not doubled
+
+
+def test_dd_fold_rejects_non_positive_values(spark, tmp_path):
+    """Zero/negative values are outside the DDSketch domain (ln undefined):
+    the fold must drop them at the boundary rather than committing NULL
+    buckets into the additive, non-invertible state."""
+    from data_lake_medallion_architecture_project_spark.streaming.sketch_refresh import (
+        fold_dd_state,
+    )
+
+    dd = TxnTable(str(tmp_path / "dd"))
+    batch = spark.createDataFrame(
+        [
+            (datetime(2024, 3, 1, 8, 0, 0), "A", 10.0),
+            (datetime(2024, 3, 1, 9, 0, 0), "A", 0.0),
+            (datetime(2024, 3, 1, 10, 0, 0), "A", -5.0),
+            (datetime(2024, 3, 1, 11, 0, 0), "B", 2.5),
+        ],
+        ["ts", "status", "value"],
+    )
+    fold_dd_state(
+        spark, dd, batch, "status", "ts", "value", app_id="t", batch_id=0
+    )
+    rows = dd.read(spark).collect()
+    assert all(r["bucket"] is not None for r in rows)
+    # Only the two positive-value rows were folded.
+    assert sum(r["c"] for r in rows) == 2
+
+
 def test_sketch_fold_idempotent_without_new_files(spark, tmp_path):
     src = str(tmp_path / "events")
     state_root = str(tmp_path / "state")
