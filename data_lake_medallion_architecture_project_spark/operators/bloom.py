@@ -1,0 +1,68 @@
+"""Replayable Bloom-filter semi-join reduction.
+
+The 100 TB join-reduction workhorse: before shuffling a fact table into a
+join, probe each row against a Bloom filter built from the other side's
+keyset and drop the guaranteed non-matches — the shuffle then carries only
+candidates (true matches + a tunable false-positive sliver). Spark's own
+runtime filters (`spark.sql.optimizer.runtime.bloomFilter.enabled`) inject
+this automatically with an opaque native filter; this operator is the
+EXPLICIT, engine-replayable form: the "bits" are md5 prefixes, so a second
+engine (the DuckDB oracle) can rebuild the identical filter and certify
+candidate selection bit-for-bit — same md5-family discipline as the
+MinHash/SimHash/HLL oracles.
+
+Representation: k independent hash rows (partitioned Bloom). Position of
+``key`` in row ``j`` = the first ``BLOOM_HEX`` hex digits of
+md5(j + "|" + key) — a string key into a 16^BLOOM_HEX-slot space, no
+int conversion needed in either engine. The filter is the DISTINCT
+(j, pos) set of the build side: ≤ k·|keys| rows, broadcast into the probe.
+A probe key passes iff all k of its positions are present. False-positive
+rate ≈ fill^k where fill = 1 − e^(−|keys|/16^BLOOM_HEX).
+
+At scale: the filter table is keyset-bounded and broadcastable far beyond
+`autoBroadcastJoinThreshold` limits on the raw dim (positions are 4-char
+strings, not rows); the probe is k broadcast-hash lookups per fact row,
+map-side, before any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_K = 3     # hash rows
+BLOOM_HEX = 4   # hex digits per position → 65 536 slots per row
+
+__all__ = ["BLOOM_K", "BLOOM_HEX", "bloom_build", "bloom_probe"]
+
+
+def _pos(j_col: str | Column, key_col: str | Column) -> Column:
+    j = (F.col(j_col) if isinstance(j_col, str) else j_col).cast("string")
+    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    return F.substring(F.md5(F.concat(j, F.lit("|"), k)), 1, BLOOM_HEX)
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """The filter: distinct (j, pos) over the build-side keyset —
+    ≤ BLOOM_K·|keys| rows of 4-char strings, meant to be broadcast."""
+    rows = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j"),
+    )
+    return rows.select("j", _pos("j", key_col).alias("pos")).distinct()
+
+
+def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Filter ``df`` to rows whose key passes the Bloom filter (all K
+    positions present) — K chained BROADCAST left-semi joins, one per hash
+    row, all map-side in a single stage: no exchange, no row collapse,
+    duplicates preserved. Keeps every true match (no false negatives),
+    drops most non-matches before any downstream shuffle."""
+    out = df
+    for j in range(BLOOM_K):
+        bj = bloom.filter(F.col("j") == j).select(F.col("pos").alias(f"__p{j}"))
+        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col))
+        out = out.join(
+            F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left_semi"
+        ).drop(f"__pos{j}")
+    return out

@@ -291,3 +291,84 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(pairs).alias("p")).select(
         "p.col", "p.n_null", "p.n_distinct"
     )
+
+
+# --------------------------------------------------------------------------- #
+# Bloom-filter semi-join reduction — replayable runtime-filter bits.
+# --------------------------------------------------------------------------- #
+
+_BLOOM_SEGMENT = "AUTOMOBILE"
+
+_BLOOM_ORACLE = f"""
+WITH ks AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+),
+bloom AS (
+  SELECT DISTINCT j.j,
+         substr(md5(CAST(j.j AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 4) AS pos
+  FROM ks, (SELECT unnest([0, 1, 2]) AS j) j
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         COUNT(*) AS hits
+  FROM orders o, (SELECT unnest([0, 1, 2]) AS j) j
+  JOIN bloom b
+    ON b.j = j.j
+   AND b.pos = substr(md5(CAST(j.j AS VARCHAR) || '|' || CAST(o.o_custkey AS VARCHAR)), 1, 4)
+  GROUP BY o.o_orderkey, o.o_custkey
+),
+cand AS (SELECT o_orderkey, o_custkey FROM probe WHERE hits = 3)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(COUNT(CASE WHEN k.c_custkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_true_matches,
+  CAST(COUNT(CASE WHEN k.c_custkey IS NULL THEN 1 END) AS BIGINT) AS n_false_positives
+FROM cand
+LEFT JOIN ks k ON cand.o_custkey = k.c_custkey
+"""
+
+
+@register("bloom_prefilter_orders", oracle=_BLOOM_ORACLE, tags=("join", "sketch"))
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction with REPLAYABLE bits
+    (operators/bloom.py): build a 3-row md5-prefix Bloom filter over the
+    {segment} customers, probe every order map-side through three chained
+    broadcast left-semi joins (no exchange before the filter), and report
+    the funnel — total orders, Bloom candidates, true matches, false
+    positives. Zero false negatives by construction; at the gate scales the
+    fp sliver is the fill^k expectation.
+
+    Why it matters at 100 TB: this is the EXPLICIT form of Spark's runtime
+    bloom filters — the shuffle after the prefilter carries candidates
+    instead of the whole fact table, and the filter itself is
+    keyset-bounded 4-char strings (broadcastable when the raw dim is not).
+    The DuckDB oracle rebuilds the identical filter from the same md5
+    prefixes, so candidate selection — including which false positives
+    survive — is hash-certified cross-engine."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    customer = load_table(spark, sf_dir, "customer")
+    keys = customer.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
+        "c_custkey"
+    )
+    bloom = bloom_build(keys, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cand = bloom_probe(orders, "o_custkey", bloom)
+    truth = keys.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "_in", F.lit(True)
+    )
+    n_orders = orders.count()
+    return (
+        cand.join(F.broadcast(truth), "o_custkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("_in"), 1)).alias("n_true_matches"),
+            F.count(F.when(F.col("_in").isNull(), 1)).alias("n_false_positives"),
+        )
+        .select(
+            F.lit(n_orders).alias("n_orders"),
+            "n_candidates",
+            "n_true_matches",
+            "n_false_positives",
+        )
+    )

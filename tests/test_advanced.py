@@ -170,3 +170,26 @@ def test_runtime_bloom_filter_injects_at_production_scan_sizes(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The Bloom guarantee: every true match survives the prefilter —
+    n_true_matches must equal the plain semi-join count — and the false-
+    positive sliver stays near the fill^k expectation."""
+    row = REGISTRY["bloom_prefilter_orders"].build(spark, SF_SMALL).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    exact = (
+        orders.join(
+            customer.filter(F.col("c_mktsegment") == "AUTOMOBILE"),
+            orders.o_custkey == customer.c_custkey,
+            "left_semi",
+        ).count()
+    )
+    assert row["n_true_matches"] == exact
+    assert row["n_candidates"] == row["n_true_matches"] + row["n_false_positives"]
+    # fp rate over the non-matching population: generous 5% ceiling (the
+    # fill^3 expectation at gate scales is well under 1%).
+    non_match = row["n_orders"] - row["n_true_matches"]
+    if non_match:
+        assert row["n_false_positives"] / non_match <= 0.05
