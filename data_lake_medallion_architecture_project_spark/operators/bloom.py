@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 BLOOM_K = 3     # hash rows
 BLOOM_HEX = 4   # hex digits per position → 65 536 slots per row
 
-__all__ = ["BLOOM_K", "BLOOM_HEX", "bloom_build", "bloom_probe"]
+__all__ = ["BLOOM_K", "BLOOM_HEX", "bloom_build", "bloom_probe", "bloom_mark"]
 
 
 def _pos(j_col: str | Column, key_col: str | Column) -> Column:
@@ -66,3 +66,26 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
             F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left_semi"
         ).drop(f"__pos{j}")
     return out
+
+
+def bloom_mark(
+    df: DataFrame, key_col: str, bloom: DataFrame, out_col: str = "bloom_hits"
+) -> DataFrame:
+    """Diagnostic twin of :func:`bloom_probe`: keep EVERY row of ``df`` and
+    append ``out_col`` = how many of the K positions were present
+    (``out_col == BLOOM_K`` ⇔ the row would survive the probe). K broadcast
+    LEFT joins against the distinct position sets — each position matches at
+    most one filter row, so no duplication — still map-side, still one
+    stage. Use when the selectivity funnel itself is the output (audit /
+    fp-rate monitoring) so total and candidates come from one aggregate
+    over one scan instead of a separate count action."""
+    out = df
+    hits = F.lit(0)
+    for j in range(BLOOM_K):
+        bj = bloom.filter(F.col("j") == j).select(F.col("pos").alias(f"__p{j}"))
+        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col))
+        out = out.join(
+            F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left"
+        ).drop(f"__pos{j}")
+        hits = hits + F.when(F.col(f"__p{j}").isNotNull(), 1).otherwise(0)
+    return out.withColumn(out_col, hits).drop(*[f"__p{j}" for j in range(BLOOM_K)])

@@ -328,7 +328,7 @@ LEFT JOIN ks k ON cand.o_custkey = k.c_custkey
 """
 
 
-@register("bloom_prefilter_orders", oracle=_BLOOM_ORACLE, tags=("join", "sketch"))
+@register("bloom_prefilter_orders", oracle=_BLOOM_ORACLE, tags=("bench", "join", "sketch"))
 def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction with REPLAYABLE bits
     (operators/bloom.py): build a 3-row md5-prefix Bloom filter over the
@@ -345,7 +345,7 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle rebuilds the identical filter from the same md5
     prefixes, so candidate selection — including which false positives
     survive — is hash-certified cross-engine."""
-    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.bloom import BLOOM_K, bloom_build, bloom_mark
 
     customer = load_table(spark, sf_dir, "customer")
     keys = customer.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
@@ -353,22 +353,23 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom = bloom_build(keys, "c_custkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cand = bloom_probe(orders, "o_custkey", bloom)
+    # Marker form (not the semi-join bloom_probe): keeps every order row so
+    # the whole funnel — total, candidates, true/false positives — falls out
+    # of ONE aggregate over ONE scan, with no driver-side count() action.
+    marked = bloom_mark(orders, "o_custkey", bloom, out_col="_hits")
     truth = keys.select(F.col("c_custkey").alias("o_custkey")).withColumn(
         "_in", F.lit(True)
     )
-    n_orders = orders.count()
+    passed = F.col("_hits") == BLOOM_K
     return (
-        cand.join(F.broadcast(truth), "o_custkey", "left")
+        marked.join(F.broadcast(truth), "o_custkey", "left")
         .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.count(F.when(F.col("_in"), 1)).alias("n_true_matches"),
-            F.count(F.when(F.col("_in").isNull(), 1)).alias("n_false_positives"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(passed, 1)).alias("n_candidates"),
+            F.count(F.when(passed & F.col("_in"), 1)).alias("n_true_matches"),
+            F.count(F.when(passed & F.col("_in").isNull(), 1)).alias(
+                "n_false_positives"
+            ),
         )
-        .select(
-            F.lit(n_orders).alias("n_orders"),
-            "n_candidates",
-            "n_true_matches",
-            "n_false_positives",
-        )
+        .select("n_orders", "n_candidates", "n_true_matches", "n_false_positives")
     )
