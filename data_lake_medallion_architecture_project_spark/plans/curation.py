@@ -450,6 +450,85 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Incremental dedup behind a Bloom prefilter of the corpus hash set.
+# --------------------------------------------------------------------------- #
+
+_INCR_BLOOM_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+corpus AS (SELECT DISTINCT h FROM h WHERE doc_id < {_BATCH_SPLIT_ID}),
+bloom AS (
+  SELECT DISTINCT j.j,
+         substr(md5(CAST(j.j AS VARCHAR) || '|' || h), 1, 4) AS pos
+  FROM corpus, (SELECT unnest([0, 1, 2]) AS j) j
+),
+batch AS (SELECT doc_id, h FROM h WHERE doc_id >= {_BATCH_SPLIT_ID}),
+probe AS (
+  SELECT b.doc_id, COUNT(*) AS hits
+  FROM batch b, (SELECT unnest([0, 1, 2]) AS j) j
+  JOIN bloom f
+    ON f.j = j.j
+   AND f.pos = substr(md5(CAST(j.j AS VARCHAR) || '|' || b.h), 1, 4)
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id,
+  CASE WHEN COALESCE(p.hits, 0) = 3
+         THEN CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                   ELSE 'kept_bloom_fp' END
+       ELSE 'kept' END AS status
+FROM batch b
+LEFT JOIN probe p ON b.doc_id = p.doc_id
+LEFT JOIN corpus c ON b.h = c.h
+"""
+
+
+@register(
+    "incremental_dedup_bloom", oracle=_INCR_BLOOM_ORACLE, tags=("dedup", "sketch")
+)
+def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_dedup_new_batch``'s corpus join, pushed behind the
+    replayable Bloom prefilter (operators/bloom.py): the corpus side is
+    represented ONLY by its Bloom filter — the distinct (hash-row,
+    md5-prefix) position set, which SATURATES at k·16^4 = 196 608 4-char
+    rows however many billions of hashes the corpus holds — and only the
+    Bloom candidates pay the exact verify join against the corpus hash set.
+    Statuses: ``dup_of_corpus`` (candidate, verified), ``kept_bloom_fp``
+    (candidate, verify cleared it), ``kept`` (Bloom-rejected map-side —
+    guaranteed clean, no join ever touches these rows).
+
+    This is the 100 TB append-ingest shape: the filter is broadcast state
+    maintained next to the corpus hash table (inserts are idempotent
+    position adds; merge = DISTINCT union), the whole batch is screened
+    map-side, and the exact join — the only exchange that involves the
+    corpus — carries candidates alone. No false negatives by construction
+    (tested against the exact classifier); the DuckDB oracle rebuilds the
+    identical filter bits, so candidate selection is hash-certified.
+    Within-batch dedup is a separate downstream stage (see
+    ``incremental_dedup_new_batch``) and is deliberately not repeated here."""
+    from ..operators.bloom import BLOOM_K, bloom_build, bloom_mark
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") < _BATCH_SPLIT_ID).select("h").distinct()
+    batch = docs.filter(F.col("doc_id") >= _BATCH_SPLIT_ID)
+    marked = bloom_mark(batch, "h", bloom_build(corpus, "h"), out_col="_hits")
+    passed = F.col("_hits") == BLOOM_K
+    in_corpus = corpus.withColumn("in_corpus", F.lit(True))
+    cands = (
+        marked.filter(passed)
+        .join(in_corpus, "h", "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .otherwise("kept_bloom_fp")
+            .alias("status"),
+        )
+    )
+    clean = marked.filter(~passed).select("doc_id", F.lit("kept").alias("status"))
+    return cands.unionByName(clean)
+
+
+# --------------------------------------------------------------------------- #
 # kNN majority-vote label evaluation (leave-one-out).
 # --------------------------------------------------------------------------- #
 

@@ -193,3 +193,28 @@ def test_bloom_prefilter_no_false_negatives(spark):
     non_match = row["n_orders"] - row["n_true_matches"]
     if non_match:
         assert row["n_false_positives"] / non_match <= 0.05
+
+
+def test_incremental_dedup_bloom_matches_exact_classifier(spark):
+    """No false negatives through the Bloom stage: the set of documents the
+    Bloom path verifies as dup_of_corpus must EQUAL the exact classifier's,
+    and everything else (kept / kept_bloom_fp) must be exactly the exact
+    path's non-corpus-dup set."""
+    bloom = {
+        r["doc_id"]: r["status"]
+        for r in REGISTRY["incremental_dedup_bloom"].build(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["doc_id"]: r["status"]
+        for r in REGISTRY["incremental_dedup_new_batch"]
+        .build(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(bloom) == set(exact)  # same batch
+    bloom_dups = {d for d, s in bloom.items() if s == "dup_of_corpus"}
+    exact_dups = {d for d, s in exact.items() if s == "dup_of_corpus"}
+    assert bloom_dups == exact_dups
+    # every non-candidate ('kept') is genuinely clean in the exact path too
+    for d, s in bloom.items():
+        if s in ("kept", "kept_bloom_fp"):
+            assert exact[d] != "dup_of_corpus"
