@@ -59,10 +59,20 @@ def dedup_batch_against_table(
     text_col: str,
     app_id: str,
     batch_id: int,
+    bloom_table: TxnTable | None = None,
 ) -> None:
     """Apply one micro-batch: collapse to one row per content hash (min id
     wins), drop hashes the table already holds, append the rest atomically
-    with the idempotency marker."""
+    with the idempotency marker.
+
+    With ``bloom_table`` (a TxnTable holding the corpus Bloom position set,
+    see :func:`run_dedup_ingest`): the batch is first screened map-side
+    against the broadcast filter, and only Bloom CANDIDATES pay the
+    corpus anti-join — Bloom-rejected hashes are guaranteed-new (no false
+    negatives) and skip the corpus consultation entirely. The position set
+    saturates at k·16⁴ rows however large the corpus, so the broadcast is
+    always tiny; the anti-join's batch side shrinks to true dups + the fp
+    sliver."""
     hashed = _hashed(batch_df, text_col)
     # Within-batch first-write-wins: argmin by id via struct-min.
     ordered = [id_col] + [c for c in hashed.columns if c not in (id_col, _HASH_COL, _PART_COL)]
@@ -71,10 +81,26 @@ def dedup_batch_against_table(
         .agg(F.min(F.struct(*ordered)).alias("_s"))
         .select(_HASH_COL, _PART_COL, *[F.col(f"_s.{c}").alias(c) for c in ordered])
     )
+    batch_hashes = collapsed.select(_HASH_COL)
     snap = table.snapshot()
     if snap.version >= 0 and snap.files:
         seen = table.read(spark).select(_HASH_COL)
-        collapsed = collapsed.join(seen, _HASH_COL, "left_anti")
+        bloom_state = None
+        if bloom_table is not None:
+            bsnap = bloom_table.snapshot()
+            if bsnap.version >= 0 and bsnap.files:
+                bloom_state = bloom_table.read(spark).select("j", "pos")
+        if bloom_state is not None:
+            from ..operators.bloom import BLOOM_K, bloom_mark
+
+            marked = bloom_mark(collapsed, _HASH_COL, bloom_state, "_hits")
+            clean = marked.filter(F.col("_hits") < BLOOM_K).drop("_hits")
+            cands = marked.filter(F.col("_hits") == BLOOM_K).drop("_hits")
+            collapsed = clean.unionByName(
+                cands.join(seen, _HASH_COL, "left_anti")
+            )
+        else:
+            collapsed = collapsed.join(seen, _HASH_COL, "left_anti")
     # merge_upsert keyed on the hash: after the anti-join everything is an
     # insert, and the key guarantees uniqueness even against a concurrent
     # writer that slipped in between the snapshot and the commit (the txn
@@ -87,6 +113,27 @@ def dedup_batch_against_table(
         app_id=app_id,
         batch_id=batch_id,
     )
+    if bloom_table is not None:
+        from ..operators.bloom import bloom_build
+
+        # Maintain the filter from the batch's OWN hash set (pre anti-join):
+        # a dup's positions are already present (the merge key makes the add
+        # idempotent), and a replayed batch regenerates identical positions
+        # whatever the corpus now holds — so the position set is a pure
+        # deterministic function of the ingested stream. Exactly-once via
+        # the same (app_id, batch_id) marker on the bloom table's own log;
+        # a crash between the corpus commit and this one replays the batch,
+        # no-ops the corpus merge, and completes this merge — the filter is
+        # therefore always complete before the next batch screens against
+        # it, which is what keeps the screen's "guaranteed new" claim true.
+        bloom_table.merge_upsert(
+            spark,
+            bloom_build(batch_hashes, _HASH_COL),
+            keys=["j", "pos"],
+            partition_col="j",
+            app_id=app_id,
+            batch_id=batch_id,
+        )
 
 
 def run_dedup_ingest(
@@ -96,17 +143,27 @@ def run_dedup_ingest(
     checkpoint_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_table_path: str | None = None,
 ) -> int:
     """Consume all not-yet-seen document files into the deduped corpus
-    table. Returns the number of micro-batches applied this invocation."""
+    table. Returns the number of micro-batches applied this invocation.
+
+    With ``bloom_table_path``, a Bloom position-set table (operators/
+    bloom.py) is maintained transactionally beside the corpus and each
+    batch is screened against it map-side before the corpus anti-join —
+    the 100 TB intake shape: the filter broadcast is bounded at k·16⁴
+    rows, Bloom-rejected documents never touch the corpus table at all,
+    and the anti-join's batch side shrinks to true dups + the fp sliver."""
     schema = spark.read.parquet(source_dir).schema
     table = TxnTable(table_path)
+    bloom_table = TxnTable(bloom_table_path) if bloom_table_path else None
     app_id = f"dedup_ingest/{os.path.basename(table_path.rstrip('/'))}"
     applied = {"n": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         dedup_batch_against_table(
-            spark, table, batch_df, id_col, text_col, app_id, int(batch_id)
+            spark, table, batch_df, id_col, text_col, app_id, int(batch_id),
+            bloom_table=bloom_table,
         )
         applied["n"] += 1
 

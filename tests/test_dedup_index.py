@@ -195,3 +195,55 @@ def test_near_dup_gate_chained_into_ingest(spark, tmp_path):
         assert got == {302}  # near-dup 301 gated out, novel 302 ingested
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_gate")
+
+
+def test_bloom_screened_dedup_ingest(spark, tmp_path):
+    """Bloom-state intake: the position-set table is maintained
+    transactionally beside the corpus, screening preserves exact
+    first-write-wins semantics, and a replayed batch no-ops BOTH tables."""
+    from data_lake_medallion_architecture_project_spark.operators.bloom import BLOOM_K
+    from data_lake_medallion_architecture_project_spark.storage import TxnTable
+    from data_lake_medallion_architecture_project_spark.streaming.dedup_ingest import (
+        dedup_batch_against_table,
+        run_dedup_ingest,
+    )
+
+    src = tmp_path / "incoming"
+    tbl = str(tmp_path / "corpus")
+    blm = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    docs([(10, "alpha"), (11, "alpha"), (12, "beta")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    assert run_dedup_ingest(spark, str(src), tbl, ckpt, bloom_table_path=blm) == 1
+    t, b = TxnTable(tbl), TxnTable(blm)
+    got = {(r["doc_id"], r["text"]) for r in t.read(spark).collect()}
+    assert got == {(10, "alpha"), (12, "beta")}
+    # Filter state: exactly the 2 distinct hashes' position sets.
+    pos1 = {(r["j"], r["pos"]) for r in b.read(spark).collect()}
+    assert len(pos1) == BLOOM_K * 2
+    assert {j for j, _ in pos1} == set(range(BLOOM_K))
+
+    # Batch 2: cross-batch dup screened through the filter + one new doc.
+    docs([(20, "alpha"), (21, "gamma")]).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    assert run_dedup_ingest(spark, str(src), tbl, ckpt, bloom_table_path=blm) == 1
+    got = {(r["doc_id"], r["text"]) for r in t.read(spark).collect()}
+    assert got == {(10, "alpha"), (12, "beta"), (21, "gamma")}
+    pos2 = {(r["j"], r["pos"]) for r in b.read(spark).collect()}
+    assert pos1 < pos2 and len(pos2) <= BLOOM_K * 3  # gamma's positions added
+
+    # Crash-replay: re-applying a committed batch id no-ops BOTH tables.
+    tv, bv = t.snapshot().version, b.snapshot().version
+    dedup_batch_against_table(
+        spark, t, docs([(99, "delta-new")]), "doc_id", "text",
+        app_id="dedup_ingest/corpus", batch_id=1, bloom_table=b,
+    )
+    assert t.snapshot().version == tv
+    assert b.snapshot().version == bv
+    assert {(r["j"], r["pos"]) for r in b.read(spark).collect()} == pos2
