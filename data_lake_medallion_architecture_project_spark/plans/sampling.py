@@ -1058,3 +1058,73 @@ def contrastive_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor_id", "positive_id")
         .agg(F.min_by("doc_id", "rnk").alias("negative_id"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# Weighted sampling without replacement: priority sampling (DLT 2007).
+# --------------------------------------------------------------------------- #
+
+PRIORITY_SAMPLE_N = 100
+_PRIORITY_SCALE = 1_000_000_000
+
+_PRIORITY_ORACLE = f"""
+SELECT doc_id, source, weight, priority FROM (
+  SELECT doc_id, source, weight,
+         CAST((weight * {_PRIORITY_SCALE}) // h AS BIGINT) AS priority
+  FROM (
+    SELECT doc_id, source,
+           CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             + 1 AS h
+    FROM documents
+  )
+)
+ORDER BY priority DESC, doc_id
+LIMIT {PRIORITY_SAMPLE_N}
+"""
+
+
+@register(
+    "priority_sampled_docs", oracle=_PRIORITY_ORACLE, tags=("sampling", "sketch")
+)
+def priority_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup, JACM 2007): each document gets priority
+    q = w/u for a uniform u, and the sample is the top-N by q — items are
+    included with probability ~proportional to weight, and subset-sum
+    estimates from the sample (ŵ = max(w, τ) for the in-sample items,
+    where τ is the (N+1)-th priority) are near-optimal-variance. The
+    training-data use: sample documents proportional to length/quality for
+    inspection or eval-set construction, reproducibly.
+
+    Engine discipline: u is the md5 prefix of doc_id mapped to [1, 2³²]
+    and the priority is the EXACT-INTEGER floor((w·10⁹)/h) — both engines
+    therefore compute bit-identical priorities (no float log/pow, no ULP
+    ordering flips) and select the identical sample; the doc_id tiebreak
+    makes the order total.
+
+    Scale shape: weights and priorities are map-side expressions;
+    ``orderBy().limit(N)`` compiles to TakeOrderedAndProject — per-partition
+    top-N then a driver merge of ≤ N·partitions rows, no global sort, no
+    shuffle of the corpus. 100 TB cost = one scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("weight"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            + 1
+        ).alias("h"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "weight",
+            F.expr(f"(weight * {_PRIORITY_SCALE}L) div h").alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(PRIORITY_SAMPLE_N)
+    )

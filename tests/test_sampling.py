@@ -232,3 +232,27 @@ def test_ddsketch_relative_error_guarantee(spark):
         for q in (50, 90, 99):
             e, x = est[s][f"p{q}_est"], exact[s][f"q{q}"]
             assert abs(e - x) / x <= 0.03, (s, q, e, x)
+
+
+def test_priority_sample_weighted_and_scalable(spark):
+    """Priority sampling: deterministic, weight-biased toward long docs,
+    and compiled to TakeOrderedAndProject (per-partition top-N), never a
+    global sort."""
+    from data_lake_medallion_architecture_project_spark.plans.sampling import PRIORITY_SAMPLE_N
+
+    df = REGISTRY["priority_sampled_docs"].build(spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) == PRIORITY_SAMPLE_N
+    assert rows == REGISTRY["priority_sampled_docs"].build(spark, SF_SMALL).collect()
+    # Weight bias: the sample's mean weight must exceed the corpus mean
+    # (inclusion probability ∝ weight).
+    corpus_mean = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .agg(F.avg(F.greatest("n_chars", F.lit(1))))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
