@@ -1110,3 +1110,108 @@ def shingle_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
+
+
+# --------------------------------------------------------------------------- #
+# BM25 ranked retrieval — keyword search with corpus-weighted scoring.
+# --------------------------------------------------------------------------- #
+
+_BM25_TERMS = ("spark", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN {_BM25_TERMS_SQL}
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(
+           ln((CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(tf.tf AS DOUBLE) * ({_BM25_K1!r} + 1.0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                                   + {_BM25_B!r} * (CAST(d.dl AS DOUBLE)
+                                                    / s.avgdl))))
+           AS DECIMAL(20, 9)) AS term_score
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(term_score) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bm25_search_docs", oracle=_BM25_ORACLE, tags=("text", "bench"))
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones) for a fixed keyword
+    query: every document containing ≥1 query term, scored
+    Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Engine discipline (the `doc_lm_perplexity` recipe): tf/df/dl/N are
+    exact integers; avgdl is ONE IEEE division of two exact integers (so
+    the Python literal == DuckDB's division); every per-term score is an
+    identically-shaped double expression QUANTIZED to DECIMAL(20,9) before
+    the per-doc sum, which is then exact-decimal and order-independent —
+    float hashes can't drift with partitioning. The oracle's numeric
+    literals are forced to DOUBLE (repr-interpolated) because bare decimals
+    parse as DECIMAL in DuckDB and would change the arithmetic.
+
+    Scale shape: the term filter lands BEFORE the explode's aggregation, so
+    the tf shuffle carries only query-term hits — O(matches), not O(corpus
+    tokens); df is |terms| rows broadcast; dl joins column-pruned
+    (doc_id, dl); N/avgdl are a 2-number driver collect. At 100 TB this is
+    one corpus scan + match-sized exchanges — the inverted-index-free form
+    of keyword search that a Spark engine can serve directly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    d = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    n_docs, total_dl = d.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    avgdl = total_dl / n_docs
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log(
+        ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) / (dfd + 0.5) + 1.0
+    )
+    norm = (tfd * (_BM25_K1 + 1.0)) / (
+        tfd + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dld / F.lit(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(d, "doc_id")
+        .select("doc_id", (idf * norm).cast("decimal(20,9)").alias("term_score"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("term_score").cast("double").alias("bm25"),
+    )

@@ -295,3 +295,34 @@ def test_bucketed_range_join_rejects_mixed_timestamp_types(spark):
     ).select(F.col("raw").cast("timestamp").alias("ts"))
     with pytest.raises(TypeError, match="same timestamp type"):
         events_in_window_counts(anchors, probes, "event_id")
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a controlled corpus: a doc with more query-term hits
+    outranks one with fewer (same length); between equal-tf docs the
+    shorter one ranks higher (length normalization); docs without any
+    query term are absent."""
+    import os
+    import tempfile
+
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    rows = [
+        (0, "spark spark spark pad pad pad pad pad"),        # tf=3, dl=8
+        (1, "spark pad pad pad pad pad pad pad"),            # tf=1, dl=8
+        (2, "spark pad"),                                    # tf=1, dl=2 (short)
+        (3, "pad pad pad pad pad pad pad pad"),              # no hit
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("t").alias("source"), F.length("text").alias("n_chars"),
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in REGISTRY["bm25_search_docs"].build(spark, d).collect()
+        }
+    assert set(got) == {0, 1, 2}                      # doc 3 never surfaces
+    assert all(r["n_terms_hit"] == 1 for r in got.values())
+    assert got[0]["bm25"] > got[1]["bm25"]            # higher tf wins
+    assert got[2]["bm25"] > got[1]["bm25"]            # shorter doc wins at tf=1
