@@ -852,3 +852,91 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Cross-document n-gram overlap — the substring-dedup signal.
+# --------------------------------------------------------------------------- #
+
+_XGRAM_N = 5
+
+_XGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i.i:i.i + {_XGRAM_N - 1}], ' ')) AS gh
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - {_XGRAM_N - 2})) AS i) i
+  WHERE len(toks) >= {_XGRAM_N}
+),
+dg AS (SELECT doc_id, gh, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, gh),
+dup AS (SELECT gh FROM dg GROUP BY gh HAVING COUNT(*) > 1)
+SELECT dg.doc_id,
+       CAST(SUM(dg.c) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.gh IS NOT NULL THEN dg.c ELSE 0 END) AS BIGINT)
+         AS n_shared_grams,
+       CAST(SUM(CASE WHEN d.gh IS NOT NULL THEN dg.c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(dg.c) AS DOUBLE) AS shared_fraction
+FROM dg LEFT JOIN dup d ON dg.gh = d.gh
+GROUP BY dg.doc_id
+"""
+
+
+@register(
+    "cross_doc_ngram_overlap", oracle=_XGRAM_ORACLE, tags=("dedup", "text")
+)
+def cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of its {n}-token-gram positions whose gram also occurs in at
+    least one OTHER document — the cross-doc complement of
+    ``doc_repetition_signals``' within-doc repetition, and the statistic
+    that motivates substring (not whole-document) dedup: exact/near dedup
+    misses boilerplate shared across otherwise-distinct pages.
+
+    Shape: grams are md5-hashed BEFORE leaving the document row, so every
+    exchange carries 32-char hashes, never text; positions pre-aggregate to
+    (doc, gram, count) grain map-side; the dup-gram set is one more
+    hash-grain aggregate; integers throughout, one IEEE division per output
+    row. Shuffles are O(distinct doc-gram pairs) — the same budget as
+    vocabulary building — with no quadratic pair enumeration anywhere.
+    Sub-gram hash collisions (md5, ~2⁻¹²⁸) are the standard accepted risk.
+    """.replace("{n}", str(_XGRAM_N))
+    toks = F.split(F.lower(F.col("text")), " ")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    grams = (
+        docs.filter(F.size("toks") >= _XGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_XGRAM_N - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i, _XGRAM_N))
+                    ),
+                )
+            ).alias("gh"),
+        )
+    )
+    dg = grams.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        dg.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh", F.lit(True).alias("_dup"))
+    )
+    shared = F.sum(F.when(F.col("_dup"), F.col("c")).otherwise(F.lit(0)))
+    return (
+        dg.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            shared.cast("long").alias("n_shared_grams"),
+            (shared.cast("double") / F.sum("c").cast("double")).alias(
+                "shared_fraction"
+            ),
+        )
+    )

@@ -326,3 +326,32 @@ def test_bm25_ranking_properties(spark):
     assert all(r["n_terms_hit"] == 1 for r in got.values())
     assert got[0]["bm25"] > got[1]["bm25"]            # higher tf wins
     assert got[2]["bm25"] > got[1]["bm25"]            # shorter doc wins at tf=1
+
+
+def test_cross_doc_ngram_overlap_controlled(spark):
+    """Two docs sharing one 5-gram each report exactly one shared position;
+    a doc with no cross-doc 5-gram reports zero."""
+    import os
+    import tempfile
+
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, shared + " one two"),        # 7 tokens -> 3 grams; 1 shared
+        (1, "x y " + shared),            # 7 tokens -> 3 grams; 1 shared
+        (2, "p q r s t u v"),            # 7 tokens -> 3 grams; 0 shared
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("t").alias("source"), F.length("text").alias("n_chars"),
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in REGISTRY["cross_doc_ngram_overlap"].build(spark, d).collect()
+        }
+    assert got[0]["n_grams"] == 3 and got[0]["n_shared_grams"] == 1
+    assert got[1]["n_grams"] == 3 and got[1]["n_shared_grams"] == 1
+    assert got[2]["n_grams"] == 3 and got[2]["n_shared_grams"] == 0
+    assert abs(got[0]["shared_fraction"] - 1 / 3) < 1e-12
