@@ -12,15 +12,24 @@ candidate selection bit-for-bit — same md5-family discipline as the
 MinHash/SimHash/HLL oracles.
 
 Representation: k independent hash rows (partitioned Bloom). Position of
-``key`` in row ``j`` = the first ``BLOOM_HEX`` hex digits of
-md5(j + "|" + key) — a string key into a 16^BLOOM_HEX-slot space, no
+``key`` in row ``j`` = the first ``hex_digits`` hex digits of
+md5(j + "|" + key) — a string key into a 16^hex_digits-slot space, no
 int conversion needed in either engine. The filter is the DISTINCT
 (j, pos) set of the build side: ≤ k·|keys| rows, broadcast into the probe.
 A probe key passes iff all k of its positions are present. False-positive
-rate ≈ fill^k where fill = 1 − e^(−|keys|/16^BLOOM_HEX).
+rate ≈ fill^k where fill = 1 − e^(−|keys|/16^hex_digits).
+
+Sizing: ``hex_digits`` defaults to ``BLOOM_HEX`` (4 → 65 536 slots/row,
+filter ≤ 196 608 rows — right for keysets up to the low millions). The
+position set SATURATES at k·16^hex_digits rows, which bounds broadcast
+size but drives fill → 1 (the filter stays correct — no false negatives —
+but stops rejecting). For billion-key build sides pick hex_digits so
+16^hex_digits ≳ |keys| (6 → 16.8 M slots/row, positions still 6-char
+strings). Probe and build must use the SAME width; the filter's own
+``pos`` length records it.
 
 At scale: the filter table is keyset-bounded and broadcastable far beyond
-`autoBroadcastJoinThreshold` limits on the raw dim (positions are 4-char
+`autoBroadcastJoinThreshold` limits on the raw dim (positions are short
 strings, not rows); the probe is k broadcast-hash lookups per fact row,
 map-side, before any exchange.
 """
@@ -31,37 +40,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_K = 3     # hash rows
-BLOOM_HEX = 4   # hex digits per position → 65 536 slots per row
+BLOOM_HEX = 4   # default hex digits per position → 65 536 slots per row
 
 __all__ = ["BLOOM_K", "BLOOM_HEX", "bloom_build", "bloom_probe", "bloom_mark"]
 
 
-def _pos(j_col: str | Column, key_col: str | Column) -> Column:
+def _pos(
+    j_col: str | Column, key_col: str | Column, hex_digits: int = BLOOM_HEX
+) -> Column:
     j = (F.col(j_col) if isinstance(j_col, str) else j_col).cast("string")
     k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
-    return F.substring(F.md5(F.concat(j, F.lit("|"), k)), 1, BLOOM_HEX)
+    return F.substring(F.md5(F.concat(j, F.lit("|"), k)), 1, hex_digits)
 
 
-def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+def bloom_build(
+    keys: DataFrame, key_col: str, hex_digits: int = BLOOM_HEX
+) -> DataFrame:
     """The filter: distinct (j, pos) over the build-side keyset —
-    ≤ BLOOM_K·|keys| rows of 4-char strings, meant to be broadcast."""
+    ≤ BLOOM_K·|keys| rows of ``hex_digits``-char strings, meant to be
+    broadcast. Size ``hex_digits`` to the keyset (module docstring)."""
     rows = keys.select(
         F.col(key_col),
         F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j"),
     )
-    return rows.select("j", _pos("j", key_col).alias("pos")).distinct()
+    return rows.select(
+        "j", _pos("j", key_col, hex_digits).alias("pos")
+    ).distinct()
 
 
-def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+def bloom_probe(
+    df: DataFrame, key_col: str, bloom: DataFrame, hex_digits: int = BLOOM_HEX
+) -> DataFrame:
     """Filter ``df`` to rows whose key passes the Bloom filter (all K
     positions present) — K chained BROADCAST left-semi joins, one per hash
     row, all map-side in a single stage: no exchange, no row collapse,
     duplicates preserved. Keeps every true match (no false negatives),
-    drops most non-matches before any downstream shuffle."""
+    drops most non-matches before any downstream shuffle. ``hex_digits``
+    must match the build side's."""
     out = df
     for j in range(BLOOM_K):
         bj = bloom.filter(F.col("j") == j).select(F.col("pos").alias(f"__p{j}"))
-        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col))
+        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col, hex_digits))
         out = out.join(
             F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left_semi"
         ).drop(f"__pos{j}")
@@ -69,7 +88,11 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
 
 
 def bloom_mark(
-    df: DataFrame, key_col: str, bloom: DataFrame, out_col: str = "bloom_hits"
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    out_col: str = "bloom_hits",
+    hex_digits: int = BLOOM_HEX,
 ) -> DataFrame:
     """Diagnostic twin of :func:`bloom_probe`: keep EVERY row of ``df`` and
     append ``out_col`` = how many of the K positions were present
@@ -83,7 +106,7 @@ def bloom_mark(
     hits = F.lit(0)
     for j in range(BLOOM_K):
         bj = bloom.filter(F.col("j") == j).select(F.col("pos").alias(f"__p{j}"))
-        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col))
+        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col, hex_digits))
         out = out.join(
             F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left"
         ).drop(f"__pos{j}")

@@ -218,3 +218,23 @@ def test_incremental_dedup_bloom_matches_exact_classifier(spark):
     for d, s in bloom.items():
         if s in ("kept", "kept_bloom_fp"):
             assert exact[d] != "dup_of_corpus"
+
+
+def test_bloom_width_parameter(spark):
+    """A wider filter keeps the no-false-negative guarantee and rejects at
+    least as hard as the default width on the same keyset."""
+    from data_lake_medallion_architecture_project_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.range(0, 50).withColumnRenamed("id", "k")
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    for hx in (4, 6):
+        bloom = bloom_build(keys, "k", hex_digits=hx)
+        kept = {r["k"] for r in bloom_probe(probe, "k", bloom, hex_digits=hx).collect()}
+        assert set(range(50)) <= kept          # every true key survives
+        if hx == 6:
+            assert len(kept) <= len(kept4)     # wider never rejects less
+        else:
+            kept4 = kept
