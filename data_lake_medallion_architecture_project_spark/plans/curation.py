@@ -883,40 +883,21 @@ GROUP BY dg.doc_id
 """
 
 
-@register(
-    "cross_doc_ngram_overlap", oracle=_XGRAM_ORACLE, tags=("dedup", "text")
-)
-def cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level duplication signal (Lee et al. 2022, "Deduplicating
-    Training Data Makes Language Models Better"): per document, the
-    fraction of its {n}-token-gram positions whose gram also occurs in at
-    least one OTHER document — the cross-doc complement of
-    ``doc_repetition_signals``' within-doc repetition, and the statistic
-    that motivates substring (not whole-document) dedup: exact/near dedup
-    misses boilerplate shared across otherwise-distinct pages.
-
-    Shape: grams are md5-hashed BEFORE leaving the document row, so every
-    exchange carries 32-char hashes, never text; positions pre-aggregate to
-    (doc, gram, count) grain map-side; the dup-gram set is one more
-    hash-grain aggregate; integers throughout, one IEEE division per output
-    row. Shuffles are O(distinct doc-gram pairs) — the same budget as
-    vocabulary building — with no quadratic pair enumeration anywhere.
-    Sub-gram hash collisions (md5, ~2⁻¹²⁸) are the standard accepted risk.
-    """.replace("{n}", str(_XGRAM_N))
+def cross_doc_overlap_scores(docs: DataFrame, n: int = _XGRAM_N) -> DataFrame:
+    """Reusable core of ``cross_doc_ngram_overlap`` over any (doc_id, text)
+    frame — per document: n_grams, n_shared_grams, shared_fraction. Used by
+    the registry query below and as ``trainprep``'s substring-overlap
+    filter stage. Documents with fewer than ``n`` tokens emit no row."""
     toks = F.split(F.lower(F.col("text")), " ")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", toks.alias("toks")
-    )
+    docs = docs.select("doc_id", toks.alias("toks"))
     grams = (
-        docs.filter(F.size("toks") >= _XGRAM_N)
+        docs.filter(F.size("toks") >= n)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_XGRAM_N - 1)),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("toks", i, _XGRAM_N))
-                    ),
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n))),
                 )
             ).alias("gh"),
         )
@@ -939,4 +920,29 @@ def cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shared_fraction"
             ),
         )
+    )
+
+
+@register(
+    "cross_doc_ngram_overlap", oracle=_XGRAM_ORACLE, tags=("dedup", "text")
+)
+def cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of its {n}-token-gram positions whose gram also occurs in at
+    least one OTHER document — the cross-doc complement of
+    ``doc_repetition_signals``' within-doc repetition, and the statistic
+    that motivates substring (not whole-document) dedup: exact/near dedup
+    misses boilerplate shared across otherwise-distinct pages.
+
+    Shape: grams are md5-hashed BEFORE leaving the document row, so every
+    exchange carries 32-char hashes, never text; positions pre-aggregate to
+    (doc, gram, count) grain map-side; the dup-gram set is one more
+    hash-grain aggregate; integers throughout, one IEEE division per output
+    row. Shuffles are O(distinct doc-gram pairs) — the same budget as
+    vocabulary building — with no quadratic pair enumeration anywhere.
+    Sub-gram hash collisions (md5, ~2⁻¹²⁸) are the standard accepted risk.
+    """.replace("{n}", str(_XGRAM_N))
+    return cross_doc_overlap_scores(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )

@@ -15,8 +15,10 @@ actually flows through before a tokenizer sees it:
 3. **quality gate** — minimum token count and distinct-token ratio (the
    boilerplate/degenerate-repetition floor); optionally followed by
    **mix** (``--mix`` — per-source downsampling to target weights via the
-   md5-prefix decision) and a **perplexity filter** (``--max-perplexity``
-   — capped-bigram-LM scoring, drop high-perplexity documents);
+   md5-prefix decision), a **perplexity filter** (``--max-perplexity``
+   — capped-bigram-LM scoring, drop high-perplexity documents), and a
+   **substring-overlap filter** (``--max-shared-fraction`` — drop
+   documents mostly made of 5-grams shared with other documents);
 4. **source cap** — at most ``--cap`` docs per source by hash order (the
    anti-domination rule);
 5. **split** — deterministic md5 80/10/10 train/val/test;
@@ -87,10 +89,11 @@ def prepare_corpus(
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 1.0,
     max_perplexity: float | None = None,
+    max_shared_fraction: float | None = None,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
-    Optional stages (both deterministic, same byte-reproducibility contract
+    Optional stages (all deterministic, same byte-reproducibility contract
     as the rest of the flow):
 
     * ``mix_rates`` — per-source target keep rates (the Pile/Dolma mixture
@@ -101,6 +104,12 @@ def prepare_corpus(
       model on the in-flight corpus and drops documents whose perplexity
       exceeds the threshold. Deterministic given the corpus (total-ordered
       cap, quantized-decimal log sums).
+    * ``max_shared_fraction`` — substring-overlap filter (Lee et al. 2022;
+      ``plans/curation.cross_doc_overlap_scores``): drops documents whose
+      fraction of 5-gram positions shared with OTHER in-flight documents
+      exceeds the threshold — the boilerplate catch that whole-document
+      exact/near dedup misses. Integer gram counts; the only float is the
+      threshold comparison itself.
     """
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
@@ -140,6 +149,30 @@ def prepare_corpus(
             .drop("perplexity")
         )
         report["after_perplexity_filter"] = docs.count()
+
+    if max_shared_fraction is not None:
+        from .plans.curation import cross_doc_overlap_scores
+
+        overlap = cross_doc_overlap_scores(docs.select("doc_id", "text"))
+        # LEFT join: a document too short to have any 5-gram has no overlap
+        # evidence against it and passes. The comparison is on the integer
+        # counts (n_shared <= thr·n_grams), not the emitted double ratio.
+        docs = (
+            docs.join(
+                overlap.select("doc_id", "n_grams", "n_shared_grams"),
+                "doc_id",
+                "left",
+            )
+            .filter(
+                F.col("n_grams").isNull()
+                | (
+                    F.col("n_shared_grams")
+                    <= F.lit(max_shared_fraction) * F.col("n_grams")
+                )
+            )
+            .drop("n_grams", "n_shared_grams")
+        )
+        report["after_overlap_filter"] = docs.count()
 
     cap_w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -194,6 +227,7 @@ def main() -> None:
     )
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--max-perplexity", type=float, default=None)
+    ap.add_argument("--max-shared-fraction", type=float, default=None)
     args = ap.parse_args()
     from .session import get_spark
 
@@ -209,6 +243,7 @@ def main() -> None:
         mix_rates=json.loads(args.mix) if args.mix else None,
         mix_default_rate=args.mix_default,
         max_perplexity=args.max_perplexity,
+        max_shared_fraction=args.max_shared_fraction,
     )
     print(json.dumps(report))
 

@@ -130,3 +130,32 @@ def test_pack_budget_assigns_sequences(spark, tmp_path):
         packs[(r["pack_shard"], r["pack_id"])] += n
         max_doc = max(max_doc, n)
     assert packs and all(v < 200 + max_doc for v in packs.values())
+
+
+def test_overlap_filter_stage(spark, tmp_path):
+    """The substring-overlap stage drops high-overlap documents, passes
+    short no-evidence documents, and keeps the determinism contract."""
+    kwargs = dict(source_cap=50, n_shards=2, max_shared_fraction=0.8)
+    a = prepare_corpus(
+        spark, f"{SF_SMALL}/documents.parquet", str(tmp_path / "a"), **kwargs
+    )
+    assert "after_overlap_filter" in a
+    assert a["after_overlap_filter"] <= a["after_quality_gate"]
+    assert a["after_overlap_filter"] > 0
+    assert sum(a["splits"].values()) == a["after_source_cap"]
+
+    b = prepare_corpus(
+        spark, f"{SF_SMALL}/documents.parquet", str(tmp_path / "b"), **kwargs
+    )
+    assert a == b
+
+    # A stricter threshold never keeps more documents.
+    c = prepare_corpus(
+        spark,
+        f"{SF_SMALL}/documents.parquet",
+        str(tmp_path / "c"),
+        source_cap=50,
+        n_shards=2,
+        max_shared_fraction=0.2,
+    )
+    assert c["after_overlap_filter"] <= a["after_overlap_filter"]
