@@ -1174,9 +1174,11 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python literal == DuckDB's division); every per-term score is an
     identically-shaped double expression QUANTIZED to DECIMAL(20,9) before
     the per-doc sum, which is then exact-decimal and order-independent —
-    float hashes can't drift with partitioning. The oracle's numeric
-    literals are forced to DOUBLE (repr-interpolated) because bare decimals
-    parse as DECIMAL in DuckDB and would change the arithmetic.
+    float hashes can't drift with partitioning. Constant caveat: DuckDB
+    parses the interpolated k1/b literals as exact DECIMALs, which promote
+    to the SAME doubles Spark's float literals hold (decimal→double
+    conversion is correctly rounded), and any residual constant-folding
+    ULP is absorbed by the DECIMAL(20,9) quantization.
 
     Scale shape: the term filter lands BEFORE the explode's aggregation, so
     the tf shuffle carries only query-term hits — O(matches), not O(corpus
