@@ -81,7 +81,7 @@ def dedup_batch_against_table(
         .agg(F.min(F.struct(*ordered)).alias("_s"))
         .select(_HASH_COL, _PART_COL, *[F.col(f"_s.{c}").alias(c) for c in ordered])
     )
-    batch_hashes = collapsed.select(_HASH_COL)
+    position_src = collapsed.select(_HASH_COL)
     snap = table.snapshot()
     if snap.version >= 0 and snap.files:
         seen = table.read(spark).select(_HASH_COL)
@@ -90,6 +90,17 @@ def dedup_batch_against_table(
             bsnap = bloom_table.snapshot()
             if bsnap.version >= 0 and bsnap.files:
                 bloom_state = bloom_table.read(spark).select("j", "pos")
+            else:
+                # Bootstrap: bloom enabled on an EXISTING corpus whose
+                # hashes predate the filter. Screening now would pass
+                # pre-filter dups as "guaranteed new" and the keyed merge
+                # would REPLACE their first-written rows — so this batch
+                # backfills the filter from the corpus hash column (one
+                # column-pruned scan, paid once) and takes the plain
+                # anti-join path. Replay-deterministic: a replayed batch
+                # sees corpus_before ∪ batch, whose position set equals the
+                # original corpus_before ∪ batch positions.
+                position_src = position_src.unionByName(seen)
         if bloom_state is not None:
             from ..operators.bloom import BLOOM_K, bloom_mark
 
@@ -116,8 +127,9 @@ def dedup_batch_against_table(
     if bloom_table is not None:
         from ..operators.bloom import bloom_build
 
-        # Maintain the filter from the batch's OWN hash set (pre anti-join):
-        # a dup's positions are already present (the merge key makes the add
+        # Maintain the filter from the batch's OWN hash set (pre anti-join;
+        # plus the corpus backfill on the bootstrap batch above): a dup's
+        # positions are already present (the merge key makes the add
         # idempotent), and a replayed batch regenerates identical positions
         # whatever the corpus now holds — so the position set is a pure
         # deterministic function of the ingested stream. Exactly-once via
@@ -128,7 +140,7 @@ def dedup_batch_against_table(
         # it, which is what keeps the screen's "guaranteed new" claim true.
         bloom_table.merge_upsert(
             spark,
-            bloom_build(batch_hashes, _HASH_COL),
+            bloom_build(position_src, _HASH_COL),
             keys=["j", "pos"],
             partition_col="j",
             app_id=app_id,

@@ -247,3 +247,45 @@ def test_bloom_screened_dedup_ingest(spark, tmp_path):
     assert t.snapshot().version == tv
     assert b.snapshot().version == bv
     assert {(r["j"], r["pos"]) for r in b.read(spark).collect()} == pos2
+
+
+def test_bloom_enabled_on_existing_corpus_backfills(spark, tmp_path):
+    """Enabling the Bloom filter on an already-populated corpus must
+    backfill the position set from the corpus hash column — otherwise a
+    dup of a pre-filter document would screen as 'guaranteed new' and the
+    keyed merge would replace the first-written row."""
+    from data_lake_medallion_architecture_project_spark.operators.bloom import BLOOM_K
+    from data_lake_medallion_architecture_project_spark.storage import TxnTable
+    from data_lake_medallion_architecture_project_spark.streaming.dedup_ingest import (
+        dedup_batch_against_table,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = TxnTable(str(tmp_path / "corpus"))
+    # Batch 0 ingested BEFORE any bloom table exists.
+    dedup_batch_against_table(
+        spark, t, docs([(10, "alpha"), (12, "beta")]), "doc_id", "text",
+        app_id="boot", batch_id=0,
+    )
+    # Batch 1 is the first bloom-enabled batch; (20, "alpha") dups the
+    # pre-filter corpus.
+    b = TxnTable(str(tmp_path / "bloom"))
+    dedup_batch_against_table(
+        spark, t, docs([(20, "alpha"), (21, "gamma")]), "doc_id", "text",
+        app_id="boot", batch_id=1, bloom_table=b,
+    )
+    got = {(r["doc_id"], r["text"]) for r in t.read(spark).collect()}
+    assert got == {(10, "alpha"), (12, "beta"), (21, "gamma")}  # 10 survived
+    # Filter state covers ALL three corpus hashes (backfill + batch).
+    pos = {(r["j"], r["pos"]) for r in b.read(spark).collect()}
+    assert len(pos) == BLOOM_K * 3
+    # Batch 2 screens against the complete filter: a dup of the PRE-FILTER
+    # corpus must still be rejected.
+    dedup_batch_against_table(
+        spark, t, docs([(30, "beta"), (31, "delta")]), "doc_id", "text",
+        app_id="boot", batch_id=2, bloom_table=b,
+    )
+    got = {(r["doc_id"], r["text"]) for r in t.read(spark).collect()}
+    assert got == {(10, "alpha"), (12, "beta"), (21, "gamma"), (31, "delta")}
