@@ -1128,3 +1128,80 @@ def priority_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(PRIORITY_SAMPLE_N)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Revenue-WEIGHTED quantiles from the same DDSketch bucket space.
+# --------------------------------------------------------------------------- #
+
+def _dd_weighted_oracle() -> str:
+    sels = ",\n         ".join(
+        f"MIN(CASE WHEN 100 * cum >= {int(round(q * 100))} * total"
+        f" THEN bucket END) AS b{int(q * 100)}"
+        for q in _DD_QS
+    )
+    ests = ",\n       ".join(
+        f"2 * power({_DD_GAMMA!r}, b{int(q * 100)}) / {_DD_GAMMA + 1!r} AS p{int(q * 100)}_est"
+        for q in _DD_QS
+    )
+    return f"""
+WITH b AS (
+  SELECT o_orderstatus,
+         CAST(ceil(ln(o_totalprice) / {_DD_LNG!r}) AS BIGINT) AS bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (SELECT o_orderstatus, bucket, SUM(cents) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderstatus, bucket,
+         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderstatus) AS total
+  FROM m
+),
+sel AS (
+  SELECT o_orderstatus, MAX(total) AS revenue_cents,
+         {sels}
+  FROM cum GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       {ests}
+FROM sel
+"""
+
+
+@register(
+    "order_price_weighted_ddsketch",
+    oracle=_dd_weighted_oracle(),
+    tags=("sketch", "approx"),
+)
+def order_price_weighted_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED price quantiles per status: the price point below
+    which 50/90/99% of REVENUE (not order count) sits — the "where does the
+    money concentrate" question count quantiles can't answer. Same log-γ
+    DDSketch bucket space as ``order_price_ddsketch``; the bucket statistic
+    is the SUM of exact integer cents instead of a count, so the sketch
+    stays mergeable (bucket-wise +) and the cumulative/threshold logic
+    stays pure-integer (100·cumw ≥ q100·totalw — no float boundary).
+
+    Money discipline: cents = round(price·100) cast long — exact under the
+    fixed-point input contract (functions/money.py); per-(status,bucket)
+    cent sums fit a long with ~10⁹ headroom at the 1000× probe scale, and
+    past that the split-long construction of ``scaled_long_sum`` applies
+    unchanged. The Spark side routes through per-day sketches merged up
+    (the incremental-Gold path); the oracle buckets directly — hash
+    equality again certifies merge ≡ direct, now for weighted state."""
+    from ..functions.sketches import dd_bucket, dd_quantiles
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = orders.groupBy(
+        "o_orderstatus", "o_orderdate", dd_bucket("o_totalprice").alias("bucket")
+    ).agg(F.sum(cents).alias("c"))
+    return dd_quantiles(
+        daily.drop("o_orderdate"),
+        ["o_orderstatus"],
+        _DD_QS,
+        total_alias="revenue_cents",
+    )

@@ -256,3 +256,33 @@ def test_priority_sample_weighted_and_scalable(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_weighted_quantiles_dominate_count_quantiles(spark):
+    """Weighting price quantiles by revenue (the value itself) shifts mass
+    toward expensive orders, so every weighted quantile estimate must be >=
+    its count-quantile twin, and the totals must reconcile."""
+    cnt = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["order_price_ddsketch"].build(spark, SF_SMALL).collect()
+    }
+    wtd = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["order_price_weighted_ddsketch"]
+        .build(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(cnt) == set(wtd)
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    import pyspark.sql.functions as SF
+
+    exact_cents = {
+        r["o_orderstatus"]: r["c"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(SF.sum(SF.round(SF.col("o_totalprice") * 100).cast("long")).alias("c"))
+        .collect()
+    }
+    for s in cnt:
+        assert wtd[s]["revenue_cents"] == exact_cents[s]
+        for q in ("p50_est", "p90_est", "p99_est"):
+            assert wtd[s][q] >= cnt[s][q]
