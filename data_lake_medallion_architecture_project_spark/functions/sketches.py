@@ -182,6 +182,84 @@ def cms_bucket(j_col: str | Column, key_col: str | Column) -> Column:
     return F.substring(F.md5(F.concat(j, F.lit("|"), k)), 1, 2)
 
 
+# --------------------------------------------------------------------------- #
+# KMV / theta sketch — distinct SET OPERATIONS (intersection, union, Jaccard)
+# in fixed memory; merge = union-then-retake-k-smallest.
+# --------------------------------------------------------------------------- #
+
+KMV_K = 256       # retained minimum hashes per group
+KMV_HEX = 15      # 60-bit hash: fixed-width hex orders exactly like the integer
+KMV_SENTINEL = "g"  # lexicographically above every hex digit = "whole space"
+KMV_SPACE_D = float(2**60)              # exact: power of two
+KMV_NUM_D = float((KMV_K - 1) * 2**60)  # exact: 255·2^60 = 2^68 − 2^60 (8 bits)
+
+
+def kmv_hash(id_col: str | Column) -> Column:
+    """60-bit deterministic hash as the first 15 hex digits of md5("k|"+id) —
+    fixed-width lowercase hex, so STRING order ≡ numeric order and any engine
+    with md5() replays the identical sample. Numeric conversion happens once
+    per GROUP (not per row) at estimate time."""
+    s = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("string")
+    return F.substring(F.md5(F.concat(F.lit("k|"), s)), 1, KMV_HEX)
+
+
+def kmv_state(df: DataFrame, group_cols: list[str], k: int = KMV_K,
+              salts: int = 8) -> DataFrame:
+    """The mergeable KMV state: the k smallest DISTINCT hashes per group,
+    from a (group..., h) frame. Monoid: state(A ∪ B) = k-min(state(A) ∪
+    state(B)), because the global k-th minimum is always inside some part's
+    k minima — so day-grain states fold into weekly/monthly ones without
+    rescanning, same contract as the HLL registers.
+
+    Scale shape: DISTINCT collapses to hash grain first; the k-min rank is
+    two-phase — rank within (group, salt) keeps ≤ salts·k candidate rows per
+    group before the exact per-group rank, so one giant group never funnels
+    its whole distinct set through a single sort partition. The result is
+    salt-independent (phase 1 only discards rows provably outside the k
+    minima)."""
+    from pyspark.sql import Window
+
+    d = df.select(*group_cols, "h").distinct()
+    w1 = Window.partitionBy(*group_cols, "_s").orderBy("h")
+    pre = (
+        d.withColumn("_s", F.pmod(F.hash("h"), F.lit(salts)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_s", "_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pre.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_theta(states: DataFrame, group_cols: list[str],
+              k: int = KMV_K) -> DataFrame:
+    """Per-group theta summary from a KMV state: n (retained count), the
+    theta threshold as both hex (for replayable < comparisons) and double
+    (for the one IEEE division), and the distinct-count estimate.
+
+    Saturated group (n = k): theta = the k-th minimum; retained values < θ
+    number k−1; est = (k−1)·2^60/θ (one exact-constant / one rounded-cast
+    division — engine-identical). Unsaturated: the state IS the distinct
+    set, θ = the whole space, est = n exactly."""
+    summ = states.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax")
+    )
+    sat = F.col("n") == k
+    td = F.conv("hmax", 16, 10).cast("long").cast("double")
+    return summ.select(
+        *group_cols,
+        F.when(sat, F.col("hmax")).otherwise(F.lit(KMV_SENTINEL)).alias("thex"),
+        F.when(sat, td).otherwise(F.lit(KMV_SPACE_D)).alias("td"),
+        F.when(sat, F.lit(KMV_NUM_D) / td)
+        .otherwise(F.col("n").cast("double"))
+        .alias("est"),
+    )
+
+
 def dd_quantiles(
     buckets: DataFrame,
     group_cols: list[str],

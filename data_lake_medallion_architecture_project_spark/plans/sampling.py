@@ -1205,3 +1205,192 @@ def order_price_weighted_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame
         _DD_QS,
         total_alias="revenue_cents",
     )
+
+
+# --------------------------------------------------------------------------- #
+# KMV / theta sketch — distinct SET OPERATIONS between groups.
+# --------------------------------------------------------------------------- #
+
+from ..functions.sketches import (  # noqa: E402
+    KMV_HEX as _KMV_HEX,
+    KMV_K as _KMV_K,
+    KMV_NUM_D as _KMV_NUM_D,
+    KMV_SENTINEL as _KMV_SENTINEL,
+    KMV_SPACE_D as _KMV_SPACE_D,
+    kmv_hash,
+    kmv_state,
+    kmv_theta,
+)
+
+
+def _kmv_overlap_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         substr(md5(concat('k|', CAST(o_custkey AS VARCHAR))), 1, {_KMV_HEX}) AS h
+  FROM orders
+),
+s AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
+  ) WHERE rn <= {_KMV_K}
+),
+th AS (
+  SELECT g,
+         CASE WHEN COUNT(*) = {_KMV_K} THEN MAX(h)
+              ELSE '{_KMV_SENTINEL}' END AS thex,
+         CASE WHEN COUNT(*) = {_KMV_K}
+              THEN CAST(CAST(concat('0x', MAX(h)) AS BIGINT) AS DOUBLE)
+              ELSE {_KMV_SPACE_D!r} END AS td,
+         CASE WHEN COUNT(*) = {_KMV_K}
+              THEN {_KMV_NUM_D!r}
+                   / CAST(CAST(concat('0x', MAX(h)) AS BIGINT) AS DOUBLE)
+              ELSE CAST(COUNT(*) AS DOUBLE) END AS est
+  FROM s GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS prio_a, b.g AS prio_b, a.est AS est_a, b.est AS est_b,
+         LEAST(a.thex, b.thex) AS thex, LEAST(a.td, b.td) AS td
+  FROM th a JOIN th b ON a.g < b.g
+),
+i AS (
+  SELECT p.prio_a, p.prio_b, COUNT(*) AS n_int
+  FROM pairs p
+  JOIN s sa ON sa.g = p.prio_a AND sa.h < p.thex
+  JOIN s sb ON sb.g = p.prio_b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+ua AS (
+  SELECT p.prio_a, p.prio_b, COUNT(*) AS na
+  FROM pairs p JOIN s sa ON sa.g = p.prio_a AND sa.h < p.thex
+  GROUP BY 1, 2
+),
+ub AS (
+  SELECT p.prio_a, p.prio_b, COUNT(*) AS nb
+  FROM pairs p JOIN s sb ON sb.g = p.prio_b AND sb.h < p.thex
+  GROUP BY 1, 2
+)
+SELECT p.prio_a, p.prio_b, p.est_a, p.est_b,
+       CAST(COALESCE(i.n_int, 0) AS BIGINT) AS common_hashes,
+       CAST(COALESCE(ua.na, 0) + COALESCE(ub.nb, 0) - COALESCE(i.n_int, 0)
+            AS BIGINT) AS union_hashes,
+       (CAST(COALESCE(i.n_int, 0) AS DOUBLE) * {_KMV_SPACE_D!r}) / p.td
+           AS est_common,
+       (CAST(COALESCE(ua.na, 0) + COALESCE(ub.nb, 0) - COALESCE(i.n_int, 0)
+             AS DOUBLE) * {_KMV_SPACE_D!r}) / p.td AS est_union,
+       CASE WHEN COALESCE(ua.na, 0) + COALESCE(ub.nb, 0)
+                 - COALESCE(i.n_int, 0) > 0
+            THEN CAST(COALESCE(i.n_int, 0) AS DOUBLE)
+                 / CAST(COALESCE(ua.na, 0) + COALESCE(ub.nb, 0)
+                        - COALESCE(i.n_int, 0) AS DOUBLE)
+            ELSE 0.0 END AS jaccard_est
+FROM pairs p
+LEFT JOIN i  USING (prio_a, prio_b)
+LEFT JOIN ua USING (prio_a, prio_b)
+LEFT JOIN ub USING (prio_a, prio_b)
+"""
+
+
+@register(
+    "kmv_priority_customer_overlap",
+    oracle=_kmv_overlap_oracle(),
+    tags=("sketch", "approx"),
+)
+def kmv_priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base OVERLAP between order priorities from KMV/theta sketches
+    — "how many distinct customers do priorities X and Y share?", the
+    distinct-count question HLL alone can't answer (HLL unions but never
+    intersects). State = the k=256 smallest md5-family hashes per priority;
+    merge = union-then-retake-k (monoid, like the HLL registers / DDSketch
+    buckets); intersection estimate = |common retained hashes below
+    θ = min(θ_a, θ_b)| · 2⁶⁰ / θ (Beyer et al. SIGMOD'07 / the theta-sketch
+    framing). Jaccard falls out as an exact-integer ratio of retained
+    counts, so the hash gate anchors on integers and the only float ops are
+    final IEEE divisions from identical operands.
+
+    Scale shape: the corpus-sized work is one DISTINCT collapse to (group,
+    hash) grain plus a salted two-phase k-min rank (≤ salts·k rows per
+    group reach the exact rank); everything pairwise happens on KB-scale
+    states with broadcast joins, O(G²) in the GROUP count (a bounded enum
+    here), never in rows. The Spark side routes through per-DAY states
+    merged up — the incremental-Gold path — while the oracle sketches the
+    whole corpus directly: hash equality certifies merge ≡ direct.
+
+    Reference parity: the reference has no set-operation sketch; this
+    extends its distinct-count reporting (pipeline/silver_to_gold.py:96)
+    the way a 100 TB audience-overlap report needs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_custkey"
+    )
+    hashed = orders.select(
+        "o_orderpriority", "o_orderdate", kmv_hash("o_custkey").alias("h")
+    )
+    day = kmv_state(hashed, ["o_orderpriority", "o_orderdate"])
+    states = kmv_state(day.select("o_orderpriority", "h"), ["o_orderpriority"])
+    # Collapse each group's state to ONE row carrying the sorted hash array
+    # (k·15 B ≈ 4 KB/group): theta/estimate derive from the array itself
+    # (n = size, θ = last element) and every pairwise set operation below
+    # runs on a G-row frame with codegen'd higher-order functions — the
+    # corpus pipeline appears in exactly two leaf branches (the a/b sides),
+    # not once per derived quantity.
+    garr = states.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    sat = F.size("hs") == _KMV_K
+    td_sat = F.conv(F.element_at("hs", -1), 16, 10).cast("long").cast("double")
+    th = garr.select(
+        "o_orderpriority",
+        "hs",
+        F.when(sat, F.element_at("hs", -1))
+        .otherwise(F.lit(_KMV_SENTINEL))
+        .alias("thex"),
+        F.when(sat, td_sat).otherwise(F.lit(_KMV_SPACE_D)).alias("td"),
+        F.when(sat, F.lit(_KMV_NUM_D) / td_sat)
+        .otherwise(F.size("hs").cast("double"))
+        .alias("est"),
+    )
+    a = th.select(
+        F.col("o_orderpriority").alias("prio_a"),
+        F.col("est").alias("est_a"),
+        F.col("thex").alias("thex_a"),
+        F.col("td").alias("td_a"),
+        F.col("hs").alias("hs_a"),
+    )
+    b = th.select(
+        F.col("o_orderpriority").alias("prio_b"),
+        F.col("est").alias("est_b"),
+        F.col("thex").alias("thex_b"),
+        F.col("td").alias("td_b"),
+        F.col("hs").alias("hs_b"),
+    )
+    thex = F.least("thex_a", "thex_b")
+    ua = F.filter("hs_a", lambda x: x < thex)
+    ub = F.filter("hs_b", lambda x: x < thex)
+    pairs = a.join(F.broadcast(b), F.col("prio_a") < F.col("prio_b")).select(
+        "prio_a",
+        "prio_b",
+        "est_a",
+        "est_b",
+        F.least("td_a", "td_b").alias("td"),
+        F.size(ua).cast("long").alias("na"),
+        F.size(ub).cast("long").alias("nb"),
+        F.size(F.array_intersect(ua, ub)).cast("long").alias("n_int"),
+    )
+    n_union = F.col("na") + F.col("nb") - F.col("n_int")
+    return pairs.select(
+        "prio_a",
+        "prio_b",
+        "est_a",
+        "est_b",
+        F.col("n_int").alias("common_hashes"),
+        n_union.alias("union_hashes"),
+        ((F.col("n_int").cast("double") * F.lit(_KMV_SPACE_D)) / F.col("td")).alias(
+            "est_common"
+        ),
+        ((n_union.cast("double") * F.lit(_KMV_SPACE_D)) / F.col("td")).alias(
+            "est_union"
+        ),
+        F.when(n_union > 0, F.col("n_int").cast("double") / n_union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
+    )

@@ -286,3 +286,73 @@ def test_weighted_quantiles_dominate_count_quantiles(spark):
         assert wtd[s]["revenue_cents"] == exact_cents[s]
         for q in ("p50_est", "p90_est", "p99_est"):
             assert wtd[s][q] >= cnt[s][q]
+
+
+def test_kmv_overlap_estimates_and_merge(spark):
+    """KMV/theta sketch contract: (a) saturated distinct estimates land
+    within theory's ~3/sqrt(k) envelope of the exact counts, (b) routing
+    through per-day states merged up (the query's plan) equals sketching
+    the corpus directly (monoid law), (c) the unsaturated path is EXACT."""
+    from data_lake_medallion_architecture_project_spark.functions.sketches import (
+        KMV_K,
+        kmv_hash,
+        kmv_state,
+        kmv_theta,
+    )
+    from tests.conftest import SF_GATE
+
+    out = {
+        (r["prio_a"], r["prio_b"]): r
+        for r in REGISTRY["kmv_priority_customer_overlap"]
+        .build(spark, SF_GATE)
+        .collect()
+    }
+    assert len(out) == 10  # C(5,2) priority pairs
+    orders = spark.read.parquet(f"{SF_GATE}/orders.parquet").select(
+        "o_orderpriority", "o_custkey"
+    )
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    tol = 3.0 / (KMV_K ** 0.5)  # ~19% at k=256
+    seen_est = {}
+    for (pa, pb), r in out.items():
+        seen_est[pa] = r["est_a"]
+        seen_est[pb] = r["est_b"]
+        # overlap estimate vs exact intersection
+        ex_int = (
+            orders.where(F.col("o_orderpriority") == pa)
+            .select("o_custkey")
+            .intersect(
+                orders.where(F.col("o_orderpriority") == pb).select("o_custkey")
+            )
+            .count()
+        )
+        assert abs(r["est_common"] - ex_int) <= tol * ex_int
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+    for g, est in seen_est.items():
+        assert exact[g] > KMV_K  # saturated regime at the gate scale
+        assert abs(est - exact[g]) <= tol * exact[g]
+
+    # (b) monoid: day-grain states merged == direct state, exactly.
+    hashed = spark.read.parquet(f"{SF_GATE}/orders.parquet").select(
+        "o_orderpriority", "o_orderdate", kmv_hash("o_custkey").alias("h")
+    )
+    day = kmv_state(hashed, ["o_orderpriority", "o_orderdate"])
+    merged = kmv_state(day.select("o_orderpriority", "h"), ["o_orderpriority"])
+    direct = kmv_state(
+        hashed.select("o_orderpriority", "h"), ["o_orderpriority"]
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    # (c) unsaturated path: fewer than k distinct ids -> est is exact.
+    tiny = hashed.limit(200).select(F.lit("all").alias("g"), "h")
+    st = kmv_state(tiny, ["g"])
+    n_exact = tiny.select("h").distinct().count()
+    assert n_exact < KMV_K
+    row = kmv_theta(st, ["g"]).collect()[0]
+    assert row["est"] == float(n_exact)

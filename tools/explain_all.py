@@ -59,6 +59,10 @@ NESTED_LOOP_OK = {
     # Same |V|/N 1-row scalar broadcast; the model itself is the K-row
     # broadcast hash join, not this.
     "doc_lm_perplexity_capped",
+    # Pairwise `a.g < b.g` over the per-GROUP theta summary (5 rows at any
+    # data scale: one row per priority enum value) — O(G²) in the bounded
+    # group count, never in data rows; the inequality has no equi-key.
+    "kmv_priority_customer_overlap",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
