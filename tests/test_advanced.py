@@ -238,3 +238,42 @@ def test_bloom_width_parameter(spark):
             assert len(kept) <= len(kept4)     # wider never rejects less
         else:
             kept4 = kept
+
+
+def test_integer_pagerank_uniform_cycle(spark):
+    """On a regular graph (every node same degree, symmetric) PageRank is
+    the uniform distribution, and the integer arithmetic preserves it
+    EXACTLY: contrib = 10^6 div 2 = 500000, sum = 10^6, damped =
+    150000 + 850000 — no truncation loss, every iteration a fixed point."""
+    from data_lake_medallion_architecture_project_spark.operators.components import integer_pagerank
+
+    n = 6  # 6-cycle, symmetrized: deg 2 everywhere
+    e = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    out = {r["src"]: r["pr"] for r in integer_pagerank(edges, iters=4).collect()}
+    assert out == {i: 1_000_000 for i in range(n)}
+
+
+def test_integer_pagerank_star_ranks_hub_highest(spark):
+    """A star (hub <-> 4 leaves): the hub must outrank every leaf, ranks
+    are deterministic longs, and every rank >= the damping base."""
+    from data_lake_medallion_architecture_project_spark.operators.components import integer_pagerank
+
+    e = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    out = {r["src"]: r["pr"] for r in integer_pagerank(edges, iters=3).collect()}
+    assert out[0] > max(out[i] for i in range(1, 5))
+    assert all(v >= 150_000 for v in out.values())
+    # leaves are symmetric -> identical ranks
+    assert len({out[i] for i in range(1, 5)}) == 1
+
+
+def test_pagerank_registry_invariants(spark):
+    from data_lake_medallion_architecture_project_spark.plans.advanced import PR_BASE, PR_TOP
+
+    rows = REGISTRY["part_copurchase_pagerank"].build(spark, SF_SMALL).collect()
+    assert len(rows) == PR_TOP
+    prs = [r["pagerank_micro"] for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(r["pagerank_micro"] >= PR_BASE for r in rows)
+    assert all(r["degree"] >= 1 for r in rows)
