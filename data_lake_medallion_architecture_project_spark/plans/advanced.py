@@ -463,3 +463,103 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank_micro").desc(), "p_partkey")
         .limit(PR_TOP)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Skyline (Pareto frontier) — minimize price, maximize volume.
+# --------------------------------------------------------------------------- #
+
+_SKYLINE_ORACLE = """
+WITH vol AS (
+  SELECT l_partkey, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS v
+  FROM lineitem GROUP BY 1
+),
+pp AS (
+  SELECT CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_c, vol.v,
+         p.p_partkey
+  FROM vol JOIN part p ON p.p_partkey = vol.l_partkey
+),
+points AS (
+  SELECT price_c, v, COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+  FROM pp GROUP BY 1, 2
+),
+w AS (
+  SELECT *, MAX(v) OVER (
+    ORDER BY price_c ASC, v DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS runmax
+  FROM points
+)
+SELECT price_c AS retail_price_cents, v AS total_qty_c100, n_parts, min_partkey
+FROM w WHERE runmax IS NULL OR v > runmax
+"""
+
+
+def _frontier_filter(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """One sorted-scan skyline pass for (minimize price_c, maximize v):
+    within each window partition, a point survives iff its v strictly
+    exceeds every v at strictly-better-or-equal price seen before it —
+    the classic sort-filter skyline (Börzsönyi et al., ICDE'01) as a
+    running MAX over (price asc, v desc) with a strict comparison. Rows
+    are distinct (price_c, v) points, so the order is total and the
+    frame deterministic."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("price_c").asc(), F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmax = F.max("v").over(w)
+    return df.withColumn("_rm", runmax).where(
+        F.col("_rm").isNull() | (F.col("v") > F.col("_rm"))
+    ).drop("_rm")
+
+
+@register(
+    "part_price_volume_skyline",
+    oracle=_SKYLINE_ORACLE,
+    tags=("analytics", "skyline"),
+)
+def part_price_volume_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of SOLD parts on (retail price LOW, total quantity
+    sold HIGH): the "cheap parts that move the most volume" set no single
+    ORDER BY can produce — a part is on the skyline iff no other sold part
+    is at-most-as-expensive AND sells at-least-as-much with one strict.
+    Comparisons run on exact integer grains (price cents, quantity
+    centi-units under the fixed-point contract, functions/money.py), so
+    both engines pick the identical frontier.
+
+    Scale shape: the corpus-sized work is one groupBy(l_partkey) SUM and
+    one equi-join to part; parts then collapse to distinct (price, volume)
+    POINTS (carrying n_parts + an anchor key). The skyline itself is the
+    distributed two-pass form: a salted LOCAL frontier pass first (a
+    globally-undominated point is undominated in every subset, so the
+    local pass only discards provably-dominated points), then the exact
+    global pass over the surviving candidates — the final single-partition
+    sort sees the local frontiers, not the point cloud. The oracle replays
+    the single-pass definition directly; equality certifies the two-pass
+    decomposition."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    vol = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("v")
+    )
+    pp = vol.join(part, vol.l_partkey == part.p_partkey).select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        "v",
+        "p_partkey",
+    )
+    points = pp.groupBy("price_c", "v").agg(
+        F.count(F.lit(1)).alias("n_parts"), F.min("p_partkey").alias("min_partkey")
+    )
+    local = _frontier_filter(
+        points.withColumn("_salt", F.pmod(F.hash("price_c", "v"), F.lit(32))),
+        ["_salt"],
+    ).drop("_salt")
+    return _frontier_filter(local, []).select(
+        F.col("price_c").alias("retail_price_cents"),
+        F.col("v").alias("total_qty_c100"),
+        "n_parts",
+        "min_partkey",
+    )

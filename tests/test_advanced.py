@@ -277,3 +277,42 @@ def test_pagerank_registry_invariants(spark):
     assert prs == sorted(prs, reverse=True)
     assert all(r["pagerank_micro"] >= PR_BASE for r in rows)
     assert all(r["degree"] >= 1 for r in rows)
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """The registry skyline must equal the brute-force O(n^2) Pareto
+    frontier over the collected (price, volume) point set, and obey the
+    frontier law: sorted by ascending price, volume strictly increases."""
+    out = (
+        REGISTRY["part_price_volume_skyline"]
+        .build(spark, SF_SMALL)
+        .orderBy("retail_price_cents")
+        .collect()
+    )
+    assert len(out) > 0
+    vols = [r["total_qty_c100"] for r in out]
+    assert vols == sorted(vols) and len(set(vols)) == len(vols)
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    vol = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("v")
+    )
+    pts = {
+        (r["price_c"], r["v"])
+        for r in vol.join(part, vol.l_partkey == part.p_partkey)
+        .select(
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+            "v",
+        )
+        .distinct()
+        .collect()
+    }
+    brute = {
+        (p, v)
+        for (p, v) in pts
+        if not any(
+            (p2 <= p and v2 >= v and (p2 < p or v2 > v)) for (p2, v2) in pts
+        )
+    }
+    assert {(r["retail_price_cents"], r["total_qty_c100"]) for r in out} == brute
