@@ -401,3 +401,85 @@ def session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.groupBy("funnel_stage").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+# --------------------------------------------------------------------------- #
+# EWMA trend — dyadic weights make the smoothing EXACT integer arithmetic.
+# --------------------------------------------------------------------------- #
+
+EWMA_LAGS = 16  # weight floor 2^-16 ~ 1.5e-5: the truncation IS the definition
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"COALESCE(LAG(c, {j}) OVER win, 0) * {1 << (EWMA_LAGS - 1 - j)}"
+        for j in range(EWMA_LAGS)
+    )
+    return f"""
+WITH d AS (
+  SELECT o_orderpriority AS prio,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT prio, day, c,
+         {terms} AS num,
+         LEAST(row_number() OVER win, {EWMA_LAGS}) AS m
+  FROM d WINDOW win AS (PARTITION BY prio ORDER BY day)
+)
+SELECT prio, day, c AS revenue_cents,
+       CAST(num AS DOUBLE)
+         / CAST({1 << EWMA_LAGS} - (1 << ({EWMA_LAGS} - m)) AS DOUBLE)
+         AS ewma_cents
+FROM w
+"""
+
+
+@register("priority_revenue_ewma", oracle=_ewma_oracle(), tags=("temporal",))
+def priority_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per order
+    priority — the classic trend smoother, made hash-gateable by choosing
+    DYADIC weights: α = 1/2 truncated at 16 lags means every weight is a
+    power of two, so the weighted numerator Σ cents·2^(15-j) and the
+    renormalizing denominator 2^16 − 2^(16-m) (m = available lags) are
+    EXACT integers in any engine, and the only float op is one final IEEE
+    division. The usual EWMA recursion s_t = αx + (1-α)s_{t-1} is a
+    sequential float chain whose rounding no two engines replay; the
+    16-term closed form is its ≤1.5e-5-relative-weight truncation and is
+    order-free.
+
+    Scale shape: one groupBy to day grain (calendar-bounded), then ONE
+    window pass per priority computing all 16 LAGs — partitioned windows
+    parallelize across groups, and the window input is days, not orders.
+    Reference parity: extends the daily summaries
+    (/root/reference/pipeline/silver_to_gold.py:47-96) with the trend
+    column a forecasting Gold table needs."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_totalprice",
+    )
+    daily = orders.groupBy("prio", "day").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    )
+    win = Window.partitionBy("prio").orderBy("day")
+    num = None
+    for j in range(EWMA_LAGS):
+        t = F.coalesce(F.lag("c", j).over(win), F.lit(0)) * F.lit(
+            1 << (EWMA_LAGS - 1 - j)
+        )
+        num = t if num is None else num + t
+    m = F.least(F.row_number().over(win), F.lit(EWMA_LAGS))
+    staged = daily.select(
+        "prio", "day", "c", num.alias("num"), m.alias("m")
+    )
+    den = F.expr(f"shiftleft(1, {EWMA_LAGS}) - shiftleft(1, {EWMA_LAGS} - m)")
+    return staged.select(
+        "prio",
+        "day",
+        F.col("c").alias("revenue_cents"),
+        (F.col("num").cast("double") / den.cast("double")).alias("ewma_cents"),
+    )

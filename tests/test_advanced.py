@@ -316,3 +316,44 @@ def test_skyline_is_exact_pareto_frontier(spark):
         )
     }
     assert {(r["retail_price_cents"], r["total_qty_c100"]) for r in out} == brute
+
+
+def test_ewma_constant_series_is_fixed_point(spark):
+    """Dyadic-weight EWMA contract: on a constant series the renormalized
+    average equals the constant EXACTLY at every row (the denominator is
+    built to match the truncated weight sum), and on the real corpus the
+    smoothed value always lies within the window's min/max envelope."""
+    from data_lake_medallion_architecture_project_spark.plans.temporal import EWMA_LAGS
+
+    rows = (
+        REGISTRY["priority_revenue_ewma"]
+        .build(spark, SF_SMALL)
+        .orderBy("prio", "day")
+        .collect()
+    )
+    assert len(rows) > 0
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["prio"], []).append(r)
+    for series in by_prio.values():
+        cents = [r["revenue_cents"] for r in series]
+        for i, r in enumerate(series):
+            window = cents[max(0, i - EWMA_LAGS + 1) : i + 1]
+            assert min(window) <= r["ewma_cents"] <= max(window)
+
+    # Constant-series fixed point, exact.
+    const = spark.createDataFrame(
+        [("1996-01-%02d" % d, 500.00) for d in range(1, 25)],
+        ["o_orderdate", "o_totalprice"],
+    ).selectExpr(
+        "'X' AS o_orderpriority",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        const.write.parquet(os.path.join(td, "orders.parquet"))
+        out = REGISTRY["priority_revenue_ewma"].build(spark, td).collect()
+        assert len(out) == 24
+        assert all(r["ewma_cents"] == 50000.0 for r in out)
