@@ -519,7 +519,7 @@ def _frontier_filter(df: DataFrame, part_cols: list[str]) -> DataFrame:
 @register(
     "part_price_volume_skyline",
     oracle=_SKYLINE_ORACLE,
-    tags=("analytics", "skyline"),
+    tags=("bench", "analytics", "skyline"),
 )
 def part_price_volume_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of SOLD parts on (retail price LOW, total quantity

@@ -1172,7 +1172,7 @@ FROM sel
 @register(
     "order_price_weighted_ddsketch",
     oracle=_dd_weighted_oracle(),
-    tags=("sketch", "approx"),
+    tags=("bench", "sketch", "approx"),
 )
 def order_price_weighted_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-WEIGHTED price quantiles per status: the price point below
@@ -1294,7 +1294,7 @@ LEFT JOIN ub USING (prio_a, prio_b)
 @register(
     "kmv_priority_customer_overlap",
     oracle=_kmv_overlap_oracle(),
-    tags=("sketch", "approx"),
+    tags=("bench", "sketch", "approx"),
 )
 def kmv_priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-base OVERLAP between order priorities from KMV/theta sketches

@@ -436,7 +436,7 @@ FROM w
 """
 
 
-@register("priority_revenue_ewma", oracle=_ewma_oracle(), tags=("temporal",))
+@register("priority_revenue_ewma", oracle=_ewma_oracle(), tags=("bench", "temporal"))
 def priority_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily revenue per order
     priority — the classic trend smoother, made hash-gateable by choosing
