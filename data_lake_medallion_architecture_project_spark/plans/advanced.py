@@ -563,3 +563,117 @@ def part_price_volume_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "min_partkey",
     )
+
+
+# --------------------------------------------------------------------------- #
+# Robust anomaly detection — median/MAD with ALL-integer decision rule.
+# --------------------------------------------------------------------------- #
+
+# Modified z-score flag: 0.6745·d/MAD > 3.5 (Iglewicz & Hoaglin 1993),
+# cleared of floats by scaling both sides by 20000·MAD:
+#   13490·d > 70000·MAD  ⇔  13490·d > 35000·mad2   (mad2 = 2·MAD)
+_MAD_NUM, _MAD_THR = 13490, 35000
+
+_ANOMALY_ORACLE = f"""
+WITH x AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+med AS (
+  SELECT prio,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+           + SUM(CASE WHEN rn = n // 2 + 1 THEN cents END) AS med2
+  FROM x GROUP BY prio
+),
+d AS (
+  SELECT x.prio, x.cents, abs(2 * x.cents - m.med2) AS dev,
+         row_number() OVER (PARTITION BY x.prio
+                            ORDER BY abs(2 * x.cents - m.med2), x.cents) AS rn,
+         COUNT(*) OVER (PARTITION BY x.prio) AS n
+  FROM x JOIN med m ON x.prio = m.prio
+),
+mad AS (
+  SELECT prio,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+           + SUM(CASE WHEN rn = n // 2 + 1 THEN dev END) AS mad2
+  FROM d GROUP BY prio
+)
+SELECT d.prio, COUNT(*) AS n_orders,
+       MAX(m.med2) AS med2_cents, MAX(m2.mad2) AS mad2_cents,
+       COUNT(CASE WHEN {_MAD_NUM} * d.dev > {_MAD_THR} * m2.mad2 THEN 1 END)
+         AS n_anomalies,
+       COALESCE(MAX(CASE WHEN {_MAD_NUM} * d.dev > {_MAD_THR} * m2.mad2
+                         THEN d.cents END), 0) AS max_anomaly_cents
+FROM d JOIN med m ON d.prio = m.prio JOIN mad m2 ON d.prio = m2.prio
+GROUP BY d.prio
+"""
+
+
+@register(
+    "priority_order_anomalies",
+    oracle=_ANOMALY_ORACLE,
+    tags=("analytics", "quality"),
+)
+def priority_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: modified z-score on
+    median/MAD (Iglewicz & Hoaglin 1993) — the mean/stddev rule breaks on
+    the very outliers it hunts; median and MAD have 50% breakdown. Made
+    hash-gateable by keeping EVERYTHING integer: medians are carried
+    doubled (med2 = the middle pair's sum, so even-n interpolation never
+    leaves ℤ), deviations are |2·cents − med2|, and the 3.5-threshold test
+    0.6745·d/MAD > 3.5 is cross-multiplied to 13490·d > 35000·mad2 — no
+    division anywhere, so both engines flag the identical rows.
+
+    Scale shape: two rank-median passes (window sort per group — the exact
+    quantile's price; the DDSketch path is the sub-linear alternative when
+    ±1% suffices) + one broadcast of the 5-row group stats; the decision
+    itself is a map-side integer comparison."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("cents")
+    )
+
+    def _med2(df: DataFrame, val: str) -> DataFrame:
+        w = Window.partitionBy("prio").orderBy(val, "cents")
+        n = Window.partitionBy("prio")
+        r = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(n)
+        )
+        lo = F.floor((F.col("_n") + 1) / 2)
+        hi = F.floor(F.col("_n") / 2) + 1
+        return r.groupBy("prio").agg(
+            (
+                F.sum(F.when(F.col("_rn") == lo, F.col(val)))
+                + F.sum(F.when(F.col("_rn") == hi, F.col(val)))
+            ).alias(f"{val}2")
+        )
+
+    med = _med2(x.withColumn("v", F.col("cents")), "v").withColumnRenamed(
+        "v2", "med2"
+    )
+    d = x.join(F.broadcast(med), "prio").withColumn(
+        "dev", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = _med2(d.withColumn("v", F.col("dev")), "v").withColumnRenamed(
+        "v2", "mad2"
+    )
+    flag = F.lit(_MAD_NUM) * F.col("dev") > F.lit(_MAD_THR) * F.col("mad2")
+    return (
+        d.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("med2").alias("med2_cents"),
+            F.max("mad2").alias("mad2_cents"),
+            F.count(F.when(flag, 1)).alias("n_anomalies"),
+            F.coalesce(F.max(F.when(flag, F.col("cents"))), F.lit(0)).alias(
+                "max_anomaly_cents"
+            ),
+        )
+    )

@@ -483,3 +483,96 @@ def priority_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("revenue_cents"),
         (F.col("num").cast("double") / den.cast("double")).alias("ewma_cents"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# OLS trendline — closed-form regression from exact integer moment sums.
+# --------------------------------------------------------------------------- #
+
+_TREND_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1, 2
+),
+x AS (
+  SELECT prio, y,
+         date_diff('day', MIN(day) OVER (PARTITION BY prio), day) AS x
+  FROM d
+),
+m AS (
+  SELECT prio, COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM x GROUP BY prio
+)
+SELECT prio, n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
+FROM m
+"""
+
+
+@register(
+    "priority_revenue_trendline", oracle=_TREND_ORACLE, tags=("temporal",)
+)
+def priority_revenue_trendline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend per priority — slope (cents/day) and R²
+    of daily revenue against elapsed days, the closed-form regression
+    n·Σxy−Σx·Σy / n·Σx²−(Σx)². Every moment sum is EXACT: x = days since
+    the group's first day (small int), y = daily cents (long), products
+    accumulated as DECIMAL(38,0) so nothing rounds until the final IEEE
+    division — cross-engine determinism well inside the gate's 12
+    significant digits. The five moments are classic map-side-combinable
+    partials: ONE pass, one KB-scale shuffle, whatever the corpus size
+    (the same one-pass-moments trick as `qty_price_correlation`'s Pearson).
+    Reference parity: the trend column `forecast_revenue_change`'s naive
+    delta can't provide (/root/reference/pipeline/silver_to_gold.py:47-96
+    has daily revenue but no fit)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("prio", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    x = daily.select(
+        "prio",
+        "y",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("prio"))
+        ).alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(dec(F.col("x")) * F.col("x"))).alias("sxx"),
+        dec(F.sum(dec(F.col("x")) * F.col("y"))).alias("sxy"),
+        dec(F.sum(dec(F.col("y")) * F.col("y"))).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "prio",
+        F.col("n").alias("n_days"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double"))
+        ).alias("r_squared"),
+    )

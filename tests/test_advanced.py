@@ -357,3 +357,58 @@ def test_ewma_constant_series_is_fixed_point(spark):
         out = REGISTRY["priority_revenue_ewma"].build(spark, td).collect()
         assert len(out) == 24
         assert all(r["ewma_cents"] == 50000.0 for r in out)
+
+
+def _orders_dir(spark, tmpdir, rows):
+    """Write a minimal orders.parquet (prio, date, price) for registry runs."""
+    import os
+
+    df = spark.createDataFrame(
+        rows, ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    df.write.parquet(os.path.join(tmpdir, "orders.parquet"))
+    return tmpdir
+
+
+def test_mad_anomalies_flags_planted_outliers(spark):
+    """19 orders near $100 plus one $10,000 outlier: the modified z-score
+    must flag exactly the plant; a symmetric tight cluster flags nothing."""
+    import tempfile
+
+    rows = [("X", "1996-01-%02d" % (i % 28 + 1), 100.0 + (i % 5)) for i in range(19)]
+    rows.append(("X", "1996-02-01", 10000.0))
+    rows += [("Y", "1996-01-%02d" % (i % 28 + 1), 200.0) for i in range(10)]
+    with tempfile.TemporaryDirectory() as td:
+        out = {
+            r["prio"]: r
+            for r in REGISTRY["priority_order_anomalies"]
+            .build(spark, _orders_dir(spark, td, rows))
+            .collect()
+        }
+    assert out["X"]["n_anomalies"] == 1
+    assert out["X"]["max_anomaly_cents"] == 1_000_000
+    assert out["Y"]["n_anomalies"] == 0 and out["Y"]["max_anomaly_cents"] == 0
+    # med2 is 2x the median: X's sorted middle pair is (102, 102).
+    assert out["X"]["med2_cents"] == 2 * 10200
+
+
+def test_trendline_recovers_exact_line(spark):
+    """Daily revenue on an exact line y = 500 + 3x cents: slope must be
+    exactly 3.0 cents/day and R^2 exactly 1.0 (integer moments, one final
+    division with a zero-residual numerator identity)."""
+    import tempfile
+
+    rows = [
+        ("X", "1996-01-%02d" % (d + 1), (500 + 3 * d) / 100.0) for d in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        out = (
+            REGISTRY["priority_revenue_trendline"]
+            .build(spark, _orders_dir(spark, td, rows))
+            .collect()
+        )
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 20
+    assert r["slope_cents_per_day"] == 3.0
+    assert r["r_squared"] == 1.0
