@@ -1217,3 +1217,116 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_hit"),
         F.sum("term_score").cast("double").alias("bm25"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Product quantization — compressed-domain ANN on an exact integer lattice.
+# --------------------------------------------------------------------------- #
+
+def _pq_topk_oracle(shortlist: int = 32, k_top: int = 5) -> str:
+    """DuckDB replay of the FULL PQ pipeline against the pinned integer
+    codebooks (plans/_pinned_pq.py): lattice quantization (same round()),
+    per-subspace argmin encode (ties on code index), exact-int64 ADC
+    shortlist, exact cosine rerank. Everything up to the rerank is integer
+    arithmetic, so encode/shortlist equality is guaranteed by construction,
+    not by a float-margin guard."""
+    from ..operators.pq import PQ_K, PQ_M, PQ_SCALE
+    from ._pinned_pq import _PQ_CODEBOOKS_M8_K16 as books
+
+    dsub = len(books[0][0])
+    vals = ",\n    ".join(
+        f"({m}, {kk}, [" + ", ".join(str(v) for v in books[m][kk]) + "]::BIGINT[])"
+        for m in range(PQ_M)
+        for kk in range(PQ_K)
+    )
+    return f"""
+WITH cb(m, k, c) AS (VALUES
+    {vals}
+),
+v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS e
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, t.m AS m, list_slice(e, t.m * {dsub} + 1, (t.m + 1) * {dsub}) AS s
+  FROM v, range({PQ_M}) t(m)
+),
+dist AS (
+  SELECT vec_id, sub.m, cb.k,
+         list_sum(list_transform(list_zip(s, c), t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT qd.vec_id AS qid, cc.vec_id AS cid, SUM(qd.d) AS adc
+  FROM (SELECT * FROM dist WHERE vec_id < 8) qd
+  JOIN codes cc ON cc.m = qd.m AND cc.code = qd.k AND cc.vec_id <> qd.vec_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+    FROM adc
+  ) WHERE rn <= {shortlist}
+),
+nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e2,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT qid, cid, rank FROM (
+  SELECT s.qid, s.cid,
+         row_number() OVER (PARTITION BY s.qid ORDER BY
+           list_sum(list_transform(list_zip(q.e2, c.e2), t -> t[1] * t[2]))
+             / (q.nrm * c.nrm) DESC,
+           s.cid) AS rank
+  FROM short s JOIN nv q ON q.vec_id = s.qid JOIN nv c ON c.vec_id = s.cid
+)
+WHERE rank <= {k_top}
+"""
+
+
+@register(
+    "pq_similarity_topk",
+    oracle=_pq_topk_oracle(),
+    tags=("bench", "similarity", "approx"),
+)
+def pq_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 (Jégou et al. TPAMI 2011) — the MEMORY
+    tier of the ANN ladder: the corpus is served from 8×4-bit codes
+    (64× smaller than the raw float64 vectors), queries scan the codes with
+    table lookups (ADC), and only the top-32 shortlist per query touches
+    raw vectors for the exact cosine rerank — the billion-vector serving
+    shape where the corpus no longer fits memory uncompressed.
+
+    Cross-engine exactness by construction: vectors and the PINNED
+    codebooks live on the 10⁶ integer lattice, so encode argmin, ADC sums,
+    and shortlist selection are bit-identical int64 arithmetic in both
+    engines (no float-tie margin guard — the IVF oracle's one caveat is
+    engineered away). The compressed scan is deliberately exhaustive (its
+    cost is |C|·M lookups on 8-byte codes — memory-bound, not FLOP-bound);
+    composing it behind the IVF partition pruning is the standard IVF-PQ
+    stack and both pieces are verified here separately."""
+    import numpy as np
+
+    from ..operators.pq import pq_topk
+    from ._pinned_pq import _PQ_CODEBOOKS_M8_K16
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        np.array(_PQ_CODEBOOKS_M8_K16, dtype=np.int64),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        shortlist=32,
+    )

@@ -375,3 +375,79 @@ def test_minhash_hash_families_agree_on_verified_output(spark):
             ).collect()
         }
     assert out["xxhash64"] == out["md5"]
+
+
+# --------------------------------------------------------------------------- #
+# Product quantization.
+# --------------------------------------------------------------------------- #
+
+
+def test_pq_pinned_codebooks_match_fresh_fit(spark):
+    """Drift guard: the pinned integer codebooks must equal a fresh
+    deterministic fit on the gate corpus (same contract as the IVF pin)."""
+    from data_lake_medallion_architecture_project_spark.operators.pq import train_pq_codebooks
+    from data_lake_medallion_architecture_project_spark.plans._pinned_pq import _PQ_CODEBOOKS_M8_K16
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    fresh = train_pq_codebooks(emb)
+    assert fresh.tolist() == _PQ_CODEBOOKS_M8_K16
+
+
+def test_pq_shortlist_is_exact_lattice_l2(spark):
+    """With codebooks whose codewords ARE the corpus subvectors (K covers
+    every distinct pattern), ADC equals exact lattice L2 — so the final
+    ranks must equal a numpy replication of exact-L2 shortlist + cosine
+    rerank, shortlist < corpus (non-vacuous pruning)."""
+    from data_lake_medallion_architecture_project_spark.operators.pq import (
+        PQ_SCALE,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(16, 16)).astype(np.float32)  # 16 DISTINCT vectors
+    n = len(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # K = corpus size and the sample covers everything: k-means converges to
+    # one codeword per subvector pattern, so quantization is LOSSLESS here.
+    books = train_pq_codebooks(df, m=4, k=16, sample_limit=64)
+    out = pq_topk(
+        df.filter(F.col("vec_id") < 3), df, books, k=3, shortlist=10
+    ).collect()
+
+    scaled = vecs.astype(np.float64) * PQ_SCALE
+    # Away-from-zero half rounding — F.round's semantics, not rint's half-even.
+    lat = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["cid"]))
+    for qid in range(3):
+        d2 = ((lat - lat[qid]) ** 2).sum(axis=1)
+        cand = [(d2[c], c) for c in range(n) if c != qid]
+        short = [c for _, c in sorted(cand)[:10]]
+        x = vecs.astype(np.float64)
+        cos = x @ x[qid] / (np.linalg.norm(x, axis=1) * np.linalg.norm(x[qid]))
+        rer = sorted(short, key=lambda c: (-cos[c], c))[:3]
+        assert [c for _, c in sorted(got[qid])] == rer
+
+
+def test_pq_registry_recall_floor(spark):
+    """The oracle-replayable registry shape must stay a usable ANN: recall@5
+    vs brute force ≥ 0.6 on the near-isotropic gate corpus (PQ's worst
+    case — the ADC shortlist uses unnormalized L2 while the target metric
+    is cosine; the exact rerank repairs the metric inside the shortlist)."""
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["qid"], r["cid"])
+        for r in REGISTRY["similarity_topk"].build(spark, sf).collect()
+    }
+    pq = {
+        (r["qid"], r["cid"])
+        for r in REGISTRY["pq_similarity_topk"].build(spark, sf).collect()
+    }
+    assert len(brute & pq) / len(brute) >= 0.6

@@ -63,6 +63,11 @@ NESTED_LOOP_OK = {
     # data scale: one row per priority enum value) — O(G²) in the bounded
     # group count, never in data rows; the inequality has no equi-key.
     "kmv_priority_customer_overlap",
+    # The compressed-domain ADC scan: 8 broadcast query TABLES against the
+    # 8-byte-code corpus — deliberately exhaustive (memory-bound lookups,
+    # the point of PQ); the IVF partition pruning composes in front when
+    # the scan itself must shrink (standard IVF-PQ).
+    "pq_similarity_topk",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
