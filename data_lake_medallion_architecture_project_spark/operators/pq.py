@@ -212,3 +212,107 @@ def pq_topk(
         rer.select("qid", "cid", F.row_number().over(w2).cast("long").alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _probe_udf(cent: np.ndarray, n_probe: int):
+    """Per-query n_probe nearest IVF centroids (stable argsort of normalized
+    dots — the same probe contract as operators/similarity.ivf_topk)."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_centroids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.array(s.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(norms == 0, 1.0, norms)
+            order = np.argsort(-(x @ cent.T), axis=1, kind="stable")
+            yield pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    return probe_centroids
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 6,
+    shortlist: int = 32,
+) -> DataFrame:
+    """The composed IVF-PQ serving stack [Jégou et al. TPAMI 2011, §V]:
+    IVF partition pruning shrinks WHICH codes are scanned (n_probe/
+    n_centroids of the corpus), PQ shrinks what a scanned row COSTS
+    (8-byte codes, table-lookup distances), and the exact cosine rerank
+    repairs both approximations inside the |Q|·shortlist window. With
+    n_probe = n_centroids this equals ``pq_topk`` exactly (tested) — the
+    pruning composes orthogonally.
+
+    At 100 TB the corpus is written bucketed by centroid with codes
+    precomputed (write_ivf_bucketed's layout plus a codes column), so a
+    probe is a partition-pruned scan of code columns only."""
+    from .similarity import _assign_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(cent))
+    kk = books.shape[1]
+    enc = _encode_udf(books)
+    qt = _qtable_udf(books)
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        _assign_udf(cent)(F.col(vec_col)).alias("centroid"),
+        enc(int_lattice(vec_col)).alias("codes"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            qt(int_lattice(vec_col)).alias("qtab"),
+            F.explode(_probe_udf(cent, n_probe)(F.col(vec_col))).alias("centroid"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(books.shape[0] - 1)),
+            lambda code, j: F.element_at(
+                F.col("qtab"), (j * kk + code + F.lit(1)).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid"))
+    short = (
+        c.join(q, "centroid")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", adc.alias("adc"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("qid", "cid")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cid"), to_double_array(vec_col).alias("cvec")
+    ).withColumn("cnorm", l2_norm(F.col("cvec")))
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"), to_double_array(vec_col).alias("qvec")
+        ).withColumn("qnorm", l2_norm(F.col("qvec")))
+    )
+    rer = (
+        short.join(cv, "cid")
+        .join(qv, "qid")
+        .select(
+            "qid",
+            "cid",
+            cosine(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        rer.select("qid", "cid", F.row_number().over(w2).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1330,3 +1330,143 @@ def pq_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=32,
     )
+
+
+def _ivfpq_topk_oracle(n_probe: int = 6, shortlist: int = 32, k_top: int = 5) -> str:
+    """DuckDB replay of the COMPOSED IVF-PQ stack: the IVF assignment/probe
+    CTEs from _ivf_topk_oracle (pinned k=8 float model, margin-guarded at
+    pin time) gate which candidates exist; the PQ CTEs from _pq_topk_oracle
+    (pinned integer codebooks, exact int64) score them; exact cosine
+    reranks the shortlist."""
+    from ..operators.pq import PQ_K, PQ_M, PQ_SCALE
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+    from ._pinned_pq import _PQ_CODEBOOKS_M8_K16 as books
+
+    kc = len(cent)
+    dots = ",\n         ".join(
+        "list_dot_product(e2, ["
+        + ", ".join(repr(v) for v in row)
+        + f"]::DOUBLE[]) AS d{i}"
+        for i, row in enumerate(cent)
+    )
+    whens = "\n    ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(i + 1, kc))
+        + f" THEN {i}"
+        for i in range(kc - 1)
+    )
+    structs = ", ".join("{'idx': %d, 'd': d%d}" % (i, i) for i in range(kc))
+    dsub = len(books[0][0])
+    vals = ",\n    ".join(
+        f"({m}, {kk}, [" + ", ".join(str(v) for v in books[m][kk]) + "]::BIGINT[])"
+        for m in range(PQ_M)
+        for kk in range(PQ_K)
+    )
+    return f"""
+WITH cb(m, k, c) AS (VALUES
+    {vals}
+),
+nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e2,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS e
+  FROM embeddings
+),
+ivfd AS (
+  SELECT vec_id, e2, nrm,
+         {dots}
+  FROM nv
+),
+assigned AS (
+  SELECT vec_id, CASE
+    {whens}
+    ELSE {kc - 1} END AS centroid
+  FROM ivfd
+),
+probes AS (
+  SELECT qid, idx AS centroid FROM (
+    SELECT vec_id AS qid, u.idx AS idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.d DESC, u.idx) AS r
+    FROM (SELECT vec_id, unnest([{structs}]) AS u FROM ivfd WHERE vec_id < 8)
+  ) WHERE r <= {n_probe}
+),
+sub AS (
+  SELECT vec_id, t.m AS m, list_slice(e, t.m * {dsub} + 1, (t.m + 1) * {dsub}) AS s
+  FROM nv, range({PQ_M}) t(m)
+),
+dist AS (
+  SELECT vec_id, sub.m, cb.k,
+         list_sum(list_transform(list_zip(s, c), t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probes p JOIN assigned a ON a.centroid = p.centroid AND a.vec_id <> p.qid
+),
+adc AS (
+  SELECT c.qid, c.cid, SUM(qd.d) AS adc
+  FROM cand c
+  JOIN codes cc ON cc.vec_id = c.cid
+  JOIN dist qd ON qd.vec_id = c.qid AND qd.m = cc.m AND qd.k = cc.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+    FROM adc
+  ) WHERE rn <= {shortlist}
+)
+SELECT qid, cid, rank FROM (
+  SELECT s.qid, s.cid,
+         row_number() OVER (PARTITION BY s.qid ORDER BY
+           list_sum(list_transform(list_zip(q.e2, c.e2), t -> t[1] * t[2]))
+             / (q.nrm * c.nrm) DESC,
+           s.cid) AS rank
+  FROM short s JOIN nv q ON q.vec_id = s.qid JOIN nv c ON c.vec_id = s.cid
+)
+WHERE rank <= {k_top}
+"""
+
+
+@register(
+    "ivfpq_similarity_topk",
+    oracle=_ivfpq_topk_oracle(),
+    tags=("similarity", "approx"),
+)
+def ivfpq_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED billion-vector serving stack (Jégou et al. TPAMI 2011
+    §V): IVF pruning shrinks WHICH vectors are scanned (n_probe=6 of the
+    pinned k=8 partitions), PQ shrinks what a scanned row COSTS (8-byte
+    codes, int-lattice ADC), exact cosine reranks the 32-candidate
+    shortlist. Both pinned models' replays — the IVF float argmax
+    (margin-guarded) and the PQ int64 arithmetic (exact by construction) —
+    compose into one oracle, so the hash gate certifies the STACK, not
+    just the tiers separately. With n_probe = n_centroids this equals
+    pq_similarity_topk exactly (unit-tested): pruning composes
+    orthogonally. At 100 TB the corpus is written bucketed by centroid
+    with a codes column, making a probe a partition-pruned scan that never
+    reads raw vectors outside the rerank."""
+    import numpy as np
+
+    from ..operators.pq import ivfpq_topk
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8
+    from ._pinned_pq import _PQ_CODEBOOKS_M8_K16
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        _CLUSTER_CENTROIDS_K8,
+        np.array(_PQ_CODEBOOKS_M8_K16, dtype=np.int64),
+        k=5,
+        n_probe=6,
+        shortlist=32,
+    )

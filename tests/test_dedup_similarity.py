@@ -451,3 +451,44 @@ def test_pq_registry_recall_floor(spark):
         for r in REGISTRY["pq_similarity_topk"].build(spark, sf).collect()
     }
     assert len(brute & pq) / len(brute) >= 0.6
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """Pruning composes orthogonally: probing ALL IVF partitions makes the
+    candidate set identical to the plain PQ scan, so the outputs must be
+    EQUAL — any divergence means the pruning leaked into the scoring."""
+    from data_lake_medallion_architecture_project_spark.operators.pq import ivfpq_topk, pq_topk
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+    from data_lake_medallion_architecture_project_spark.plans._pinned_pq import _PQ_CODEBOOKS_M8_K16
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    books = np.array(_PQ_CODEBOOKS_M8_K16, dtype=np.int64)
+    plain = sorted(tuple(r) for r in pq_topk(q, emb, books, k=5, shortlist=32).collect())
+    full = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            q, emb, _CLUSTER_CENTROIDS_K8, books, k=5, n_probe=8, shortlist=32
+        ).collect()
+    )
+    assert full == plain
+
+
+def test_ivfpq_registry_recall_floor(spark):
+    """The composed registry shape carries BOTH approximations (partition
+    pruning + quantized shortlist); it must still clear recall@5 >= 0.5 vs
+    brute force on the worst-case isotropic corpus."""
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["qid"], r["cid"])
+        for r in REGISTRY["similarity_topk"].build(spark, sf).collect()
+    }
+    both = {
+        (r["qid"], r["cid"])
+        for r in REGISTRY["ivfpq_similarity_topk"].build(spark, sf).collect()
+    }
+    assert len(brute & both) / len(brute) >= 0.5
