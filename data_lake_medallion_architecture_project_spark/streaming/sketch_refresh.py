@@ -43,14 +43,19 @@ from ..functions.sketches import (
     dd_quantiles,
     hll_estimate,
     hll_registers,
+    kmv_hash,
+    kmv_state,
+    kmv_theta,
 )
 from ..storage import TxnTable
 
 __all__ = [
     "fold_hll_state",
     "fold_dd_state",
+    "fold_kmv_state",
     "weekly_users_from_state",
     "quantiles_from_state",
+    "distinct_est_from_kmv_state",
     "run_sketch_gold_refresh",
 ]
 
@@ -143,6 +148,58 @@ def fold_dd_state(
             app_id=app_id,
             batch_id=batch_id,
         )
+    )
+
+
+def fold_kmv_state(
+    spark: SparkSession,
+    state: TxnTable,
+    batch: DataFrame,
+    group_col: str,
+    day_col: str,
+    id_col: str,
+    app_id: str,
+    batch_id: int,
+) -> int:
+    """Fold one batch's ids into the day-grain KMV state: union the stored
+    retained hashes of the touched days with the batch's k-min and RETAKE
+    the k minima (the KMV monoid). Unlike the HLL/DD folds this can EVICT
+    rows (a new small hash pushes the old k-th out), so the commit is
+    ``merge_overwrite_partitions`` — the touched day partitions are replaced
+    wholesale, keeping the state at ≤k rows per (group, day) instead of
+    accreting stale hashes that a read-side re-rank would have to discard.
+    Returns day partitions touched; 0 on a replayed batch."""
+    new = kmv_state(
+        batch.select(group_col, _day(day_col), kmv_hash(id_col).alias("h")),
+        [group_col, "day"],
+    )
+    snap = state.snapshot()
+    if snap.version >= 0:
+        days = [r["day"] for r in new.select("day").distinct().collect()]
+        prev = state.read(spark, partition_values=days).select(
+            group_col, "day", "h"
+        )
+        new = kmv_state(new.unionByName(prev), [group_col, "day"])
+    return len(
+        state.merge_overwrite_partitions(
+            new, partition_col="day", app_id=app_id, batch_id=batch_id
+        )
+    )
+
+
+def distinct_est_from_kmv_state(
+    spark: SparkSession, state: TxnTable, group_col: str
+) -> DataFrame:
+    """Per-group distinct estimates from the KMV state alone: merge the
+    day-grain retained sets up to the group (union + retake-k — associative,
+    so fold order never matters) and estimate. Exactly the per-group half of
+    ``kmv_priority_customer_overlap``; the pairwise set algebra runs on the
+    same merged states."""
+    merged = kmv_state(
+        state.read(spark).select(group_col, "h"), [group_col]
+    )
+    return kmv_theta(merged, [group_col]).select(
+        group_col, F.col("est").alias("est_distinct")
     )
 
 

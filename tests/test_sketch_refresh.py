@@ -190,3 +190,67 @@ def test_sketch_fold_idempotent_without_new_files(spark, tmp_path):
     assert hll.snapshot().version == v_hll
     assert dd.snapshot().version == v_dd
     assert _sorted(dd.read(spark)) == before
+
+
+def test_kmv_fold_equals_direct_and_evicts(spark, tmp_path):
+    """Folding two batches (the second re-touching an existing day with new
+    users) must leave EXACTLY the same retained-hash state as sketching the
+    full corpus from scratch — including EVICTION: a new smaller hash must
+    push the old k-th minimum out of the stored partition, not accrete
+    beside it. The rollup estimate must match the direct estimate exactly."""
+    from data_lake_medallion_architecture_project_spark.functions.sketches import (
+        KMV_K,
+        kmv_hash,
+        kmv_state,
+        kmv_theta,
+    )
+    from data_lake_medallion_architecture_project_spark.streaming.sketch_refresh import (
+        distinct_est_from_kmv_state,
+        fold_kmv_state,
+    )
+
+    state = TxnTable(str(tmp_path / "kmv_day_state"))
+    b1 = _events(spark, 1, 3)
+    # Batch 2 re-touches day 3 with a fresh user population and adds day 4.
+    b2 = _events(spark, 3, 4).withColumn(
+        "user_id", F.concat(F.lit("new_"), F.col("user_id"))
+    )
+    n1 = fold_kmv_state(spark, state, b1, "status", "ts", "user_id", "app", 1)
+    n2 = fold_kmv_state(spark, state, b2, "status", "ts", "user_id", "app", 2)
+    assert n1 == 3 and n2 == 2
+    # Replay of batch 2 must no-op.
+    assert fold_kmv_state(spark, state, b2, "status", "ts", "user_id", "app", 2) == 0
+
+    full = b1.unionByName(b2)
+    direct = kmv_state(
+        full.select(
+            "status",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            kmv_hash("user_id").alias("h"),
+        ),
+        ["status", "day"],
+    )
+    stored = state.read(spark).select("status", "day", "h")
+    assert stored.exceptAll(direct).count() == 0
+    assert direct.exceptAll(stored).count() == 0
+    # Per-(group, day) the partition holds at most k rows (eviction worked).
+    maxn = (
+        stored.groupBy("status", "day")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert maxn <= KMV_K
+
+    est_state = {
+        r["status"]: r["est_distinct"]
+        for r in distinct_est_from_kmv_state(spark, state, "status").collect()
+    }
+    merged_direct = kmv_state(
+        full.select("status", kmv_hash("user_id").alias("h")), ["status"]
+    )
+    est_direct = {
+        r["status"]: r["est"]
+        for r in kmv_theta(merged_direct, ["status"]).collect()
+    }
+    assert est_state == est_direct
