@@ -231,6 +231,7 @@ def run_sketch_gold_refresh(
     id_col: str = "user_id",
     group_col: str | None = None,
     value_col: str | None = None,
+    kmv_group_col: str | None = None,
 ) -> dict[str, int]:
     """Fold all not-yet-seen event files into the sketch state tables.
 
@@ -239,12 +240,20 @@ def run_sketch_gold_refresh(
     markers close the crash window between a fold and its checkpoint commit.
     Returns {state_table: day_partitions_touched_in_last_batch}; re-running
     with no new files (or replaying a committed batch) touches nothing and
-    reports 0.
+    reports 0. ``kmv_group_col`` additionally maintains the per-group KMV
+    retained-hash state (distinct-count AND set-operation serving:
+    intersections/Jaccard between groups, which the HLL registers cannot
+    answer).
     """
     hll_state = TxnTable(os.path.join(state_root, "hll_day_registers"))
     dd_state = (
         TxnTable(os.path.join(state_root, "dd_day_buckets"))
         if group_col and value_col
+        else None
+    )
+    kmv_state_tbl = (
+        TxnTable(os.path.join(state_root, "kmv_day_hashes"))
+        if kmv_group_col
         else None
     )
     schema = spark.read.parquet(events_dir).schema
@@ -259,6 +268,11 @@ def run_sketch_gold_refresh(
             touched["dd_day_buckets"] = fold_dd_state(
                 spark, dd_state, batch_df, group_col, day_col, value_col,
                 app_id="sketch-gold/dd", batch_id=batch_id,
+            )
+        if kmv_state_tbl is not None:
+            touched["kmv_day_hashes"] = fold_kmv_state(
+                spark, kmv_state_tbl, batch_df, kmv_group_col, day_col, id_col,
+                app_id="sketch-gold/kmv", batch_id=batch_id,
             )
 
     query = (

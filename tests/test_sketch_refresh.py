@@ -51,13 +51,15 @@ def test_sketch_fold_equals_full_recompute_on_append(spark, tmp_path):
     # Batch 1: days 1-7 land and fold.
     _events(spark, 1, 7).write.mode("append").parquet(src)
     run_sketch_gold_refresh(
-        spark, src, state_root, ckpt, group_col="status", value_col="value"
+        spark, src, state_root, ckpt, group_col="status", value_col="value",
+        kmv_group_col="status",
     )
     # Batch 2: days 5-12 (overlapping days 5-7 — the fold must MERGE into
     # existing day partitions, not just add new ones).
     _events(spark, 5, 12).write.mode("append").parquet(src)
     run_sketch_gold_refresh(
-        spark, src, state_root, ckpt, group_col="status", value_col="value"
+        spark, src, state_root, ckpt, group_col="status", value_col="value",
+        kmv_group_col="status",
     )
 
     full = spark.read.parquet(src)
@@ -87,6 +89,16 @@ def test_sketch_fold_equals_full_recompute_on_append(spark, tmp_path):
     )
     assert _sorted(weekly) == _sorted(direct_weekly)
     assert weekly.count() >= 2  # the 12 days span multiple ISO weeks
+
+    # KMV retained-hash state == from-scratch k-min over ALL data.
+    from data_lake_medallion_architecture_project_spark.functions.sketches import kmv_hash, kmv_state
+
+    kmv_tbl = TxnTable(f"{state_root}/kmv_day_hashes").read(spark)
+    direct_kmv = kmv_state(
+        full.select("status", day, kmv_hash("user_id").alias("h")),
+        ["status", "day"],
+    )
+    assert _sorted(kmv_tbl.select("status", "day", "h")) == _sorted(direct_kmv)
 
     q_state = quantiles_from_state(
         spark, TxnTable(f"{state_root}/dd_day_buckets"), "status"
