@@ -677,3 +677,95 @@ def priority_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Association rules — market-basket support/confidence/lift over orders.
+# --------------------------------------------------------------------------- #
+
+AR_TOP = 25
+
+_ASSOC_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+ic AS (SELECT p, COUNT(*) AS c FROM li GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT part_a, part_b, n_ab FROM pairs
+  ORDER BY n_ab DESC, part_a, part_b LIMIT {AR_TOP}
+)
+SELECT t.part_a, t.part_b,
+       ca.c AS n_a, cb.c AS n_b, t.n_ab, n.n_orders,
+       CAST(t.n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+       CAST(t.n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_a_to_b,
+       CAST(t.n_ab AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_b_to_a,
+       (CAST(t.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+FROM top t
+JOIN ic ca ON ca.p = t.part_a
+JOIN ic cb ON cb.p = t.part_b
+CROSS JOIN n
+"""
+
+
+@register(
+    "part_association_rules", oracle=_ASSOC_ORACLE, tags=("analytics", "graph")
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders (Agrawal & Srikant,
+    VLDB'94 measures): the top-25 co-purchased part pairs with support,
+    both directed confidences, and lift. Integer anchors (n_a, n_b, n_ab,
+    n_orders) carry the gate; the measures are single-division (or one
+    product + one division, identically parenthesized) IEEE ops from exact
+    integers, so both engines emit identical doubles.
+
+    Scale shape: baskets collapse to DISTINCT (order, part) once; pair
+    counts come from the same bounded-fan-out equi self-join as the
+    co-purchase graph (≤ lines² per order, ≤13 lines in TPC-H) with
+    map-side partial counting; top-25 is TakeOrderedAndProject
+    (per-partition top-N, no global sort); item counts attach to the
+    25-row winner set by broadcast. The 1-row basket total is the
+    whitelisted scalar-broadcast shape."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = li.select(F.countDistinct("ok").alias("n_orders"))
+    ic = li.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select("ok", F.col("p").alias("part_a"))
+    b = li.select("ok", F.col("p").alias("part_b"))
+    top = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(AR_TOP)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        ic.select(F.col("p").alias("part_a"), F.col("c").alias("n_a"))
+        .join(F.broadcast(top), "part_a")
+        .join(
+            ic.select(F.col("p").alias("part_b"), F.col("c").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            "n_orders",
+            (d("n_ab") / d("n_orders")).alias("support"),
+            (d("n_ab") / d("n_a")).alias("conf_a_to_b"),
+            (d("n_ab") / d("n_b")).alias("conf_b_to_a"),
+            ((d("n_ab") * d("n_orders")) / (d("n_a") * d("n_b"))).alias("lift"),
+        )
+    )

@@ -412,3 +412,38 @@ def test_trendline_recovers_exact_line(spark):
     assert r["n_days"] == 20
     assert r["slope_cents_per_day"] == 3.0
     assert r["r_squared"] == 1.0
+
+
+def test_association_rules_measures_reconcile(spark):
+    """Rule measures must reconcile with their integer anchors exactly, and
+    a planted always-together pair must surface with confidence 1.0 from
+    both directions and lift = n_orders / n_a."""
+    rows = (
+        REGISTRY["part_association_rules"].build(spark, SF_SMALL).collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 1 <= r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["support"] == r["n_ab"] / r["n_orders"]
+        assert r["conf_a_to_b"] == r["n_ab"] / r["n_a"]
+        assert r["conf_b_to_a"] == r["n_ab"] / r["n_b"]
+        assert r["lift"] == (r["n_ab"] * r["n_orders"]) / (r["n_a"] * r["n_b"])
+
+    import tempfile, os
+
+    # 30 baskets; parts 1 and 2 ALWAYS co-occur (10 times); part 3 everywhere.
+    li = [(ok, 1) for ok in range(10)] + [(ok, 2) for ok in range(10)]
+    li += [(ok, 3) for ok in range(30)] + [(ok, 100 + ok) for ok in range(30)]
+    df = spark.createDataFrame(li, ["l_orderkey", "l_partkey"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "lineitem.parquet"))
+        out = {
+            (r["part_a"], r["part_b"]): r
+            for r in REGISTRY["part_association_rules"].build(spark, td).collect()
+        }
+    r12 = out[(1, 2)]
+    assert r12["n_ab"] == 10 and r12["conf_a_to_b"] == 1.0 and r12["conf_b_to_a"] == 1.0
+    assert r12["lift"] == 3.0  # 10*30/(10*10)
+    r13 = out[(1, 3)]
+    assert r13["conf_a_to_b"] == 1.0 and r13["lift"] == 1.0  # 3 is independent-ish

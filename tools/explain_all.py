@@ -68,6 +68,9 @@ NESTED_LOOP_OK = {
     # the point of PQ); the IVF partition pruning composes in front when
     # the scan itself must shrink (standard IVF-PQ).
     "pq_similarity_topk",
+    # Scalar broadcast: the 1-row basket total (n_orders) cross-joined onto
+    # the 25-row winner set — the whitelisted O(n)·O(1) shape.
+    "part_association_rules",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
