@@ -576,3 +576,101 @@ def priority_revenue_trendline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (den.cast("double") * deny.cast("double"))
         ).alias("r_squared"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# CUSUM change detection — the recursive alarm as an exact window identity.
+# --------------------------------------------------------------------------- #
+
+CUSUM_H_NUM = 4  # alarm threshold h = 4·k (in units of the reference value)
+
+_CUSUM_ORACLE = f"""
+WITH d AS (
+  SELECT o_orderpriority AS prio,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1, 2
+),
+k AS (SELECT prio, (5 * SUM(c)) // (4 * COUNT(*)) AS k FROM d GROUP BY prio),
+w AS (
+  SELECT d.prio, d.day, d.c, k.k,
+         SUM(d.c) OVER win - k.k * (row_number() OVER win) AS drift
+  FROM d JOIN k ON k.prio = d.prio
+  WINDOW win AS (PARTITION BY d.prio ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT prio, day, c, k,
+         drift - LEAST(0, COALESCE(MIN(drift) OVER (
+           PARTITION BY prio ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)) AS cusum
+  FROM w
+)
+SELECT prio, day, c AS revenue_cents, cusum AS cusum_cents
+FROM s WHERE cusum > {CUSUM_H_NUM} * k
+"""
+
+
+@register("revenue_cusum_alerts", oracle=_CUSUM_ORACLE, tags=("temporal", "quality"))
+def revenue_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-shift alarms on daily revenue per priority (Page 1954):
+    days where the one-sided cumulative sum S_t = max(0, S_{t-1} + x_t − k)
+    exceeds h = 4k, with the standard allowance built into the reference
+    value k = 1.25·mean (integer form (5·total) DIV (4·days)): a CUSUM
+    referenced at the plain mean is a zero-drift reflected random walk that
+    alarms constantly; the +25% allowance makes drift negative in-control,
+    so only a genuine upward shift accumulates to the alarm line.
+    The textbook form is a sequential max-recursion no two
+    engines replay bit-identically in floats and no window expresses
+    directly — but it has an exact prefix identity:
+
+        S_t = (P_t − k·t) − min(0, min_{j≤t−1}(P_j − k·j))
+
+    (P = running revenue sum), i.e. one running-sum window and one
+    running-min window over the drift series. (The textbook S_t also mins
+    over j = t, which floors it at 0; the two forms differ only when the
+    true S_t = 0, and 0 never crosses the positive alarm line — so the
+    FLAGGED set, and every emitted alarm value, is exactly the textbook
+    CUSUM's. The planted-shift unit test replays the recursion directly.) With revenue in integer
+    cents and the reference k = total DIV days (integer division), every
+    term is exact int64, so alarm membership is bit-identical cross-engine
+    — the same recursion-to-window unlock as the EWMA's closed form.
+
+    Scale shape: one day-grain agg (calendar-bounded), a 2-row-frame
+    window pass per priority, and a broadcast of the G-row k table. The
+    min(0, ·) guard rides on COALESCE(first row) + the fact that
+    drift_0 − min-prefix can never go below 0 once 0 is in the prefix set
+    — handled by clamping the prefix min at 0."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("prio", "day")
+        .agg(F.sum("cents").alias("c"))
+    )
+    k = daily.groupBy("prio").agg(
+        F.expr("(5 * sum(c)) div (4 * count(*))").alias("k")
+    )
+    win = Window.partitionBy("prio").orderBy("day")
+    run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = win.rowsBetween(Window.unboundedPreceding, -1)
+    drift = F.sum("c").over(run) - F.col("k") * F.row_number().over(win)
+    staged = daily.join(F.broadcast(k), "prio").select(
+        "prio", "day", "c", "k", drift.alias("drift")
+    )
+    cusum = F.col("drift") - F.least(
+        F.lit(0).cast("long"), F.coalesce(F.min("drift").over(prev), F.lit(0))
+    )
+    out = staged.select(
+        "prio", "day", F.col("c").alias("revenue_cents"),
+        cusum.alias("cusum_cents"), "k",
+    )
+    return out.where(
+        F.col("cusum_cents") > F.lit(CUSUM_H_NUM) * F.col("k")
+    ).select("prio", "day", "revenue_cents", "cusum_cents")

@@ -447,3 +447,37 @@ def test_association_rules_measures_reconcile(spark):
     assert r12["lift"] == 3.0  # 10*30/(10*10)
     r13 = out[(1, 3)]
     assert r13["conf_a_to_b"] == 1.0 and r13["lift"] == 1.0  # 3 is independent-ish
+
+
+def test_cusum_alerts_match_textbook_recursion(spark):
+    """Planted upward shift: 30 in-control days at $1.00/day then 10 days at
+    $4.00/day. The window-identity alarms must equal replaying the textbook
+    recursion S_t = max(0, S_{t-1} + x_t - k) day by day — same days, same
+    S values — and the in-control prefix must never alarm."""
+    import tempfile, os
+
+    days = [100] * 30 + [400] * 10  # cents per day
+    rows = [
+        ("X", "1996-%02d-%02d" % (1 + d // 28, 1 + d % 28), c / 100.0)
+        for d, c in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows, ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "orders.parquet"))
+        out = {
+            r["day"]: r["cusum_cents"]
+            for r in REGISTRY["revenue_cusum_alerts"].build(spark, td).collect()
+        }
+
+    total = sum(days)
+    k = (5 * total) // (4 * len(days))
+    s_val, expect = 0, {}
+    for d, c in enumerate(days):
+        s_val = max(0, s_val + c - k)
+        if s_val > 4 * k:
+            expect["1996-%02d-%02d" % (1 + d // 28, 1 + d % 28)] = s_val
+    assert len(expect) > 0  # the plant must actually alarm
+    assert out == expect
+    assert min(expect) > "1996-02-02"  # nothing before the shift
