@@ -674,3 +674,106 @@ def revenue_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         F.col("cusum_cents") > F.lit(CUSUM_H_NUM) * F.col("k")
     ).select("prio", "day", "revenue_cents", "cusum_cents")
+
+
+# --------------------------------------------------------------------------- #
+# Distribution drift — two-sample chi-square over the priority mix.
+# --------------------------------------------------------------------------- #
+
+DRIFT_SPLIT_YEAR = 1998  # p1 = orders before this year, p2 = from it on
+
+_DRIFT_ORACLE = f"""
+WITH cells AS (
+  SELECT CASE WHEN year(o_orderdate) < {DRIFT_SPLIT_YEAR} THEN 'p1' ELSE 'p2' END AS period,
+         o_orderpriority AS prio, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT period, prio, o,
+         SUM(o) OVER (PARTITION BY period) AS r,
+         SUM(o) OVER (PARTITION BY prio) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+t AS (
+  SELECT period, prio, o,
+         CAST(
+           (CAST(o AS DOUBLE) - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE) - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n AS DOUBLE))
+           / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n AS DOUBLE))
+           AS DECIMAL(20,9)) AS term
+  FROM m
+),
+p AS (
+  SELECT prio,
+         SUM(CASE WHEN period = 'p1' THEN o END) AS n_p1,
+         SUM(CASE WHEN period = 'p2' THEN o END) AS n_p2,
+         SUM(term) AS chi2_sum
+  FROM t GROUP BY prio
+)
+SELECT prio, CAST(n_p1 AS BIGINT) AS n_p1, CAST(n_p2 AS BIGINT) AS n_p2,
+       CAST(chi2_sum AS DOUBLE) AS chi2_contrib,
+       CAST(SUM(chi2_sum) OVER () AS DOUBLE) AS chi2_total
+FROM p
+"""
+
+
+@register("priority_mix_drift", oracle=_DRIFT_ORACLE, tags=("temporal", "quality"))
+def priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square drift test on the order-priority mix between
+    eras (pre/post {split}): the data-drift check a training pipeline runs
+    before trusting a new snapshot — "did the label/source distribution
+    move?". Pearson's X² = Σ (O−E)²/E over the G×2 contingency table, with
+    E from the margins. Cross-engine float discipline is the perplexity
+    recipe: O, margins, and N are exact longs; each cell's term is a fixed
+    IEEE op sequence from identical operands, QUANTIZED to DECIMAL(20,9)
+    before any sum, so the per-priority contributions and the total are
+    order-independent exact decimal adds.
+
+    Scale shape: ONE fact-table aggregate down to the G×2 cell grain;
+    everything after runs on ≤10 rows (window margins over the bounded
+    enum, no joins at all)."""
+    prio_period = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.year("o_orderdate") < DRIFT_SPLIT_YEAR, "p1")
+        .otherwise("p2")
+        .alias("period"),
+    )
+    cells = prio_period.groupBy("period", "prio").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_per = Window.partitionBy("period")
+    w_prio = Window.partitionBy("prio")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "period",
+        "prio",
+        "o",
+        F.sum("o").over(w_per).alias("r"),
+        F.sum("o").over(w_prio).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = (F.col("r").cast("double") * F.col("c").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    term = (
+        ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)) / e
+    ).cast("decimal(20,9)")
+    p = m.select("period", "prio", "o", term.alias("term")).groupBy("prio").agg(
+        F.sum(F.when(F.col("period") == "p1", F.col("o"))).alias("n_p1"),
+        F.sum(F.when(F.col("period") == "p2", F.col("o"))).alias("n_p2"),
+        F.sum("term").alias("chi2_sum"),
+    )
+    # Exact decimal sums internally; one final cast to DOUBLE on BOTH sides
+    # (a trailing-zero Decimal string and its float render differ — the
+    # perplexity recipe's closing move).
+    return p.select(
+        "prio",
+        "n_p1",
+        "n_p2",
+        F.col("chi2_sum").cast("double").alias("chi2_contrib"),
+        F.sum("chi2_sum")
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("chi2_total"),
+    )

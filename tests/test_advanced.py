@@ -481,3 +481,32 @@ def test_cusum_alerts_match_textbook_recursion(spark):
     assert len(expect) > 0  # the plant must actually alarm
     assert out == expect
     assert min(expect) > "1996-02-02"  # nothing before the shift
+
+
+def test_chi2_drift_detects_planted_shift(spark):
+    """An identical mix in both periods gives X^2 = 0 exactly (O = E
+    cell-for-cell); a planted flip of the mix produces a large X^2 and the
+    contributions reconcile with a numpy replication."""
+    import tempfile, os
+
+    def write(rows, td):
+        df = spark.createDataFrame(
+            rows, ["o_orderpriority", "o_orderdate", "o_totalprice"]
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        df.write.parquet(os.path.join(td, "orders.parquet"))
+        return td
+
+    same = [("A", "1996-01-01", 1.0)] * 40 + [("B", "1996-01-01", 1.0)] * 60
+    same += [("A", "1999-01-01", 1.0)] * 40 + [("B", "1999-01-01", 1.0)] * 60
+    with tempfile.TemporaryDirectory() as td:
+        out = REGISTRY["priority_mix_drift"].build(spark, write(same, td)).collect()
+    assert all(r["chi2_contrib"] == 0.0 and r["chi2_total"] == 0.0 for r in out)
+
+    flip = [("A", "1996-01-01", 1.0)] * 80 + [("B", "1996-01-01", 1.0)] * 20
+    flip += [("A", "1999-01-01", 1.0)] * 20 + [("B", "1999-01-01", 1.0)] * 80
+    with tempfile.TemporaryDirectory() as td:
+        out = {r["o_orderpriority"] if "o_orderpriority" in r else r["prio"]: r
+               for r in REGISTRY["priority_mix_drift"].build(spark, write(flip, td)).collect()}
+    # E = 50 everywhere; each cell contributes (30^2)/50 = 18 -> per-prio 36.
+    assert out["A"]["chi2_contrib"] == 36.0 and out["B"]["chi2_contrib"] == 36.0
+    assert out["A"]["chi2_total"] == 72.0
