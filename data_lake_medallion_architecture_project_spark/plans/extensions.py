@@ -1470,3 +1470,67 @@ def ivfpq_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=6,
         shortlist=32,
     )
+
+
+# --------------------------------------------------------------------------- #
+# Per-dimension embedding statistics — feature-scaling prep, exact moments.
+# --------------------------------------------------------------------------- #
+
+_DIM_STATS_ORACLE = """
+WITH x AS (
+  SELECT u.dim, CAST(round(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (
+    SELECT unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  ) u
+),
+m AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS ss
+  FROM x GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean,
+       CAST(n * ss - s * s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12) AS variance
+FROM m
+"""
+
+
+@register("embedding_dimension_stats", oracle=_DIM_STATS_ORACLE, tags=("similarity", "eval"))
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    feature-standardization statistics ((x−μ)/σ scaling, PCA whitening
+    prep) every ML data pipeline computes before training. Exactness via
+    the 10⁶ integer lattice (the PQ quantization): per-dimension Σq and
+    Σq² accumulate as DECIMAL(38,0) — order-independent exact integers at
+    any parallelism — and population variance comes from the one-pass
+    identity (n·Σq²−(Σq)²)/n², floats only in the final scaled divisions.
+
+    Scale shape: posexplode is a map-only ×dim fan-out feeding a map-side-
+    combinable agg to the DIM grain (64 rows out, whatever the corpus);
+    no join, one KB-scale shuffle."""
+    from ..operators.pq import PQ_SCALE, int_lattice
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(int_lattice("embedding")).alias("dim0", "q")
+    ).select((F.col("dim0") + 1).cast("long").alias("dim"), "q")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.sum("q")).alias("s"),
+        dec(F.sum(dec(F.col("q")) * F.col("q"))).alias("ss"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        "dim",
+        "n",
+        (F.col("s").cast("double") / (n_d * F.lit(float(PQ_SCALE)))).alias("mean"),
+        (
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (n_d * n_d * F.lit(1e12))
+        ).alias("variance"),
+    )

@@ -492,3 +492,24 @@ def test_ivfpq_registry_recall_floor(spark):
         for r in REGISTRY["ivfpq_similarity_topk"].build(spark, sf).collect()
     }
     assert len(brute & both) / len(brute) >= 0.5
+
+
+def test_dimension_stats_match_numpy(spark):
+    """Lattice-exact per-dimension moments must agree with float64 numpy to
+    quantization precision (1e-6 lattice -> ~1e-6 on mean, ~1e-5 on var)."""
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    out = {
+        r["dim"]: r
+        for r in REGISTRY["embedding_dimension_stats"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(out) == x.shape[1]
+    for d in range(x.shape[1]):
+        r = out[d + 1]
+        assert r["n"] == len(x)
+        assert abs(r["mean"] - x[:, d].mean()) < 1e-5
+        assert abs(r["variance"] - x[:, d].var()) < 1e-4
