@@ -144,7 +144,7 @@ def lineitem_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate clusters — connected components over the similarity graph.
 # --------------------------------------------------------------------------- #
 
-_CLUSTERS_ORACLE = """
+_CLUSTERS_CTE = """
 WITH RECURSIVE
 s AS (
   SELECT doc_id,
@@ -164,10 +164,16 @@ reach(a, comp) AS (
   SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
   UNION
   SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.a
+),
+cl AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(m.comp, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT a, MIN(comp) AS comp FROM reach GROUP BY a) m ON d.doc_id = m.a
 )
-SELECT d.doc_id, COALESCE(m.comp, d.doc_id) AS cluster_id
-FROM documents d
-LEFT JOIN (SELECT a, MIN(comp) AS comp FROM reach GROUP BY a) m ON d.doc_id = m.a
+"""
+
+_CLUSTERS_ORACLE = _CLUSTERS_CTE + """
+SELECT doc_id, cluster_id FROM cl
 """
 
 
@@ -767,5 +773,72 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d("n_ab") / d("n_a")).alias("conf_a_to_b"),
             (d("n_ab") / d("n_b")).alias("conf_b_to_a"),
             ((d("n_ab") * d("n_orders")) / (d("n_a") * d("n_b"))).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Leakage-free split — train/val/test decided per near-dup CLUSTER.
+# --------------------------------------------------------------------------- #
+
+_LEAKAGE_SPLIT_ORACLE = _CLUSTERS_CTE + """
+, asg AS (
+  SELECT n_chars, cluster_id,
+         CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM cl
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM asg GROUP BY split
+"""
+
+
+@register(
+    "leakage_free_split_summary",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("sampling", "dedup"),
+)
+def leakage_free_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment decided per NEAR-DUP CLUSTER, not per
+    document — the leakage-free split: `doc_split_summary`'s md5(doc_id)
+    rule puts two near-identical documents in train and test with
+    probability 2·p·(1−p), silently contaminating evaluation; hashing the
+    CLUSTER id instead makes every member of a similarity component land in
+    the same split by construction (Lee et al. 2022's deduplication-aware
+    eval discipline). Same 80/10/10 md5 thresholds as the doc-level split,
+    same byte determinism; clusters from the prefix-filtered exact-Jaccard
+    graph + min-label components (`near_dup_clusters`' machinery), so the
+    oracle replays clustering AND assignment. Scale: the cluster pass is
+    the near-dup cost (LSH-bounded); the split itself is a map-only hash +
+    3-group agg."""
+    from ..operators.dedup import shingle_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    cl = docs.select("doc_id", "n_chars").join(
+        comp, docs["doc_id"] == comp["id"], "left"
+    ).select(
+        "n_chars", F.coalesce("comp", "doc_id").cast("long").alias("cluster_id")
+    )
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    return (
+        cl.select(
+            "n_chars",
+            "cluster_id",
+            F.when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
         )
     )

@@ -510,3 +510,35 @@ def test_chi2_drift_detects_planted_shift(spark):
     # E = 50 everywhere; each cell contributes (30^2)/50 = 18 -> per-prio 36.
     assert out["A"]["chi2_contrib"] == 36.0 and out["B"]["chi2_contrib"] == 36.0
     assert out["A"]["chi2_total"] == 72.0
+
+
+def test_leakage_free_split_never_splits_a_cluster(spark):
+    """The defining property: every near-dup cluster lands wholly in ONE
+    split (md5 of the cluster id, not the doc id), and the three splits
+    partition the corpus."""
+    from data_lake_medallion_architecture_project_spark.operators.components import connected_components
+    from data_lake_medallion_architecture_project_spark.operators.dedup import shingle_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    cl = docs.select("doc_id").join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").cast("long").alias("cluster_id")
+    )
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    assigned = cl.select(
+        "cluster_id",
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test").alias("split"),
+    )
+    spans = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    out = {r["split"]: r for r in REGISTRY["leakage_free_split_summary"].build(spark, SF_SMALL).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    # Cluster-level split => multi-doc clusters shift counts vs doc-level.
+    assert all(r["n_clusters"] <= r["n_docs"] for r in out.values())
