@@ -90,6 +90,8 @@ def prepare_corpus(
     mix_default_rate: float = 1.0,
     max_perplexity: float | None = None,
     max_shared_fraction: float | None = None,
+    split_by_cluster: bool = False,
+    cluster_threshold: float = 0.8,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
@@ -104,6 +106,12 @@ def prepare_corpus(
       model on the in-flight corpus and drops documents whose perplexity
       exceeds the threshold. Deterministic given the corpus (total-ordered
       cap, quantized-decimal log sums).
+    * ``split_by_cluster`` — leakage-free splitting: train/val/test is
+      decided by md5 of the document's NEAR-DUP CLUSTER id (prefix-filtered
+      shingle-Jaccard graph at ``cluster_threshold`` + connected
+      components), so residual near-duplicates BELOW the dedup threshold
+      can never straddle train and test (the registry's
+      ``leakage_free_split_summary`` contract, inside the front door).
     * ``max_shared_fraction`` — substring-overlap filter (Lee et al. 2022;
       ``plans/curation.cross_doc_overlap_scores``): drops documents whose
       fraction of 5-gram positions shared with OTHER in-flight documents
@@ -184,11 +192,32 @@ def prepare_corpus(
     )
     report["after_source_cap"] = docs.count()
 
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    if split_by_cluster:
+        from .operators.components import connected_components
+        from .operators.dedup import shingle_jaccard_pairs
+
+        pairs = shingle_jaccard_pairs(
+            docs, "doc_id", "text", threshold=cluster_threshold, n=3
+        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        docs = (
+            docs.join(comp, docs["doc_id"] == comp["id"], "left")
+            .withColumn(
+                "__cluster", F.coalesce("comp", "doc_id").cast("long")
+            )
+            .drop("id", "comp")
+        )
+        split_key = F.col("__cluster")
+        report["split_clusters"] = docs.select("__cluster").distinct().count()
+    else:
+        split_key = F.col("doc_id")
+    bucket = F.substring(F.md5(split_key.cast("string")), 1, 2)
     docs = docs.withColumn(
         "split",
         F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"),
     )
+    if split_by_cluster:
+        docs = docs.drop("__cluster")
     report["splits"] = {
         r["split"]: r["n"]
         for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -228,6 +257,8 @@ def main() -> None:
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--max-perplexity", type=float, default=None)
     ap.add_argument("--max-shared-fraction", type=float, default=None)
+    ap.add_argument("--split-by-cluster", action="store_true")
+    ap.add_argument("--cluster-threshold", type=float, default=0.8)
     args = ap.parse_args()
     from .session import get_spark
 
@@ -244,6 +275,8 @@ def main() -> None:
         mix_default_rate=args.mix_default,
         max_perplexity=args.max_perplexity,
         max_shared_fraction=args.max_shared_fraction,
+        split_by_cluster=args.split_by_cluster,
+        cluster_threshold=args.cluster_threshold,
     )
     print(json.dumps(report))
 

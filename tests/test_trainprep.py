@@ -159,3 +159,48 @@ def test_overlap_filter_stage(spark, tmp_path):
         max_shared_fraction=0.2,
     )
     assert c["after_overlap_filter"] <= a["after_overlap_filter"]
+
+
+def test_split_by_cluster_keeps_clusters_whole(spark, tmp_path):
+    """With --split-by-cluster, residual near-duplicates (below the 0.9
+    near-dedup threshold but above the 0.8 cluster threshold) must land in
+    the same split; the exported trees still partition the survivors and the
+    run stays byte-deterministic."""
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.operators.components import connected_components
+    from data_lake_medallion_architecture_project_spark.operators.dedup import shingle_jaccard_pairs
+
+    out = str(tmp_path / "prep")
+    report = prepare_corpus(
+        spark,
+        f"{SF_SMALL}/documents.parquet",
+        out,
+        min_tokens=10,
+        source_cap=50,
+        n_shards=2,
+        split_by_cluster=True,
+    )
+    assert report["split_clusters"] <= report["after_source_cap"]
+    assert sum(report["splits"].values()) == report["after_source_cap"]
+
+    # Reconstruct clusters over the exported union and assert no cluster
+    # spans two split trees.
+    parts = []
+    for split in ("train", "val", "test"):
+        parts.append(
+            spark.read.json(f"{out}/{split}").select(
+                "doc_id", "text", F.lit(split).alias("split")
+            )
+        )
+    docs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, n=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    spans = (
+        docs.join(comp, docs["doc_id"] == comp["id"])
+        .groupBy("comp")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
