@@ -136,20 +136,26 @@ CMS_DEPTH = 4    # independent hash rows
 CMS_WIDTH = 256  # cells per row: bucket = first two hex digits of md5(j|key)
 
 
-def cms_cells(df: DataFrame, key_col: str | Column) -> DataFrame:
-    """The mergeable CMS state: (j, bucket, c) — ≤ depth·width = 1024 cells
-    however many keys stream through. Each input row increments one cell per
-    hash row j; map-side partials collapse to cell grain before the (KB)
-    shuffle. Merge = cell-wise SUM; estimate(key) = MIN over j of
-    cell[j][md5(j|key) bucket] — an upper bound on the true count
-    (Cormode & Muthukrishnan 2005). The md5 bucketing is replayable in any
-    engine, same family as the HLL/MinHash/SimHash oracles."""
+def cms_cells(
+    df: DataFrame, key_col: str | Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The mergeable CMS state: (group..., j, bucket, c) — ≤ depth·width =
+    1024 cells per group however many keys stream through. Each input row
+    increments one cell per hash row j; map-side partials collapse to cell
+    grain before the (KB) shuffle. Merge = cell-wise SUM; estimate(key) =
+    MIN over j of cell[j][md5(j|key) bucket] — an upper bound on the true
+    count (Cormode & Muthukrishnan 2005). The md5 bucketing is replayable
+    in any engine, same family as the HLL/MinHash/SimHash oracles.
+    ``group_cols`` (e.g. a day key) makes the state a mergeable time-series
+    of sketches — the incremental-Gold shape."""
+    g = list(group_cols or [])
     k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
     rows = df.select(
+        *g,
         k.alias("_k"),
         F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
     )
-    return rows.groupBy("j", cms_bucket("j", "_k").alias("bucket")).agg(
+    return rows.groupBy(*g, "j", cms_bucket("j", "_k").alias("bucket")).agg(
         F.count(F.lit(1)).alias("c")
     )
 

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketches import (
+    cms_bucket,
+    cms_cells,
     dd_bucket_counts,
     dd_quantiles,
     hll_estimate,
@@ -53,9 +55,11 @@ __all__ = [
     "fold_hll_state",
     "fold_dd_state",
     "fold_kmv_state",
+    "fold_cms_state",
     "weekly_users_from_state",
     "quantiles_from_state",
     "distinct_est_from_kmv_state",
+    "cms_estimates_from_state",
     "run_sketch_gold_refresh",
 ]
 
@@ -184,6 +188,65 @@ def fold_kmv_state(
         state.merge_overwrite_partitions(
             new, partition_col="day", app_id=app_id, batch_id=batch_id
         )
+    )
+
+
+def fold_cms_state(
+    spark: SparkSession,
+    state: TxnTable,
+    batch: DataFrame,
+    day_col: str,
+    key_col: str,
+    app_id: str,
+    batch_id: int,
+) -> int:
+    """Fold one batch's keys into the day-grain Count-Min cell state by
+    cell-wise SUM (like the DDSketch fold, ADDITIVE — the txn marker's
+    exactly-once is what keeps a replayed micro-batch from double-counting).
+    State is ≤ depth·width = 1024 rows per day whatever the key cardinality.
+    Returns day partitions touched; 0 on a replayed batch."""
+    cells = cms_cells(batch.select(_day(day_col), key_col), key_col, ["day"])
+    snap = state.snapshot()
+    if snap.version >= 0:
+        prev = state.read(spark).select(
+            "day", "j", "bucket", F.col("c").alias("_c_prev")
+        )
+        cells = cells.join(prev, ["day", "j", "bucket"], "left").select(
+            "day",
+            "j",
+            "bucket",
+            (F.col("c") + F.coalesce(F.col("_c_prev"), F.lit(0))).alias("c"),
+        )
+    return len(
+        state.merge_upsert(
+            spark,
+            cells,
+            keys=["day", "j", "bucket"],
+            partition_col="day",
+            app_id=app_id,
+            batch_id=batch_id,
+        )
+    )
+
+
+def cms_estimates_from_state(
+    spark: SparkSession, state: TxnTable, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Frequency upper bounds for ``keys`` from the cell state alone: merge
+    day cells by SUM (associative), then estimate(key) = MIN over hash rows
+    of its cell — never touches the event history. Cells are KBs, so they
+    BROADCAST to the (possibly large) key list."""
+    merged = state.read(spark).groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+    from ..functions.sketches import CMS_DEPTH
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+    ).withColumn("bucket", cms_bucket("j", key_col))
+    return (
+        probes.join(F.broadcast(merged), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
 
 

@@ -266,3 +266,39 @@ def test_kmv_fold_equals_direct_and_evicts(spark, tmp_path):
         for r in kmv_theta(merged_direct, ["status"]).collect()
     }
     assert est_state == est_direct
+
+
+def test_cms_fold_equals_direct_and_estimates_bound(spark, tmp_path):
+    """Folding two batches must leave exactly the from-scratch cell state
+    (cell addition is commutative; replay no-ops), and the state-only
+    estimates must be valid CMS upper bounds that are EXACT for keys with
+    no hash collisions in some row."""
+    from data_lake_medallion_architecture_project_spark.functions.sketches import cms_cells
+    from data_lake_medallion_architecture_project_spark.streaming.sketch_refresh import (
+        cms_estimates_from_state,
+        fold_cms_state,
+    )
+
+    state = TxnTable(str(tmp_path / "cms_day_state"))
+    b1, b2 = _events(spark, 1, 3), _events(spark, 3, 5)
+    assert fold_cms_state(spark, state, b1, "ts", "user_id", "app", 1) == 3
+    assert fold_cms_state(spark, state, b2, "ts", "user_id", "app", 2) == 3
+    assert fold_cms_state(spark, state, b2, "ts", "user_id", "app", 2) == 0
+
+    full = b1.unionByName(b2)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    direct = cms_cells(full.select(day, "user_id"), "user_id", ["day"])
+    stored = TxnTable(str(tmp_path / "cms_day_state")).read(spark)
+    assert _sorted(stored.select("day", "j", "bucket", "c")) == _sorted(direct)
+
+    truth = {
+        r["user_id"]: r["n"]
+        for r in full.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    keys = full.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimates_from_state(spark, state, keys, "user_id").collect()
+    }
+    assert all(est[k] >= truth[k] for k in truth)  # upper bound, always
+    assert sum(1 for k in truth if est[k] == truth[k]) > 0  # and often tight
