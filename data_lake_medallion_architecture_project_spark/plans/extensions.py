@@ -1534,3 +1534,98 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_d * n_d * F.lit(1e12))
         ).alias("variance"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Zipf-law fit — the corpus-health regression over the token rank spectrum.
+# --------------------------------------------------------------------------- #
+
+ZIPF_TOP = 1000
+
+_ZIPF_ORACLE = f"""
+WITH f AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  GROUP BY w
+),
+r AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank
+  FROM f ORDER BY freq DESC, w LIMIT {ZIPF_TOP}
+),
+q AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000000) AS BIGINT) AS y
+  FROM r
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM q
+)
+SELECT n AS n_tokens_used,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
+FROM m
+"""
+
+
+@register("token_zipf_fit", oracle=_ZIPF_ORACLE, tags=("text", "eval"))
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the token rank spectrum: OLS of ln(freq) against
+    ln(rank) for the top-1000 tokens — natural corpora fit slope ≈ −1 with
+    high R², and a corpus whose spectrum DOESN'T (slope near 0: template
+    spam; far below −1: tiny vocab looping) fails the health check, which
+    is why corpus reports plot this line. Float discipline: the only
+    transcendental step (two ln calls on exact integer counts/ranks) is
+    immediately quantized onto a 10⁻⁹ integer lattice; the five moment
+    sums then accumulate as DECIMAL(38,0) exactly (order-free) and floats
+    return only in the final divisions — the `priority_revenue_trendline`
+    recipe pointed at log-log space.
+
+    Scale shape: one corpus-sized explode+agg to the vocabulary grain, a
+    distributed TakeOrdered for the top-1000 (no global sort), then a
+    1-row moment aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(ZIPF_TOP)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), "w")
+    )
+    q = f.select(
+        F.round(F.log(rank.cast("double")) * 1e9).cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e9).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(dec(F.col("x")) * F.col("x"))).alias("sxx"),
+        dec(F.sum(dec(F.col("x")) * F.col("y"))).alias("sxy"),
+        dec(F.sum(dec(F.col("y")) * F.col("y"))).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_tokens_used"),
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double"))
+        ).alias("r_squared"),
+    )

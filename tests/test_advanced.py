@@ -542,3 +542,26 @@ def test_leakage_free_split_never_splits_a_cluster(spark):
     assert sum(r["n_docs"] for r in out.values()) == docs.count()
     # Cluster-level split => multi-doc clusters shift counts vs doc-level.
     assert all(r["n_clusters"] <= r["n_docs"] for r in out.values())
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus built with freq(i) = floor(2000/i) must fit slope ~ -1 with
+    near-perfect R^2; the registry corpus (flat synthetic vocab) must emit
+    exactly one row with a well-defined slope either way."""
+    import tempfile, os
+
+    words = []
+    for i in range(1, 201):
+        words += [f"w{i}"] * (2000 // i)
+    text = " ".join(words)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame([(0, text)], ["doc_id", "text"]).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        row = REGISTRY["token_zipf_fit"].build(spark, td).collect()[0]
+    assert row["n_tokens_used"] == 200
+    assert abs(row["zipf_slope"] + 1.0) < 0.05
+    assert row["r_squared"] > 0.99
+
+    out = REGISTRY["token_zipf_fit"].build(spark, SF_SMALL).collect()
+    assert len(out) == 1 and out[0]["n_tokens_used"] >= 2
