@@ -842,3 +842,81 @@ def leakage_free_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Gini coefficient — revenue concentration, exact rank-weighted moments.
+# --------------------------------------------------------------------------- #
+
+_GINI_ORACLE = """
+WITH cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT segment, cents,
+         row_number() OVER (PARTITION BY segment ORDER BY cents, o_custkey) AS i
+  FROM cust
+),
+m AS (
+  SELECT segment, COUNT(*) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS ws
+  FROM r GROUP BY segment
+)
+SELECT segment, n AS n_customers, CAST(s AS BIGINT) AS revenue_cents,
+       (2.0 * CAST(ws AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM m
+"""
+
+
+@register("segment_revenue_gini", oracle=_GINI_ORACLE, tags=("analytics",))
+def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as a Gini coefficient —
+    the "do 1% of customers carry the segment?" inequality measure, via the
+    rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted
+    per-customer revenue. Exactness: revenues are integer cents, the
+    rank-weighted moment Σ i·xᵢ accumulates as DECIMAL(38,0) (ties in the
+    sort break on custkey, so ranks are a total order and the moment is
+    engine-identical), and floats appear only in the final fixed-shape
+    expression.
+
+    Scale shape: one fact agg to (segment, customer) grain + the dim join;
+    the rank is a per-segment window sort over CUSTOMERS (dim-sized, not
+    fact-sized); moments collapse to G rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(cust, "o_custkey")
+    )
+    i = F.row_number().over(
+        Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    )
+    r = per_cust.select("segment", "cents", i.alias("i"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = r.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.sum("cents")).alias("s"),
+        dec(F.sum(dec(F.col("i")) * F.col("cents"))).alias("ws"),
+    )
+    n_d, s_d = F.col("n").cast("double"), F.col("s").cast("double")
+    return m.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        F.col("s").cast("long").alias("revenue_cents"),
+        (
+            (F.lit(2.0) * F.col("ws").cast("double")) / (n_d * s_d)
+            - (n_d + F.lit(1.0)) / n_d
+        ).alias("gini"),
+    )

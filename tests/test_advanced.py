@@ -565,3 +565,31 @@ def test_zipf_fit_recovers_planted_exponent(spark):
 
     out = REGISTRY["token_zipf_fit"].build(spark, SF_SMALL).collect()
     assert len(out) == 1 and out[0]["n_tokens_used"] >= 2
+
+
+def test_gini_known_distributions(spark):
+    """Gini contract on planted distributions: perfectly equal revenue gives
+    exactly 0; an extreme one-customer concentration approaches 1−1/n; and
+    every registry value sits in [0, 1)."""
+    import tempfile, os
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(ok, ck, p) for ok, ck, p in rows],
+                ["o_orderkey", "o_custkey", "o_totalprice"],
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            spark.createDataFrame(
+                [(ck, "SEG") for ck in {r[1] for r in rows}],
+                ["c_custkey", "c_mktsegment"],
+            ).write.parquet(os.path.join(td, "customer.parquet"))
+            return REGISTRY["segment_revenue_gini"].build(spark, td).collect()[0]
+
+    equal = run([(i, i, 10.0) for i in range(10)])
+    assert equal["gini"] == 0.0
+    # one customer holds ~everything: G -> (n-1)/n · (1 - eps)
+    skew = run([(i, i, 0.01) for i in range(9)] + [(9, 9, 10000.0)])
+    assert skew["gini"] > 0.85
+
+    rows = REGISTRY["segment_revenue_gini"].build(spark, SF_SMALL).collect()
+    assert all(0.0 <= r["gini"] < 1.0 for r in rows)
