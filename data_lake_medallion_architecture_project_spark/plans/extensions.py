@@ -1629,3 +1629,65 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (den.cast("double") * deny.cast("double"))
         ).alias("r_squared"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Behavioral entropy — per-user event-mix diversity (feature engineering).
+# --------------------------------------------------------------------------- #
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT user_id, c,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT) AS lnc
+  FROM c
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * lnc) AS DECIMAL(38,0)) AS s
+  FROM q GROUP BY user_id
+)
+SELECT user_id, n_events, CAST(n_types AS BIGINT) AS n_types,
+       ln(CAST(n_events AS DOUBLE))
+         - CAST(s AS DOUBLE) / (CAST(n_events AS DOUBLE) * 1e9) AS entropy
+FROM m
+"""
+
+
+@register("user_event_entropy", oracle=_ENTROPY_ORACLE, tags=("analytics", "eval"))
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature user models feed on (0 = one-note bot-like behavior,
+    ln(5) ≈ 1.609 = uniform across all five types), via the identity
+    H = ln n − (Σ c·ln c)/n so only per-TYPE counts need a log. Float
+    discipline: each ln(c) lands on the 10⁻⁹ integer lattice immediately,
+    the weighted sum Σ c·ln c accumulates as DECIMAL(38,0) exactly, and
+    the closing expression is a fixed shape of single IEEE ops.
+
+    Scale shape: one fact agg to (user, type) grain with map-side combine,
+    one agg to user grain — no window, no join."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lnc = F.round(F.log(F.col("c").cast("double")) * 1e9).cast("long")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = c.select("user_id", "c", lnc.alias("lnc")).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").alias("n_events"),
+        dec(F.sum(dec(F.col("c")) * F.col("lnc"))).alias("s"),
+    )
+    n_d = F.col("n_events").cast("double")
+    return m.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (F.log(n_d) - F.col("s").cast("double") / (n_d * F.lit(1e9))).alias(
+            "entropy"
+        ),
+    )

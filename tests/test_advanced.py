@@ -593,3 +593,32 @@ def test_gini_known_distributions(spark):
 
     rows = REGISTRY["segment_revenue_gini"].build(spark, SF_SMALL).collect()
     assert all(0.0 <= r["gini"] < 1.0 for r in rows)
+
+
+def test_entropy_known_mixes(spark):
+    """Entropy contract: a single-type user scores exactly 0; a perfectly
+    uniform two-type user scores ln 2 (to lattice precision); registry
+    values stay within [0, ln 5] for the five event types."""
+    import math
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [(datetime(2024, 1, 1, 0, i), 1, "click", 0.0, "{}") for i in range(8)]
+    rows += [
+        (datetime(2024, 1, 1, 1, i), 2, ("view" if i % 2 else "click"), 0.0, "{}")
+        for i in range(8)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, ["ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in REGISTRY["user_event_entropy"].build(spark, td).collect()
+        }
+    # Zero up to the 1e-9 ln-lattice quantization residue.
+    assert abs(out[1]["entropy"]) < 2e-9 and out[1]["n_types"] == 1
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-8
+
+    rows = REGISTRY["user_event_entropy"].build(spark, SF_SMALL).collect()
+    assert all(-2e-9 <= r["entropy"] <= math.log(5) + 2e-9 for r in rows)
