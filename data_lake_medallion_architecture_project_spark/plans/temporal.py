@@ -777,3 +777,93 @@ def priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2_total"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Conversion latency quantiles — as-of join composed with the DDSketch.
+# --------------------------------------------------------------------------- #
+
+def _conv_latency_oracle() -> str:
+    from ..functions.sketches import DD_GAMMA, DD_LNG, DD_QS
+
+    sels = ",\n         ".join(
+        f"MIN(CASE WHEN 100 * cum >= {int(round(q * 100))} * total"
+        f" THEN bucket END) AS b{int(q * 100)}"
+        for q in DD_QS
+    )
+    ests = ",\n       ".join(
+        f"2 * power({DD_GAMMA!r}, b{int(q * 100)}) / {DD_GAMMA + 1!r}"
+        f" AS p{int(q * 100)}_lat_sec"
+        for q in DD_QS
+    )
+    return f"""
+WITH lat AS (
+  SELECT epoch(p.ts) - epoch(c.ts) AS sec
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+  WHERE epoch(p.ts) - epoch(c.ts) > 0
+),
+b AS (
+  SELECT CAST(ceil(ln(CAST(sec AS DOUBLE)) / {DD_LNG!r}) AS BIGINT) AS bucket
+  FROM lat
+),
+m AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+cum AS (
+  SELECT bucket,
+         SUM(c) OVER (ORDER BY bucket) AS cum,
+         SUM(c) OVER () AS total
+  FROM m
+),
+sel AS (SELECT MAX(total) AS n_conversions, {sels} FROM cum)
+SELECT CAST(n_conversions AS BIGINT) AS n_conversions,
+       {ests}
+FROM sel
+"""
+
+
+@register(
+    "conversion_latency_ddsketch",
+    oracle=_conv_latency_oracle(),
+    tags=("temporal", "sketch", "approx"),
+)
+def conversion_latency_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency quantiles (p50/p90/p99 seconds) —
+    two verified operators COMPOSED: the union-merge as-of join
+    (operators/asof.py: one shuffle on user_id, running carry-forward, no
+    range join) produces each purchase's preceding click, and the
+    mergeable DDSketch turns the integer-second latencies into ±1%
+    quantiles. The oracle replays the composition with DuckDB's native
+    ASOF JOIN — so Spark's hand-rolled as-of is cross-checked against an
+    independent engine's as-of semantics INSIDE a larger pipeline, not
+    just standalone. Latencies are exact integer seconds (epoch diffs);
+    zero-latency pairs are outside the log-bucket domain and excluded on
+    both sides; bucket selection is the scaled-integer walk.
+
+    Scale shape: as-of is one user-keyed shuffle; the sketch collapses to
+    ≤~700 buckets before its only exchange."""
+    from ..functions.sketches import dd_quantiles
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts", out_col="click_ts")
+    sec = F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+    lat = joined.where(F.col("click_ts").isNotNull() & (sec > 0)).select(
+        sec.alias("sec")
+    )
+    from ..functions.sketches import dd_bucket
+
+    buckets = lat.groupBy(dd_bucket(F.col("sec").cast("double")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = dd_quantiles(buckets, [], total_alias="n_conversions")
+    return out.select(
+        "n_conversions",
+        F.col("p50_est").alias("p50_lat_sec"),
+        F.col("p90_est").alias("p90_lat_sec"),
+        F.col("p99_est").alias("p99_lat_sec"),
+    )
