@@ -622,3 +622,25 @@ def test_entropy_known_mixes(spark):
 
     rows = REGISTRY["user_event_entropy"].build(spark, SF_SMALL).collect()
     assert all(-2e-9 <= r["entropy"] <= math.log(5) + 2e-9 for r in rows)
+
+
+def test_apriori_pruning_is_lossless(spark):
+    """Downward closure: mining with the frequent-item prefilter must equal
+    mining unpruned, pair for pair (the registry oracle checks this cross-
+    engine; here the same property is pinned in-engine on a planted corpus
+    where a RARE item pairs twice with a frequent one... which is impossible
+    — support(pair) <= support(item) — so the planted rare pair must NOT
+    surface, while the frequent pair must)."""
+    import tempfile, os
+
+    li = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 99)]
+    # items: 10 x3, 11 x2 (frequent); 99 x1 (rare) -> pair (10,99) support 1.
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(li, ["l_orderkey", "l_partkey"]).write.parquet(
+            os.path.join(td, "lineitem.parquet")
+        )
+        out = {
+            (r["part_a"], r["part_b"]): r["support"]
+            for r in REGISTRY["part_pairs_apriori"].build(spark, td).collect()
+        }
+    assert out == {(10, 11): 2}
