@@ -976,3 +976,89 @@ def part_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= AP_MIN_SUPPORT)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Mann–Whitney U — nonparametric two-sample test, fully integer via 2×ranks.
+# --------------------------------------------------------------------------- #
+
+_MWU_ORACLE = """
+WITH x AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+g AS (
+  SELECT v, COUNT(*) AS cnt, SUM(is_f) AS cnt_f FROM x GROUP BY v
+),
+r AS (
+  SELECT v, cnt, cnt_f,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS first_rank
+  FROM g
+),
+m AS (
+  SELECT CAST(SUM(cnt_f) AS BIGINT) AS n_f,
+         CAST(SUM(cnt - cnt_f) AS BIGINT) AS n_o,
+         CAST(SUM(cnt_f * (2 * first_rank + cnt - 1)) AS BIGINT) AS r2_f
+  FROM r
+)
+SELECT n_f, n_o,
+       CAST(r2_f - n_f * (n_f + 1) AS BIGINT) AS u2_f,
+       CAST(r2_f - n_f * (n_f + 1) AS DOUBLE)
+         / (2.0 * CAST(n_f AS DOUBLE) * CAST(n_o AS DOUBLE)) AS auc_f_gt_o
+FROM m
+"""
+
+
+@register("status_price_ranksum", oracle=_MWU_ORACLE, tags=("analytics", "eval"))
+def status_price_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U comparing order-price distributions between finished
+    ('F') and open ('O') orders — the nonparametric "is one group
+    stochastically larger?" test (and its effect size U/(n₁n₂), which IS
+    the AUC of price as a classifier of status). Fully integer: ranks with
+    tie-averaging are carried DOUBLED (average of a tied run = first+last,
+    so 2·rank̄ = 2·first + cnt − 1 stays in ℤ), rank sums and U accumulate
+    exactly, and the one float is the closing AUC division. Ties are
+    handled at the VALUE grain (cents), so the rank walk is a window over
+    distinct prices, not rows.
+
+    Scale shape: one agg to distinct-value grain, one cumulative window
+    over values (bounded by price cardinality, ~10⁵ cents grains), one
+    1-row moment agg."""
+    from pyspark.sql import Window
+
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_f"),
+        )
+    )
+    g = x.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_f").alias("cnt_f")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "cnt",
+        "cnt_f",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1).alias("first_rank"),
+    )
+    m = r.agg(
+        F.sum("cnt_f").alias("n_f"),
+        F.sum(F.col("cnt") - F.col("cnt_f")).alias("n_o"),
+        F.sum(
+            F.col("cnt_f") * (2 * F.col("first_rank") + F.col("cnt") - 1)
+        ).alias("r2_f"),
+    )
+    u2 = F.col("r2_f") - F.col("n_f") * (F.col("n_f") + 1)
+    return m.select(
+        "n_f",
+        "n_o",
+        u2.cast("long").alias("u2_f"),
+        (
+            u2.cast("double")
+            / (F.lit(2.0) * F.col("n_f").cast("double") * F.col("n_o").cast("double"))
+        ).alias("auc_f_gt_o"),
+    )

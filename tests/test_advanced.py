@@ -644,3 +644,28 @@ def test_apriori_pruning_is_lossless(spark):
             for r in REGISTRY["part_pairs_apriori"].build(spark, td).collect()
         }
     assert out == {(10, 11): 2}
+
+
+def test_ranksum_matches_scipy_free_reference(spark):
+    """U and AUC contract on planted data: disjoint supports give AUC
+    exactly 1 (every F above every O); identical distributions give AUC
+    exactly 0.5 (tie-averaged doubled ranks make this exact in ℤ)."""
+    import tempfile, os
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, ["o_orderkey", "o_orderstatus", "o_totalprice"]
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            return REGISTRY["status_price_ranksum"].build(spark, td).collect()[0]
+
+    sep = [(i, "O", 1.0 + i) for i in range(5)] + [
+        (10 + i, "F", 100.0 + i) for i in range(7)
+    ]
+    r = run(sep)
+    assert (r["n_f"], r["n_o"]) == (7, 5)
+    assert r["auc_f_gt_o"] == 1.0 and r["u2_f"] == 2 * 7 * 5
+
+    same = [(i, "O", 5.0) for i in range(4)] + [(10 + i, "F", 5.0) for i in range(4)]
+    r = run(same)
+    assert r["auc_f_gt_o"] == 0.5
