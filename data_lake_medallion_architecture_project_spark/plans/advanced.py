@@ -1062,3 +1062,91 @@ def status_price_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("n_f").cast("double") * F.col("n_o").cast("double"))
         ).alias("auc_f_gt_o"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Kolmogorov–Smirnov — max ECDF gap, exact via cross-multiplied integers.
+# --------------------------------------------------------------------------- #
+
+_KS_ORACLE = """
+WITH x AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+g AS (
+  SELECT v, SUM(is_f) AS cf, SUM(1 - is_f) AS co FROM x GROUP BY v
+),
+c AS (
+  SELECT v,
+         SUM(cf) OVER (ORDER BY v) AS cum_f,
+         SUM(co) OVER (ORDER BY v) AS cum_o,
+         SUM(cf) OVER () AS n_f,
+         SUM(co) OVER () AS n_o
+  FROM g
+),
+m AS (
+  SELECT CAST(MAX(n_f) AS BIGINT) AS n_f, CAST(MAX(n_o) AS BIGINT) AS n_o,
+         CAST(MAX(abs(cum_f * n_o - cum_o * n_f)) AS BIGINT) AS d_num
+  FROM c
+)
+SELECT n_f, n_o, d_num,
+       CAST(d_num AS DOUBLE) / (CAST(n_f AS DOUBLE) * CAST(n_o AS DOUBLE))
+         AS ks_d
+FROM m
+"""
+
+
+@register("status_price_ks", oracle=_KS_ORACLE, tags=("analytics", "eval"))
+def status_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between finished and open
+    orders' price distributions — the distribution-level companion to the
+    rank-sum test (rank-sum sees location shifts; KS sees ANY ECDF gap,
+    including shape/variance changes). The sup of |F̂₁ − F̂₂| is taken at
+    value grain with CROSS-MULTIPLIED integers: D·n₁·n₂ =
+    max |cum₁·n₂ − cum₂·n₁| needs no division inside the max, so the
+    argmax is exact and engine-identical; the one float is the final
+    normalization. ECDF steps only move at observed values, so evaluating
+    at the distinct-cents grain IS the exact sup.
+
+    Scale shape: one agg to distinct-value grain, one cumulative window
+    over values, a 1-row max."""
+    from pyspark.sql import Window
+
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_f"),
+        )
+    )
+    g = x.groupBy("v").agg(
+        F.sum("is_f").alias("cf"), F.sum(1 - F.col("is_f")).alias("co")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = g.select(
+        F.sum("cf").over(w_cum).alias("cum_f"),
+        F.sum("co").over(w_cum).alias("cum_o"),
+        F.sum("cf").over(w_all).alias("n_f"),
+        F.sum("co").over(w_all).alias("n_o"),
+    )
+    m = c.agg(
+        F.max("n_f").cast("long").alias("n_f"),
+        F.max("n_o").cast("long").alias("n_o"),
+        F.max(
+            F.abs(F.col("cum_f") * F.col("n_o") - F.col("cum_o") * F.col("n_f"))
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    return m.select(
+        "n_f",
+        "n_o",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_f").cast("double") * F.col("n_o").cast("double"))
+        ).alias("ks_d"),
+    )

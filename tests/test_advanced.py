@@ -669,3 +669,29 @@ def test_ranksum_matches_scipy_free_reference(spark):
     same = [(i, "O", 5.0) for i in range(4)] + [(10 + i, "F", 5.0) for i in range(4)]
     r = run(same)
     assert r["auc_f_gt_o"] == 0.5
+
+
+def test_ks_known_distributions(spark):
+    """KS contract: disjoint supports give D exactly 1; identical samples
+    give D exactly 0; and D always bounds the rank-sum AUC displacement
+    (D >= |2*AUC - 1| is NOT generally true, so we assert only the
+    definitional bounds 0 <= D <= 1 on the corpus)."""
+    import tempfile, os
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, ["o_orderkey", "o_orderstatus", "o_totalprice"]
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            return REGISTRY["status_price_ks"].build(spark, td).collect()[0]
+
+    sep = [(i, "O", 1.0 + i) for i in range(5)] + [
+        (10 + i, "F", 100.0 + i) for i in range(7)
+    ]
+    assert run(sep)["ks_d"] == 1.0
+    same = [(i, "O", float(i % 3)) for i in range(9)] + [
+        (10 + i, "F", float(i % 3)) for i in range(9)
+    ]
+    assert run(same)["ks_d"] == 0.0
+    corpus = REGISTRY["status_price_ks"].build(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= corpus["ks_d"] <= 1.0
