@@ -1150,3 +1150,98 @@ def status_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_f").cast("double") * F.col("n_o").cast("double"))
         ).alias("ks_d"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Benford's-law deviation — leading-digit audit of the money column.
+# --------------------------------------------------------------------------- #
+
+import math as _math
+
+_BENFORD_P = {d: repr(_math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    e_case = "\n         ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+WITH x AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, COUNT(*) AS n_observed FROM x GROUP BY digit),
+m AS (
+  SELECT digit, n_observed,
+         SUM(n_observed) OVER () AS n,
+         CASE digit
+         {e_case}
+         END AS p
+  FROM c
+),
+t AS (
+  SELECT digit, n_observed,
+         CAST(n AS DOUBLE) * p AS expected,
+         CAST((CAST(n_observed AS DOUBLE) - CAST(n AS DOUBLE) * p)
+              * (CAST(n_observed AS DOUBLE) - CAST(n AS DOUBLE) * p)
+              / (CAST(n AS DOUBLE) * p) AS DECIMAL(20,9)) AS term
+  FROM m
+)
+SELECT digit, n_observed, expected,
+       CAST(term AS DOUBLE) AS chi2_contrib,
+       CAST(SUM(term) OVER () AS DOUBLE) AS chi2_total
+FROM t
+"""
+
+
+@register("price_benford_deviation", oracle=_benford_oracle(), tags=("quality", "analytics"))
+def price_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order amounts against Benford's law —
+    the classic fabricated-numbers audit (naturally-grown amounts spanning
+    orders of magnitude lead with 1 ~30% of the time; uniform or invented
+    data doesn't). The leading digit comes from the CENTS integer's first
+    decimal character (string head of an exact long — engine-identical, no
+    float log10 floor), expectations use shared repr'd log10(1+1/d)
+    literals, and the chi-square terms follow the quantize-then-exact-sum
+    recipe. TPC-H prices are uniform on a bounded range, so the corpus
+    legitimately FAILS Benford — the query reports deviation, it doesn't
+    assume conformance.
+
+    Scale shape: one map-only digit projection + a 9-group agg; everything
+    after runs on 9 rows."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+    )
+    c = x.groupBy("digit").agg(F.count(F.lit(1)).alias("n_observed"))
+    p = F.col("digit")
+    p_expr = None
+    for d, lit in _BENFORD_P.items():
+        p_expr = (
+            F.when(p == d, F.lit(float(lit)))
+            if p_expr is None
+            else p_expr.when(p == d, F.lit(float(lit)))
+        )
+    n = F.sum("n_observed").over(Window.partitionBy())
+    m = c.select(
+        "digit", "n_observed", n.alias("n"), p_expr.alias("p")
+    )
+    e = F.col("n").cast("double") * F.col("p")
+    term = (
+        (F.col("n_observed").cast("double") - e)
+        * (F.col("n_observed").cast("double") - e)
+        / e
+    ).cast("decimal(20,9)")
+    t = m.select("digit", "n_observed", e.alias("expected"), term.alias("term"))
+    return t.select(
+        "digit",
+        "n_observed",
+        "expected",
+        F.col("term").cast("double").alias("chi2_contrib"),
+        F.sum("term").over(Window.partitionBy()).cast("double").alias("chi2_total"),
+    )

@@ -695,3 +695,31 @@ def test_ks_known_distributions(spark):
     assert run(same)["ks_d"] == 0.0
     corpus = REGISTRY["status_price_ks"].build(spark, SF_SMALL).collect()[0]
     assert 0.0 <= corpus["ks_d"] <= 1.0
+
+
+def test_benford_on_planted_conforming_data(spark):
+    """A corpus whose leading digits are drawn exactly at Benford frequencies
+    must score a tiny chi2; uniform leading digits must score large; and
+    expected counts always sum to n."""
+    import math
+    import tempfile, os
+
+    def run(prices):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(i, p) for i, p in enumerate(prices)],
+                ["o_orderkey", "o_totalprice"],
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            return REGISTRY["price_benford_deviation"].build(spark, td).collect()
+
+    n = 10000
+    benford = []
+    for d in range(1, 10):
+        benford += [float(d)] * round(n * math.log10(1 + 1 / d))
+    rows = run(benford)
+    assert rows[0]["chi2_total"] < 1.0  # draws AT the law: only rounding noise
+    assert abs(sum(r["expected"] for r in rows) - len(benford)) < 1e-6
+
+    uniform = [float(d) for d in range(1, 10)] * 1000
+    rows = run(uniform)
+    assert rows[0]["chi2_total"] > 100.0
