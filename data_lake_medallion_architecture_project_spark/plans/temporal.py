@@ -867,3 +867,83 @@ def conversion_latency_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p90_est").alias("p90_lat_sec"),
         F.col("p99_est").alias("p99_lat_sec"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# One-way ANOVA — does day-of-week move order value? Exact moment sums.
+# --------------------------------------------------------------------------- #
+
+_ANOVA_ORACLE = """
+WITH x AS (
+  SELECT dayofweek(o_orderdate) AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+g AS (
+  SELECT dow, COUNT(*) AS n_g,
+         CAST(SUM(v) AS DECIMAL(38,0)) AS s_g,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS ss_g
+  FROM x GROUP BY dow
+),
+tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(ss_g) AS DECIMAL(38,0)) AS ss,
+         SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+           AS sum_sq_over_n
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS n_groups, n AS n_rows,
+       (sum_sq_over_n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(ss AS DOUBLE) - sum_sq_over_n)
+         * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+         AS f_stat
+FROM tot
+"""
+
+
+@register("weekday_revenue_anova", oracle=_ANOVA_ORACLE, tags=("temporal", "eval"))
+def weekday_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for "does day-of-week shift order value?"
+    — the seasonality screen run before building weekday features. SSB and
+    SSW come from per-group exact moments (counts, DECIMAL(38,0) sums and
+    square-sums of integer cents), so the group statistics are
+    order-independent at any parallelism. The one float summation is
+    Σ s_g²/n_g — seven positive terms whose association order could differ
+    between engines by ≤ a few ulps; like the cosine oracles, this leans
+    on the gate's 12-significant-digit float rounding rather than decimal
+    quantization (the closing F expression is a fixed shape of single IEEE
+    ops from those operands).
+
+    Scale shape: one fact agg to the 7-group grain with map-side combine;
+    everything else is 7 rows."""
+    x = load_table(spark, sf_dir, "orders").select(
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = x.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dec(F.sum("v")).alias("s_g"),
+        dec(F.sum(dec(F.col("v")) * F.col("v"))).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        dec(F.sum("s_g")).alias("s"),
+        dec(F.sum("ss_g")).alias("ss"),
+        F.sum(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("sum_sq_over_n"),
+    )
+    k_d, n_d = F.col("k").cast("double"), F.col("n").cast("double")
+    s_d, ss_d = F.col("s").cast("double"), F.col("ss").cast("double")
+    ssb = F.col("sum_sq_over_n") - s_d * s_d / n_d
+    ssw = ss_d - F.col("sum_sq_over_n")
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (ssb / ssw * (n_d - k_d) / (k_d - F.lit(1.0))).alias("f_stat"),
+    )

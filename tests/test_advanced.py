@@ -723,3 +723,42 @@ def test_benford_on_planted_conforming_data(spark):
     uniform = [float(d) for d in range(1, 10)] * 1000
     rows = run(uniform)
     assert rows[0]["chi2_total"] > 100.0
+
+
+def test_anova_planted_effects(spark):
+    """ANOVA contract: groups with identical means give F ~ 0; a strong
+    planted weekday effect gives a large F (cross-checked against a direct
+    numpy computation of the same formula)."""
+    import numpy as np
+    import tempfile, os
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, ["o_orderdate", "o_totalprice"]
+            ).withColumn(
+                "o_orderdate", F.col("o_orderdate").cast("timestamp")
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            return REGISTRY["weekday_revenue_anova"].build(spark, td).collect()[0]
+
+    # 1996-01-01 was a Monday; days 1..14 cover two full weeks.
+    flat = [("1996-01-%02d" % d, 100.0 + (d % 2)) for d in range(1, 15)]
+    r = run(flat)
+    assert r["n_groups"] == 7 and r["f_stat"] < 1e-6  # same mean every dow
+
+    # Weekday effect + within-group noise (the week index) so SSW > 0.
+    effect = [
+        ("1996-01-%02d" % d, (1000.0 if d % 7 == 1 else 100.0) + (d // 7))
+        for d in range(1, 29)
+    ]
+    r = run(effect)
+    vals = {}
+    for d, p in [(int(x[0][-2:]), x[1]) for x in effect]:
+        vals.setdefault((d - 1) % 7, []).append(p * 100)
+    groups = [np.array(v) for v in vals.values()]
+    allv = np.concatenate(groups)
+    ssb = sum(len(g) * (g.mean() - allv.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_np = (ssb / (len(groups) - 1)) / (ssw / (len(allv) - len(groups)))
+    assert abs(r["f_stat"] - f_np) / f_np < 1e-9
+    assert r["f_stat"] > 50
