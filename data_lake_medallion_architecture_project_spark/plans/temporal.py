@@ -947,3 +947,78 @@ def weekday_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         (ssb / ssw * (n_d - k_d) / (k_d - F.lit(1.0))).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Session path mining — most common opening event sequences.
+# --------------------------------------------------------------------------- #
+
+PATHS_TOP = 20
+
+_PATHS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM ordered
+),
+p AS (
+  SELECT array_to_string(
+           (array_agg(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATHS_TOP}
+"""
+
+
+@register("top_session_paths", oracle=_PATHS_ORACLE, tags=("temporal", "window"))
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {PATHS_TOP} most common session OPENINGS — each session reduced
+    to its first three event types ('view>click>purchase', …), the path
+    profile funnel/UX analysis starts from. Reuses the verified gap
+    sessionizer (`with_session_no` — the same rule the oracle replays as
+    gaps-and-islands SQL); the opening sequence comes from one
+    sort-then-slice over each session's collected (ts, event_id, type)
+    structs, totally ordered by the same keys both engines sort by, so the
+    path strings are byte-identical.
+
+    Scale shape: sessionization is one user-keyed shuffle shared by both
+    window frames; sessions collapse to one path row each before the
+    path-grain count, and the top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    s = with_session_no(ev)
+    first3 = s.groupBy("user_id", "session_no").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                3,
+            ),
+        ).alias("path")
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATHS_TOP)
+    )
