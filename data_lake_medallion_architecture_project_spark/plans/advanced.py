@@ -1245,3 +1245,89 @@ def price_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term").cast("double").alias("chi2_contrib"),
         F.sum("term").over(Window.partitionBy()).cast("double").alias("chi2_total"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Winsorized mean — robust location with exact rank-based clamping.
+# --------------------------------------------------------------------------- #
+
+_WINSOR_ORACLE = """
+WITH x AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+b AS (
+  SELECT prio,
+         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo,
+         MAX(CASE WHEN rn = (n * 95) // 100 + 1 THEN v END) AS hi
+  FROM x GROUP BY prio
+),
+w AS (
+  SELECT x.prio, x.n,
+         CAST(SUM(x.v) AS DECIMAL(38,0)) AS s_raw,
+         CAST(SUM(LEAST(GREATEST(x.v, b.lo), b.hi)) AS DECIMAL(38,0)) AS s_win
+  FROM x JOIN b ON b.prio = x.prio
+  GROUP BY x.prio, x.n
+)
+SELECT prio, CAST(n AS BIGINT) AS n_orders,
+       CAST(s_raw AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS raw_mean,
+       CAST(s_win AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS winsorized_mean
+FROM w
+"""
+
+
+@register("priority_winsorized_mean", oracle=_WINSOR_ORACLE, tags=("analytics", "quality"))
+def priority_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95% winsorized mean of order value per priority beside the raw
+    mean — the robust-location companion to the MAD flags: instead of
+    dropping outliers it CLAMPS them to the exact 5th/95th rank values, so
+    the estimate keeps every row's vote but caps leverage. Fences come
+    from rank positions ⌈n/20⌉ and ⌊19n/20⌋+1 under a (value, orderkey)
+    total order — exact integers, engine-identical; clamped sums
+    accumulate as DECIMAL(38,0); floats only in the two final mean
+    divisions.
+
+    Scale shape: one window sort per priority (rows — the exact-quantile
+    price, same budget as `priority_order_anomalies`; the DDSketch path is
+    the sub-linear estimate) + a broadcast of the G-row fence table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prio").orderBy("o_totalprice", "o_orderkey")
+    n_w = Window.partitionBy("prio")
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        "o_totalprice",
+        "o_orderkey",
+    ).select(
+        "prio",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    lo_rn = F.floor((F.col("n") * 5 + 99) / 100)
+    hi_rn = F.floor(F.col("n") * 95 / 100) + 1
+    b = x.groupBy("prio").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("v"))).alias("hi"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = x.join(F.broadcast(b), "prio")
+    m = joined.groupBy("prio", "n").agg(
+        dec(F.sum("v")).alias("s_raw"),
+        dec(
+            F.sum(F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")))
+        ).alias("s_win"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        "prio",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("s_raw").cast("double") / (n_d * F.lit(100.0))).alias("raw_mean"),
+        (F.col("s_win").cast("double") / (n_d * F.lit(100.0))).alias(
+            "winsorized_mean"
+        ),
+    )

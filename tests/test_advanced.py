@@ -762,3 +762,27 @@ def test_anova_planted_effects(spark):
     f_np = (ssb / (len(groups) - 1)) / (ssw / (len(allv) - len(groups)))
     assert abs(r["f_stat"] - f_np) / f_np < 1e-9
     assert r["f_stat"] > 50
+
+
+def test_winsorized_mean_caps_leverage(spark):
+    """One extreme outlier among uniform values: the raw mean moves, the
+    winsorized mean stays at the bulk's value (the outlier clamps to the
+    95th-rank value); on clean data the two means agree exactly."""
+    import tempfile, os
+
+    def run(prices):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(i, "X", p) for i, p in enumerate(prices)],
+                ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            return REGISTRY["priority_winsorized_mean"].build(spark, td).collect()[0]
+
+    clean = [100.0] * 40
+    r = run(clean)
+    assert r["raw_mean"] == r["winsorized_mean"] == 100.0
+
+    spiked = [100.0] * 39 + [1_000_000.0]
+    r = run(spiked)
+    assert r["raw_mean"] > 25000.0
+    assert r["winsorized_mean"] == 100.0  # the spike clamps to the bulk
