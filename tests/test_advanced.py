@@ -786,3 +786,24 @@ def test_winsorized_mean_caps_leverage(spark):
     r = run(spiked)
     assert r["raw_mean"] > 25000.0
     assert r["winsorized_mean"] == 100.0  # the spike clamps to the bulk
+
+
+def test_session_paths_shape(spark):
+    """Paths are 1-3 event types long, counts are positive and descending,
+    and the total path-session count never exceeds the session count."""
+    rows = REGISTRY["top_session_paths"].build(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True) and counts[-1] >= 1
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 3
+        assert all(s in {"click", "view", "purchase", "signup", "error"} for s in steps)
+    n_sessions = (
+        REGISTRY["sessionize_events"]
+        .build(spark, SF_SMALL)
+        .select("user_id", "session_no")
+        .distinct()
+        .count()
+    )
+    assert sum(counts) <= n_sessions
