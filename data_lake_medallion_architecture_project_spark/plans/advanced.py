@@ -1331,3 +1331,69 @@ def priority_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Pareto 80/20 index — how few customers carry 80% of revenue.
+# --------------------------------------------------------------------------- #
+
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS i,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cents) OVER () AS total,
+         COUNT(*) OVER () AS n
+  FROM cust
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN i END) AS BIGINT) AS k_for_80pct,
+       CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN i END) AS DOUBLE)
+         / CAST(MAX(n) AS DOUBLE) AS top_share_for_80pct
+FROM r
+"""
+
+
+@register("customer_revenue_pareto", oracle=_PARETO_ORACLE, tags=("analytics",))
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto 80/20 index: the smallest k such that the top-k customers
+    by revenue carry ≥80% of total revenue, and k as a share of the
+    customer base — the concentration headline ("17% of customers are 80%
+    of revenue") that pairs with `segment_revenue_gini`'s coefficient. The
+    threshold walk is exact integers (5·cum ≥ 4·total — no float
+    boundary) over a total order (revenue desc, custkey), so both engines
+    pick the identical k; the one float is the closing share division.
+
+    Scale shape: one fact agg to customer grain, one ranked cumulative
+    window over CUSTOMERS (dim-sized), a 1-row reduce."""
+    from pyspark.sql import Window
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    order = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allw = Window.partitionBy()
+    r = cust.select(
+        F.row_number().over(order).alias("i"),
+        F.sum("cents").over(cum).alias("cum"),
+        F.sum("cents").over(allw).alias("total"),
+        F.count(F.lit(1)).over(allw).alias("n"),
+    )
+    k = F.min(F.when(5 * F.col("cum") >= 4 * F.col("total"), F.col("i")))
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        k.cast("long").alias("k_for_80pct"),
+        (k.cast("double") / F.max("n").cast("double")).alias(
+            "top_share_for_80pct"
+        ),
+    )

@@ -807,3 +807,25 @@ def test_session_paths_shape(spark):
         .count()
     )
     assert sum(counts) <= n_sessions
+
+
+def test_pareto_index_known_distributions(spark):
+    """Planted concentration: one whale + dust -> k = 1; perfectly equal
+    customers -> k = ceil(0.8 n); and k/n reconciles with k."""
+    import tempfile, os
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, ["o_orderkey", "o_custkey", "o_totalprice"]
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            return REGISTRY["customer_revenue_pareto"].build(spark, td).collect()[0]
+
+    whale = [(0, 0, 10000.0)] + [(i, i, 1.0) for i in range(1, 21)]
+    r = run(whale)
+    assert r["k_for_80pct"] == 1 and r["n_customers"] == 21
+
+    equal = [(i, i, 50.0) for i in range(10)]
+    r = run(equal)
+    assert r["k_for_80pct"] == 8  # 8/10 of equal customers = exactly 80%
+    assert r["top_share_for_80pct"] == 0.8
