@@ -122,6 +122,30 @@ def main() -> None:
     }
     deltas = sorted(session_delta.values())
     spreads = sorted(spread.values())
+    detail = {
+        "spread_pct": spread,
+        "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
+        "sessions": len(passes),
+        "session_delta_pct": session_delta,
+        "median_session_delta_pct": (
+            deltas[len(deltas) // 2] if len(passes) > 1 else None
+        ),
+    }
+    # Round-9 postmortem: the driver keeps only a ~2.2 KB tail of stdout and
+    # parses the LAST line — a result line carrying per-query spread and
+    # session-delta dicts grew past that window and the round lost its
+    # official perf number (BENCH_r09.json parsed: null). The noise-floor
+    # diagnostics therefore go to a sidecar file and a PRECEDING stdout line;
+    # the final line stays compact (metric/value/unit/queries/sf only).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -129,13 +153,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "spread_pct": spread,
-                "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
-                "sessions": len(passes),
-                "session_delta_pct": session_delta,
-                "median_session_delta_pct": (
-                    deltas[len(deltas) // 2] if len(passes) > 1 else None
-                ),
                 "sf": sf,
             }
         )

@@ -496,9 +496,12 @@ w AS (
   ) AS runmax
   FROM points
 )
-SELECT price_c AS retail_price_cents, v AS total_qty_c100, n_parts, min_partkey
+SELECT price_c AS retail_price_cents, CAST(v AS BIGINT) AS total_qty_c100,
+       n_parts, min_partkey
 FROM w WHERE runmax IS NULL OR v > runmax
 """
+# CAST(v AS BIGINT): DuckDB SUM(BIGINT) is HUGEINT → pandas float64 → driver
+# hash mismatch vs Spark int64 (round-9 root cause; tests/test_oracle_types.py).
 
 
 def _frontier_filter(df: DataFrame, part_cols: list[str]) -> DataFrame:
@@ -609,7 +612,8 @@ mad AS (
   FROM d GROUP BY prio
 )
 SELECT d.prio, COUNT(*) AS n_orders,
-       MAX(m.med2) AS med2_cents, MAX(m2.mad2) AS mad2_cents,
+       CAST(MAX(m.med2) AS BIGINT) AS med2_cents,
+       CAST(MAX(m2.mad2) AS BIGINT) AS mad2_cents,
        COUNT(CASE WHEN {_MAD_NUM} * d.dev > {_MAD_THR} * m2.mad2 THEN 1 END)
          AS n_anomalies,
        COALESCE(MAX(CASE WHEN {_MAD_NUM} * d.dev > {_MAD_THR} * m2.mad2

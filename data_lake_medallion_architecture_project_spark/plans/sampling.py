@@ -391,9 +391,12 @@ SELECT source,
        CAST(COUNT(CASE WHEN h < thr THEN 1 END) AS BIGINT) AS n_docs_kept,
        CAST(COALESCE(SUM(CASE WHEN h < thr THEN n_chars END), 0) AS BIGINT)
          AS sum_chars_kept,
-       MAX(target_rate) AS target_rate
+       CAST(MAX(target_rate) AS DOUBLE) AS target_rate
 FROM d GROUP BY source
 """
+# CAST AS DOUBLE: a bare 0.35-style literal is DECIMAL in DuckDB, and a
+# DECIMAL output column can stringify differently from Spark's double under
+# the driver hash (same latent class as the round-9 HUGEINT failures).
 
 
 @register(

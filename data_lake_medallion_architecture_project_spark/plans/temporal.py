@@ -428,12 +428,17 @@ w AS (
          LEAST(row_number() OVER win, {EWMA_LAGS}) AS m
   FROM d WINDOW win AS (PARTITION BY prio ORDER BY day)
 )
-SELECT prio, day, c AS revenue_cents,
+SELECT prio, day, CAST(c AS BIGINT) AS revenue_cents,
        CAST(num AS DOUBLE)
          / CAST({1 << EWMA_LAGS} - (1 << ({EWMA_LAGS} - m)) AS DOUBLE)
          AS ewma_cents
 FROM w
 """
+# CAST(c AS BIGINT): DuckDB's SUM(BIGINT) yields HUGEINT, which pandas
+# receives as float64 — a stringification mismatch against Spark's int64
+# under the driver's hash (the round-9 hash-FAIL root cause). Every oracle
+# output column must leave DuckDB as BIGINT/DOUBLE, never HUGEINT
+# (regression-guarded by tests/test_oracle_types.py).
 
 
 @register("priority_revenue_ewma", oracle=_ewma_oracle(), tags=("bench", "temporal"))
@@ -607,9 +612,11 @@ s AS (
          ), 0)) AS cusum
   FROM w
 )
-SELECT prio, day, c AS revenue_cents, cusum AS cusum_cents
+SELECT prio, day, CAST(c AS BIGINT) AS revenue_cents,
+       CAST(cusum AS BIGINT) AS cusum_cents
 FROM s WHERE cusum > {CUSUM_H_NUM} * k
 """
+# CASTs: avoid HUGEINT outputs (pandas float64) — see the EWMA oracle note.
 
 
 @register("revenue_cusum_alerts", oracle=_CUSUM_ORACLE, tags=("temporal", "quality"))

@@ -90,6 +90,18 @@ def main() -> int:
             hs, ho = value_hash(spark_pdf), value_hash(oracle_pdf)
             if hs != ho:
                 problems.append("value-hash mismatch")
+            # Round-9 lesson: identical strings can mask a dtype divergence
+            # (DuckDB HUGEINT -> float64 vs Spark int64) that a DIFFERENT
+            # hash implementation (the driver's) splits. Flag class drift
+            # even when today's hash agrees.
+            for c in spark_pdf.columns:
+                s_f = pd.api.types.is_float_dtype(spark_pdf[c])
+                o_f = pd.api.types.is_float_dtype(oracle_pdf[c])
+                if s_f != o_f:
+                    problems.append(
+                        f"dtype-class drift on {c}: spark={spark_pdf[c].dtype}"
+                        f" oracle={oracle_pdf[c].dtype} (latent driver FAIL)"
+                    )
         status = "OK " if not problems else "FAIL"
         print(f"  {name:32s} {status} {len(spark_pdf):>8d} rows  [{t_spark:5.1f}s]"
               + (f"  {problems}" if problems else ""))
