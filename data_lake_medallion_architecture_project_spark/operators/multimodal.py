@@ -235,6 +235,77 @@ def attach_fake_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def _textured_pixels(doc_id: int, group: int) -> np.ndarray:
+    """Deterministic TEXTURED grayscale image for a doc id — every pixel is
+    modular arithmetic on (id, x, y), so horizontal gradients are nontrivial
+    (a dHash over the two-tone generator above is identically 0: constant
+    rows have no gradient signs). With ``group > 1``, all ids sharing
+    ``doc_id // group`` render the same base image and the member index
+    ``doc_id % group`` perturbs ONLY pixel (0, 0) — which the 9×8 dHash
+    thumbnail samples as its top-left cell — so within-group pairs land at
+    Hamming distance 0 or 1: a planted near-dup population an SQL oracle
+    can replay bit-for-bit."""
+    g, m = (doc_id // group, doc_id % group) if group > 1 else (doc_id, 0)
+    w = 16 + g % 13
+    h = 2 * (8 + g % 11)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    base = (g * (7 + x) + 13 * y * x + 31 * y) % 250  # headroom for +m < 256
+    base[0, 0] += m
+    return np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+def attach_fake_textured_bmp_payloads(
+    df: DataFrame, id_col: str = "doc_id", group: int = 1
+) -> DataFrame:
+    """Synthesize a real textured BMP payload per row (see
+    ``_textured_pixels``) — the perceptual-hash analog of
+    ``attach_fake_bmp_payloads``."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(_textured_pixels(int(doc_id), group))
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def attach_fake_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000
+) -> DataFrame:
+    """Synthesize a real PCM16 WAV payload per row: n = 400 + id % 37
+    samples of s_i = ((id·31 + 7i² + 13i) mod 4001) − 2000. Pure integer
+    recurrences, so every downstream feature (RMS included: the sum of
+    squares stays < 2⁵³, hence bit-exact in any IEEE engine) is replayable
+    by an SQL oracle."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 400 + d % 37
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + 7 * i * i + 13 * i) % 4001) - 2000
+                payloads.append(encode_wav(s.astype(np.int16), sample_rate))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 IMAGE_STATS_SCHEMA = (
     "doc_id long, img_width long, img_height long, "
     "mean_r double, mean_g double, mean_b double"

@@ -823,6 +823,152 @@ def image_decode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Perceptual image hashing + audio features, driver-gated end-to-end: the
+# payloads are REAL container bytes (BMP / RIFF WAV) synthesized from modular
+# arithmetic on doc_id, so a DuckDB oracle replays the decoded result of the
+# whole encode → decode → hash/feature pipeline without any image/audio
+# library. The textured generator makes dHash gradients nontrivial (the
+# two-tone images above hash to 0), and the grouped variant plants Hamming-
+# 0/1 near-dup pairs the banded LSH join must recover exactly.
+# --------------------------------------------------------------------------- #
+
+
+def _dhash_oracle_sql(grouped: bool) -> str:
+    """(doc_id, dhash) replay of operators/multimodal.py:_textured_pixels +
+    dhash64: pixel p(y,x) = (g·(7+x) + 13yx + 31y) mod 250 (+ member index
+    at (0,0) when grouped), 9×8 thumbnail rows r_i = (i·h) DIV 8 / cols
+    c_j = (j·w) DIV 9, bit(i,j) = p(r_i, c_{j+1}) > p(r_i, c_j) packed
+    big-endian with bit (0,0) at 2^63 — reproduced in int64 two's
+    complement by pinning the k=0 term to the sign bit."""
+    g = "(doc_id // 4)" if grouped else "doc_id"
+
+    def pix(y: str, x: str) -> str:
+        base = f"((g * (7 + ({x})) + 13 * ({y}) * ({x}) + 31 * ({y})) % 250)"
+        if grouped:
+            return (
+                f"({base} + CASE WHEN ({y}) = 0 AND ({x}) = 0"
+                f" THEN doc_id % 4 ELSE 0 END)"
+            )
+        return base
+
+    r = "((i * h) // 8)"
+    c0 = "((j * w) // 9)"
+    c1 = "(((j + 1) * w) // 9)"
+    return f"""
+WITH geo AS (
+  SELECT doc_id, {g} AS g,
+         16 + {g} % 13 AS w, 2 * (8 + {g} % 11) AS h
+  FROM documents
+),
+ij AS (
+  SELECT ii.i AS i, jj.j AS j
+  FROM (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj
+),
+b AS (
+  SELECT doc_id, i * 8 + j AS k,
+         CASE WHEN {pix(r, c1)} > {pix(r, c0)} THEN 1 ELSE 0 END AS bit
+  FROM geo, ij
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN k > 0
+                     THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+            + MAX(CASE WHEN k = 0 THEN bit ELSE 0 END)
+              * (-9223372036854775807 - 1)
+            AS BIGINT) AS dhash
+FROM b GROUP BY doc_id
+"""
+
+
+_IMAGE_NEAR_DUP_ORACLE = f"""
+WITH h AS ({_dhash_oracle_sql(grouped=True)})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
+@register("image_dhash_catalog", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual dHash per image through the REAL binary path:
+    textured BMP encode (mapInPandas) → BMP decode + grayscale + 9×8
+    thumbnail + gradient-sign pack (mapInArrow). The oracle recomputes all
+    64 bits from the pixel arithmetic — a wrong stride, row flip, BGR swap,
+    or bit order in the codec fails the hash, not just a unit test.
+    Comparisons are grayscale-monotone in the integer pixel values, so the
+    float luma weights cannot split engines."""
+    from ..operators.multimodal import (
+        attach_fake_textured_bmp_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(attach_fake_textured_bmp_payloads(docs))
+
+
+@register("image_near_dup_pairs", oracle=_IMAGE_NEAR_DUP_ORACLE,
+          tags=("multimodal", "dedup"))
+def image_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (dHash Hamming ≤ 3) over a planted population:
+    docs sharing doc_id DIV 4 render the same textured image up to a one-
+    pixel perturbation that moves at most the top-left thumbnail bit, so
+    within-group pairs sit at distance 0–1. The Spark side runs the banded
+    pigeonhole LSH join (operators/multimodal.py:image_near_dup_pairs —
+    never the n² pair space); the oracle brute-forces all pairs, so any
+    band-split recall loss fails the gate."""
+    from ..operators.multimodal import (
+        attach_fake_textured_bmp_payloads,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_dhash(attach_fake_textured_bmp_payloads(docs, group=4))
+    return image_near_dup_pairs(hashes, max_hamming=3)
+
+
+_AUDIO_FEATURES_ORACLE = """
+WITH d AS (SELECT doc_id, 400 + doc_id % 37 AS n FROM documents),
+s AS (
+  SELECT d.doc_id, d.n, ii.i AS i,
+         ((d.doc_id * 31 + 7 * ii.i * ii.i + 13 * ii.i) % 4001) - 2000 AS v
+  FROM d, (SELECT unnest(range(437)) AS i) ii
+  WHERE ii.i < d.n
+),
+w AS (
+  SELECT doc_id, n, i, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST((MAX(n) * 1000) // 16000 AS BIGINT) AS duration_ms,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak,
+       CAST(COUNT(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                       THEN 1 END) AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id
+"""
+
+
+@register("audio_feature_catalog", oracle=_AUDIO_FEATURES_ORACLE,
+          tags=("multimodal",))
+def audio_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio features through the real RIFF/WAVE path: PCM16 WAV
+    encode (mapInPandas) → chunk-walking decode + numpy signal math
+    (mapInArrow). The oracle replays the sample recurrence; RMS is gate-
+    safe because the squared-sample sum stays below 2^53 (exact in float64
+    under ANY summation order), so sqrt(sum/n) is bit-identical
+    cross-engine."""
+    from ..operators.multimodal import attach_fake_wav_payloads, audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_fake_wav_payloads(docs))
+
+
+# --------------------------------------------------------------------------- #
 # Python UDTF — the table-valued-function surface (SQL LATERAL), demonstrated
 # on bigram expansion. For hot paths the JVM explode/mapInArrow routes above
 # are preferred; a UDTF is the composable SQL-facing form of the same 1→N
