@@ -1326,37 +1326,54 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion is correctly rounded), and any residual constant-folding
     ULP is absorbed by the DECIMAL(20,9) quantization.
 
-    Scale shape: the term filter lands BEFORE the explode's aggregation, so
-    the tf shuffle carries only query-term hits — O(matches), not O(corpus
-    tokens); df is |terms| rows broadcast; dl joins column-pruned
-    (doc_id, dl); N/avgdl are a 2-number driver collect. At 100 TB this is
-    one corpus scan + match-sized exchanges — the inverted-index-free form
-    of keyword search that a Spark engine can serve directly."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokenize("text").alias("toks")
+    Scale shape (round-10 form): the token array is FILTERED to query terms
+    before the explode, so the tf shuffle carries only hits — O(matches),
+    not O(corpus tokens) — and dl rides through that aggregate, so no
+    second corpus branch joins it back. dl itself is n_spaces + 1 by
+    character arithmetic (tokenize ≡ split on ' '), which lets the
+    N/avgdl branch skip tokenization entirely and fold in as a broadcast
+    1-row cross-join instead of a driver collect: ONE tokenize pass and
+    two column-pruned scans total, zero driver-side jobs. At 100 TB this
+    is the inverted-index-free form of keyword search a Spark engine can
+    serve directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    # size(split(lower(text), ' ')) == n_spaces + 1, lowercase-invariant.
+    dl_expr = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(dl_expr).alias("total_dl")
+    ).select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
     )
-    d = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    n_docs, total_dl = d.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
-    avgdl = total_dl / n_docs
-    tok = docs.select("doc_id", F.explode("toks").alias("token"))
-    tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    hits = docs.select(
+        "doc_id",
+        dl_expr.alias("dl"),
+        F.explode(
+            F.filter(tokenize("text"), lambda t: t.isin(*_BM25_TERMS))
+        ).alias("token"),
+    )
+    tf = hits.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tfd = F.col("tf").cast("double")
     dfd = F.col("df").cast("double")
     dld = F.col("dl").cast("double")
     idf = F.log(
-        ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) / (dfd + 0.5) + 1.0
+        ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (dfd + 0.5) + 1.0
     )
     norm = (tfd * (_BM25_K1 + 1.0)) / (
-        tfd + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dld / F.lit(avgdl)))
+        tfd + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dld / F.col("avgdl")))
     )
     scored = (
         tf.join(F.broadcast(df), "token")
-        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * norm).cast("decimal(20,9)").alias("term_score"))
     )
     return scored.groupBy("doc_id").agg(
