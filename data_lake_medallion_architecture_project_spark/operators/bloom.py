@@ -68,6 +68,15 @@ def bloom_build(
     ).distinct()
 
 
+def _folded_keys(bloom: DataFrame) -> DataFrame:
+    """(j, pos) → single prefix-free string key concat(j, pos); the form
+    every probe join targets so the build subtree is shared across the K
+    joins (see :func:`bloom_probe`)."""
+    return bloom.select(
+        F.concat(F.col("j").cast("string"), F.col("pos")).alias("__bkey")
+    )
+
+
 def bloom_probe(
     df: DataFrame, key_col: str, bloom: DataFrame, hex_digits: int = BLOOM_HEX
 ) -> DataFrame:
@@ -76,14 +85,28 @@ def bloom_probe(
     row, all map-side in a single stage: no exchange, no row collapse,
     duplicates preserved. Keeps every true match (no false negatives),
     drops most non-matches before any downstream shuffle. ``hex_digits``
-    must match the build side's."""
+    must match the build side's.
+
+    All K joins probe the SAME single-column relation concat(j, pos) — j is
+    folded into the key instead of joined as a per-row filter, because a
+    ``bloom.j == <literal>`` conjunct gets pushed DOWN into each build
+    subtree, making the three plans distinct and forcing the scan → explode
+    → distinct pipeline to execute K times. With the folded key the build
+    subtree canonicalizes identically and its shuffle stage runs ONCE
+    (observed under AQE: 3 distinct-shuffles → 1; the per-join broadcasts
+    then just re-hash the shared stage output). Fixed-width pos means
+    concat is prefix-free, so membership — and the false-positive set — is
+    bit-identical to the (j, pos) pair form the oracles replay."""
+    bkeys = _folded_keys(bloom)
     out = df
     for j in range(BLOOM_K):
-        bj = bloom.filter(F.col("j") == j).select(F.col("pos").alias(f"__p{j}"))
-        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col, hex_digits))
+        out = out.withColumn(
+            "__pos",
+            F.concat(F.lit(str(j)), _pos(F.lit(j), key_col, hex_digits)),
+        )
         out = out.join(
-            F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left_semi"
-        ).drop(f"__pos{j}")
+            F.broadcast(bkeys), bkeys["__bkey"] == out["__pos"], "left_semi"
+        ).drop("__pos")
     return out
 
 
@@ -101,14 +124,26 @@ def bloom_mark(
     most one filter row, so no duplication — still map-side, still one
     stage. Use when the selectivity funnel itself is the output (audit /
     fp-rate monitoring) so total and candidates come from one aggregate
-    over one scan instead of a separate count action."""
+    over one scan instead of a separate count action.
+
+    Same folded concat(j, pos) key as :func:`bloom_probe` (and for the same
+    reason: a per-join j filter would re-execute the build pipeline K
+    times)."""
+    bkeys = _folded_keys(bloom)
     out = df
     hits = F.lit(0)
     for j in range(BLOOM_K):
-        bj = bloom.filter(F.col("j") == j).select(F.col("pos").alias(f"__p{j}"))
-        out = out.withColumn(f"__pos{j}", _pos(F.lit(j), key_col, hex_digits))
+        out = out.withColumn(
+            "__pos",
+            F.concat(F.lit(str(j)), _pos(F.lit(j), key_col, hex_digits)),
+        )
         out = out.join(
-            F.broadcast(bj), out[f"__pos{j}"] == bj[f"__p{j}"], "left"
-        ).drop(f"__pos{j}")
-        hits = hits + F.when(F.col(f"__p{j}").isNotNull(), 1).otherwise(0)
-    return out.withColumn(out_col, hits).drop(*[f"__p{j}" for j in range(BLOOM_K)])
+            F.broadcast(bkeys), bkeys["__bkey"] == out["__pos"], "left"
+        )
+        out = out.withColumn(
+            f"__hit{j}", F.when(F.col("__bkey").isNotNull(), 1).otherwise(0)
+        ).drop("__bkey", "__pos")
+        hits = hits + F.col(f"__hit{j}")
+    return out.withColumn(out_col, hits).drop(
+        *[f"__hit{j}" for j in range(BLOOM_K)]
+    )
