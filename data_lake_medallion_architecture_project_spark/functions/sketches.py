@@ -275,9 +275,19 @@ def dd_quantiles(
     """Merge bucket states by SUM onto ``group_cols`` and select quantile
     estimates. Bucket selection is scaled-INTEGER cumulative-count logic
     (100*cum >= q100*total — no float boundary, so every engine picks the
-    same bucket); the value estimate 2γᵇ/(γ+1) is one pow per output row."""
+    same bucket); the value estimate 2γᵇ/(γ+1) is one pow per output row.
+
+    One exchange for the whole merge→window→select chain: the input is
+    repartitioned on ``group_cols`` up front, which satisfies the merge
+    groupBy's (group, bucket) clustering (hash on a key SUBSET co-locates
+    the superset), both windows, and the final groupBy — Catalyst inserts
+    sorts only. Parallelism = #groups is fine HERE by contract: ``buckets``
+    is sketch STATE (groups × ~log-range buckets), never raw rows, so the
+    post-repartition stages are KB-scale at any corpus size."""
     from pyspark.sql import Window
 
+    if group_cols:
+        buckets = buckets.repartition(*group_cols)
     merged = buckets.groupBy(*group_cols, "bucket").agg(F.sum("c").alias("c"))
     w_cum = (
         Window.partitionBy(*group_cols)
