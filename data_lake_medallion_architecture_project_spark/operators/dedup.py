@@ -111,12 +111,17 @@ def jaccard_pairs_from_sets(
     if prefix_filter:
         from pyspark.sql import Window
 
-        dfreq = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        sized = postings.join(dfreq, "token")
+        # Document frequency as a count-over-token WINDOW rather than a
+        # groupBy + join back: same values, but the posting table (and the
+        # whole upstream tokenize/shingle pipeline) is evaluated ONCE — the
+        # join form re-derived it for each side of the dfreq join. Shuffle
+        # count is unchanged (token here, id below).
+        wt = Window.partitionBy("token")
         # Prefix length |A| − ⌈t·|A|⌉ + 1 under rarest-first canonical order.
         w = Window.partitionBy("id").orderBy("df", "token")
         cand_src = (
-            sized.withColumn("pos", F.row_number().over(w))
+            postings.withColumn("df", F.count(F.lit(1)).over(wt))
+            .withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1)
             .select("id", "set_size", "token")
         )
@@ -164,15 +169,39 @@ def jaccard_pairs_from_sets(
         .distinct()
     )
     # Exact verification on the full token sets (same arithmetic as the naive
-    # count-based formula: integer sizes divided in double).
-    ta = sets.select(F.col("id").alias("id_a"), F.col("tokens").alias("tokens_a"))
-    tb = sets.select(F.col("id").alias("id_b"), F.col("tokens").alias("tokens_b"))
+    # count-based formula: integer sizes divided in double). Candidates are
+    # MELTED to (pair, side, id) so ``sets`` — a corpus-sized relation whose
+    # lineage re-runs the tokenize/shingle pipeline — is joined ONCE; the
+    # regroup that reassembles each pair's two arrays shuffles only
+    # candidate-sized data. The two-join form shuffled (and re-derived) the
+    # corpus twice.
+    sides = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("id")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("id")),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", "s.side", "s.id")
+    both = (
+        sides.join(sets, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            # Exactly one non-null per (pair, side): first() is deterministic.
+            F.first(
+                F.when(F.col("side") == "a", F.col("tokens")), ignorenulls=True
+            ).alias("tokens_a"),
+            F.first(
+                F.when(F.col("side") == "b", F.col("tokens")), ignorenulls=True
+            ).alias("tokens_b"),
+        )
+    )
     inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
     union = F.size(F.array_union("tokens_a", "tokens_b"))
     return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        both.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
