@@ -1134,6 +1134,144 @@ def priority_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# DSIR — data selection via importance resampling over hashed n-grams.
+# --------------------------------------------------------------------------- #
+
+DSIR_BUCKETS = 256          # hashed-bigram feature space (DSIR §2.2 uses 10⁴;
+#                             sized down to the test corpus' bigram volume)
+DSIR_TARGET_SOURCES = ("src1", "src3", "src5")  # the "target domain" slice
+DSIR_TOP = 100
+
+_DSIR_SRC_SQL = "(" + ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES) + ")"
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(ws[i.i] || ' ' || ws[i.i+1]), 1, 4))
+              AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+),
+c AS (
+  SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT b, SUM(cnt) AS rb,
+         SUM(CASE WHEN source IN {_DSIR_SRC_SQL} THEN cnt ELSE 0 END) AS tb
+  FROM c GROUP BY b
+),
+stat2 AS (
+  SELECT b, rb, tb, SUM(rb) OVER () AS r, SUM(tb) OVER () AS t FROM stats
+),
+term AS (
+  SELECT c.doc_id, c.source, c.cnt,
+         CAST(CAST(c.cnt AS DOUBLE)
+              * ln((CAST(s.tb + 1 AS DOUBLE) * CAST(s.r + {DSIR_BUCKETS} AS DOUBLE))
+                   / (CAST(s.rb + 1 AS DOUBLE) * CAST(s.t + {DSIR_BUCKETS} AS DOUBLE)))
+              AS DECIMAL(20, 9)) AS ts
+  FROM c JOIN stat2 s ON s.b = c.b
+)
+SELECT doc_id, source, n_bigrams, dsir_score FROM (
+  SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(SUM(ts) AS DOUBLE) AS dsir_score
+  FROM term GROUP BY doc_id, source
+)
+ORDER BY dsir_score DESC, doc_id
+LIMIT {DSIR_TOP}
+"""
+
+
+@register(
+    "dsir_importance_sample",
+    oracle=_DSIR_ORACLE,
+    tags=("training", "sampling", "text"),
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al.,
+    NeurIPS 2023): rank raw-corpus documents by how much more likely their
+    hashed-bigram profile is under a TARGET domain (here the
+    {DSIR_TARGET_SOURCES} slice) than under the raw corpus —
+    score(d) = Σ_b c_d(b)·(ln p̂_target(b) − ln p̂_raw(b)) with add-one
+    smoothed bucket unigram models over {DSIR_BUCKETS} md5 buckets. The
+    emitted top-{DSIR_TOP} is the selection a pretraining mix would pull
+    from the raw pool to match the target distribution.
+
+    Engine discipline (the BM25/perplexity recipe): bucket counts are
+    exact integers; each per-(doc, bucket) term is one identically-shaped
+    double expression quantized to DECIMAL(20,9), so the per-doc sum is
+    exact-decimal and order-independent — and the final ranking (score
+    DESC, doc_id) is total, so both engines select the identical sample.
+
+    Scale shape: one bigram explode → (doc, bucket) partial-agg shuffle
+    (bounded by docs × {DSIR_BUCKETS}); the bucket LM is a {DSIR_BUCKETS}-row
+    aggregate with its corpus totals attached by a single-partition window
+    over those {DSIR_BUCKETS} rows (no extra lineage branch), broadcast
+    back; selection is TakeOrderedAndProject (per-partition top-N, no
+    global sort). Reference basis: arXiv:2302.03169 — the hashed-ngram
+    variant the paper uses for pretraining-scale selection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("ws")
+    )
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("a"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "p.a", "p.b")), 1, 4), 16, 10
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    c = bg.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = c.groupBy("b").agg(
+        F.sum("cnt").alias("rb"),
+        F.sum(
+            F.when(
+                F.col("source").isin(*DSIR_TARGET_SOURCES), F.col("cnt")
+            ).otherwise(0)
+        ).alias("tb"),
+    )
+    w_all = Window.partitionBy()
+    stat2 = stats.select(
+        "b",
+        "rb",
+        "tb",
+        F.sum("rb").over(w_all).alias("r"),
+        F.sum("tb").over(w_all).alias("t"),
+    )
+    d = lambda col: col.cast("double")  # noqa: E731
+    lr = F.log(
+        (d(F.col("tb") + 1) * d(F.col("r") + DSIR_BUCKETS))
+        / (d(F.col("rb") + 1) * d(F.col("t") + DSIR_BUCKETS))
+    )
+    term = c.join(F.broadcast(stat2), "b").select(
+        "doc_id",
+        "source",
+        "cnt",
+        (F.col("cnt").cast("double") * lr).cast("decimal(20,9)").alias("ts"),
+    )
+    out = term.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum("ts").cast("double").alias("dsir_score"),
+    )
+    return out.orderBy(F.col("dsir_score").desc(), "doc_id").limit(DSIR_TOP)
+
+
+# --------------------------------------------------------------------------- #
 # Revenue-WEIGHTED quantiles from the same DDSketch bucket space.
 # --------------------------------------------------------------------------- #
 

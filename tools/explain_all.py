@@ -71,6 +71,10 @@ NESTED_LOOP_OK = {
     # Scalar broadcast: the 1-row basket total (n_orders) cross-joined onto
     # the 25-row winner set — the whitelisted O(n)·O(1) shape.
     "part_association_rules",
+    # Scalar broadcast (round 10): the 1-row (n_docs, avgdl) corpus-stats
+    # aggregate cross-joined onto the match-sized scored relation — replaced
+    # the former driver collect (which cost a separate tokenize job).
+    "bm25_search_docs",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
