@@ -743,6 +743,69 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# PCA projection against the pinned exact-moment model (hash-checked).
+# --------------------------------------------------------------------------- #
+
+
+def _pca_projection_oracle() -> str:
+    """Unrolled (x − μ)·w per component in DuckDB. Each coordinate is the
+    LEFT-ASSOCIATED 64-term sum written in index order — the Spark side
+    builds the identical expression chain, so both engines execute the
+    same IEEE operation sequence and the emitted doubles are bit-equal
+    (no summation-order slack to guard, unlike the BLAS bulk path)."""
+    from ._pinned_pca import _PCA_COMPONENTS, _PCA_MEAN
+
+    pcs = ",\n       ".join(
+        " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - {_PCA_MEAN[j]!r}) * {w[j]!r}"
+            for j in range(len(_PCA_MEAN))
+        )
+        + f" AS pc{i + 1}"
+        for i, w in enumerate(_PCA_COMPONENTS)
+    )
+    return f"""
+SELECT vec_id, {pcs}
+FROM embeddings
+"""
+
+
+@register(
+    "embedding_pca_projection",
+    oracle=_pca_projection_oracle(),
+    tags=("similarity", "ml", "compression"),
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the PINNED top-4 principal
+    components — the dimensionality-reduction apply pass a curation
+    pipeline runs before cheap downstream similarity / visualization.
+    Map-only whole-stage-codegen expressions (no Python, no shuffle): each
+    coordinate is the unrolled left-associated Σ_j (x_j − μ_j)·w_j, the
+    form whose IEEE sequence the DuckDB oracle replays exactly.
+
+    The model is the exact-moment distributed fit (operators/pca.py:
+    fit_pca — one mapInArrow pass for (n, Σx, ΣxxT), eigh on the driver)
+    exported by tools/pin_pca.py into plans/_pinned_pca.py;
+    tests/test_pca.py asserts the pinned values still match a fresh fit
+    AND that this expression path agrees with transform_pca's BLAS bulk
+    route. At 100 TB the projection is a pure scan-side map — the fit's
+    driver traffic is one (d + d²)-number partial per partition."""
+    from ._pinned_pca import _PCA_COMPONENTS, _PCA_MEAN
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    cols = []
+    for i, w in enumerate(_PCA_COMPONENTS):
+        expr = None
+        for j in range(len(_PCA_MEAN)):
+            t = (
+                F.element_at(v, j + 1).cast("double") - F.lit(_PCA_MEAN[j])
+            ) * F.lit(w[j])
+            expr = t if expr is None else expr + t
+        cols.append(expr.alias(f"pc{i + 1}"))
+    return emb.select("vec_id", *cols)
+
+
+# --------------------------------------------------------------------------- #
 # Year-over-year revenue growth per nation (lag over an aggregate).
 # --------------------------------------------------------------------------- #
 

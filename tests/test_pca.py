@@ -79,3 +79,58 @@ def test_transform_projects_and_reconstruction_improves_with_k(spark):
     m8 = fit_pca(df, "embedding", k=8)
     got = transform_pca(df, "embedding", m8).select("projection").first()[0]
     assert len(got) == 8
+
+
+def test_pinned_model_matches_fresh_fit(spark):
+    """The gate model (plans/_pinned_pca.py, via tools/pin_pca.py) must
+    track the live fit — drift in fit_pca's algorithm or the gate dataset
+    fails here before it silently breaks the driver hash gate."""
+    from data_lake_medallion_architecture_project_spark.plans._pinned_pca import (
+        _PCA_COMPONENTS,
+        _PCA_MEAN,
+    )
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    fresh = fit_pca(emb, "embedding", k=len(_PCA_COMPONENTS))
+    np.testing.assert_allclose(fresh.mean, np.array(_PCA_MEAN), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        fresh.components, np.array(_PCA_COMPONENTS).T, rtol=1e-7, atol=1e-9
+    )
+
+
+def test_gate_expression_path_matches_blas_transform(spark):
+    """embedding_pca_projection's unrolled-expression coordinates agree with
+    transform_pca's BLAS route (different summation order → 1e-9, not
+    bit-equal; bit-equality is only promised cross-ENGINE on the unrolled
+    form, which the oracle hash asserts)."""
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+    from data_lake_medallion_architecture_project_spark.plans._pinned_pca import (
+        _PCA_COMPONENTS,
+        _PCA_MEAN,
+    )
+    from data_lake_medallion_architecture_project_spark.operators.pca import PcaModel
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["vec_id"]: [r["pc1"], r["pc2"], r["pc3"], r["pc4"]]
+        for r in REGISTRY["embedding_pca_projection"].build(spark, sf).collect()
+    }
+    model = PcaModel(
+        mean=np.array(_PCA_MEAN),
+        components=np.array(_PCA_COMPONENTS).T,
+        explained_variance=np.zeros(len(_PCA_COMPONENTS)),
+        total_variance=1.0,
+    )
+    emb = load_table(spark, sf, "embeddings")
+    blas = {
+        r["vec_id"]: r["projection"]
+        for r in transform_pca(emb, "embedding", model)
+        .select("vec_id", "projection")
+        .collect()
+    }
+    assert set(got) == set(blas)
+    g = np.array([got[k] for k in sorted(got)])
+    b = np.array([blas[k] for k in sorted(blas)])
+    np.testing.assert_allclose(g, b, rtol=1e-9, atol=1e-12)
