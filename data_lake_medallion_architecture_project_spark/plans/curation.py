@@ -806,6 +806,193 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# SemDeDup: semantic dedup via pinned clusters + intra-cluster cosine.
+# --------------------------------------------------------------------------- #
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
+    """Full SemDeDup replay in DuckDB: identical sequential-fold dots against
+    the pinned centroid literals (list_sum over list_zip ≡ Spark's
+    ``F.aggregate``/``zip_with`` fold — bit-equal doubles, so the argmax CASE
+    needs no margin assumption), the same affinity ordering, the same
+    intra-cluster pairwise-cosine EXISTS rule."""
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+
+    k = len(cent)
+    dots = ",\n         ".join(
+        "list_sum(list_transform(list_zip(e, ["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[]), t -> t[1] * t[2])) AS d{i}".replace("{i}", str(i))
+        for i, row in enumerate(cent)
+    )
+    whens = "\n    ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(i + 1, k))
+        + f" THEN {i}"
+        for i in range(k - 1)
+    )
+    aff_whens = "\n    ".join(
+        f"WHEN centroid = {i} THEN d{i} / nrm" for i in range(k)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         {dots}
+  FROM v
+),
+assigned AS (
+  SELECT vec_id, e, nrm,
+         CASE
+    {whens}
+    ELSE {k - 1} END AS centroid,
+         d0, d1, d2, d3, d4, d5, d6, d7
+  FROM d
+),
+aff AS (
+  SELECT vec_id, e, nrm, centroid,
+         CASE
+    {aff_whens}
+    END AS affinity
+  FROM assigned
+),
+ranked AS (
+  SELECT vec_id, e, nrm, centroid, affinity,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid ORDER BY affinity, vec_id
+         ) AS rk
+  FROM aff
+),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a
+  JOIN ranked b ON a.centroid = b.centroid AND a.rk < b.rk
+  WHERE list_sum(list_transform(list_zip(a.e, b.e), t -> t[1] * t[2]))
+        / (a.nrm * b.nrm) >= {tau!r}
+)
+SELECT r.vec_id, CAST(r.centroid AS BIGINT) AS centroid, r.affinity,
+       rm.vec_id IS NULL AS is_kept
+FROM ranked r
+LEFT JOIN removed rm ON rm.vec_id = r.vec_id
+"""
+
+
+@register(
+    "semdedup_keep_list",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "similarity", "ml"),
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    clustering embeddings, then pruning within-cluster pairs whose cosine
+    exceeds τ — the candidate space is cluster-blocked, never corpus-
+    quadratic. Per the released implementation, cluster members are ordered
+    by similarity-to-centroid ascending (low-affinity examples survive) and
+    an example is removed iff some EARLIER member of its cluster is within
+    τ; the relational form of that upper-triangular rule is the rank-EXISTS
+    join below. Output: every vector with its cluster, centroid affinity,
+    and the keep/remove verdict.
+
+    Cross-engine exactness: assignment dots use the sequential-fold ``dot``
+    (functions/vectors.py), bit-equal to DuckDB's list_sum fold, so the
+    first-max-wins argmax CASE, the affinity ordering, and the pairwise
+    cosine-vs-τ comparisons are all decisions over identical doubles — no
+    pin-time margin guard needed (unlike the BLAS argmax path in
+    ``embedding_cluster_sizes``).
+
+    Scale shape: assignment + affinity are map-only whole-stage-codegen
+    expressions (k·d literal FMAs per row); the one shuffle keys on the
+    cluster id. Intra-cluster pairing is quadratic only in CLUSTER size —
+    SemDeDup's contract is that k grows with the corpus (the paper uses
+    k=50 000 on LAION) so clusters stay bounded; with the pinned k=8 gate
+    model the 8-key shuffle would skew at 100 TB, and the production call
+    routes the same pair stage through ``blocked_cosine_pairs`` per cluster
+    (operators/similarity.py) when clusters outgrow a partition.
+
+    Reference parity: extends the reference's exact-hash dedup reporting
+    (pipeline/bronze_to_silver.py drop_duplicates) to embedding space —
+    the dedup tier a training-data pipeline runs after MinHash."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, l2_norm, to_double_array
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+
+    k = len(cent)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    lits = [F.array(*[F.lit(float(x)) for x in row]) for row in cent]
+    d = emb.select(
+        "vec_id",
+        "e",
+        l2_norm(F.col("e")).alias("nrm"),
+        *[dot(F.col("e"), lits[i]).alias(f"d{i}") for i in range(k)],
+    )
+    assign = None
+    for i in range(k - 1):
+        cond = F.col(f"d{i}") >= F.col(f"d{i + 1}")
+        for j in range(i + 2, k):
+            cond = cond & (F.col(f"d{i}") >= F.col(f"d{j}"))
+        assign = (
+            F.when(cond, F.lit(i)) if assign is None else assign.when(cond, F.lit(i))
+        )
+    assign = assign.otherwise(F.lit(k - 1))
+    aff = None
+    for i in range(k):
+        c = F.col("centroid") == i
+        t = F.col(f"d{i}") / F.col("nrm")
+        aff = F.when(c, t) if aff is None else aff.when(c, t)
+    ranked = (
+        d.withColumn("centroid", assign)
+        .withColumn("affinity", aff)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("centroid").orderBy("affinity", "vec_id")
+            ),
+        )
+        .select("vec_id", "e", "nrm", "centroid", "affinity", "rk")
+    )
+    a = ranked.select(
+        F.col("centroid").alias("ca"),
+        F.col("rk").alias("rka"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("rm_id"),
+        F.col("centroid").alias("cb"),
+        F.col("rk").alias("rkb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    removed = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("rka") < F.col("rkb")))
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("rm_id")
+        .distinct()
+    )
+    return (
+        ranked.join(removed, ranked.vec_id == removed.rm_id, "left")
+        .select(
+            "vec_id",
+            F.col("centroid").cast("long").alias("centroid"),
+            "affinity",
+            F.col("rm_id").isNull().alias("is_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Year-over-year revenue growth per nation (lag over an aggregate).
 # --------------------------------------------------------------------------- #
 

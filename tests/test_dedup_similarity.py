@@ -513,3 +513,47 @@ def test_dimension_stats_match_numpy(spark):
         assert r["n"] == len(x)
         assert abs(r["mean"] - x[:, d].mean()) < 1e-5
         assert abs(r["variance"] - x[:, d].var()) < 1e-4
+
+
+def test_semdedup_matches_numpy_triangular_rule(spark):
+    """SemDeDup keep-list replayed in numpy: assign each vector to the pinned
+    centroid by dot-argmax (first-max-wins), order cluster members by
+    affinity ascending (tie: vec_id), remove any member with an earlier
+    same-cluster neighbor at cosine >= tau — the upper-triangular rule of
+    the released SemDeDup implementation."""
+    from data_lake_medallion_architecture_project_spark.plans.curation import (
+        _SEMDEDUP_TAU,
+    )
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = np.array(_CLUSTER_CENTROIDS_K8, dtype=np.float64)
+    dots = x @ cent.T
+    assign = dots.argmax(axis=1)  # numpy argmax is first-max-wins
+    nrm = np.sqrt((x * x).sum(axis=1))
+    aff = dots[np.arange(len(x)), assign] / nrm
+    expected_removed = set()
+    for c in np.unique(assign):
+        mask = assign == c
+        order = np.lexsort((ids[mask], aff[mask]))
+        member_idx = np.flatnonzero(mask)[order]
+        for pos, i in enumerate(member_idx):
+            for j in member_idx[:pos]:
+                cos = x[i] @ x[j] / (nrm[i] * nrm[j])
+                if cos >= _SEMDEDUP_TAU:
+                    expected_removed.add(int(ids[i]))
+                    break
+    out = REGISTRY["semdedup_keep_list"].build(spark, sf).collect()
+    assert len(out) == len(ids)
+    got_removed = {int(r["vec_id"]) for r in out if not r["is_kept"]}
+    assert got_removed == expected_removed
+    got_assign = {int(r["vec_id"]): r["centroid"] for r in out}
+    for i, vid in enumerate(ids):
+        assert got_assign[int(vid)] == int(assign[i])
