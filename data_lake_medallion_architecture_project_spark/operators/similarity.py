@@ -486,3 +486,81 @@ def blocked_cosine_pairs(
         return pd.DataFrame({"id_a": lo.astype("int64"), "id_b": hi.astype("int64")})
 
     return replicas.groupBy("pi", "pj").applyInPandas(kernel, "id_a long, id_b long")
+
+
+def semdedup_prune(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    strip: int = 512,
+) -> DataFrame:
+    """SemDeDup pruning (Abbas et al., arXiv:2303.09540) — the BLAS scale
+    path of the exact relational form in ``plans/curation.py:
+    semdedup_keep_list``. Same semantics: assign each vector to its
+    dot-argmax centroid, order cluster members by affinity-to-centroid
+    ascending (tie: id), remove a member iff some EARLIER member of its
+    cluster is within cosine ``tau`` (the released implementation's
+    upper-triangular rule).
+
+    Why this form exists: the relational pair join evaluates its cosine
+    with higher-order functions (``zip_with``/``aggregate``), which are
+    CodegenFallback in Spark — INTERPRETED per candidate pair, ~100 µs·core
+    each. That is the right price for a hash-certifiable sf0.01 gate and
+    catastrophic at corpus scale. Here each cluster's triangular max-cosine
+    runs as strip-blocked numpy matmuls inside ``applyInPandas``
+    (``strip``·|cluster| doubles live at once), so per-pair cost drops to
+    BLAS throughput and the only shuffle is the one cluster-keyed exchange.
+    Parallelism is the CLUSTER count — SemDeDup's own contract (k grows
+    with the corpus; the paper fits k=50 000 on LAION) keeps groups bounded
+    and plentiful.
+
+    Equivalence to the exact form is asserted in
+    tests/test_dedup_similarity.py (identical keep-sets on the gate
+    corpora; BLAS reassociates float sums, so pairs within ~1e-12 of
+    ``tau`` could in principle flip — generic corpora have no such pair,
+    and the exact query remains the certification surface).
+
+    Output: one row per vector — (id, centroid, affinity, is_kept).
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = _assign_udf(cent)
+    prepared = (
+        df.select(
+            F.col(id_col).cast("long").alias("vid"),
+            to_double_array(vec_col).alias("v"),
+        )
+        .withColumn("centroid", assign(F.col("v")))
+    )
+
+    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        c = cent[int(key[0])]
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vid"].to_numpy()
+        nrm = np.linalg.norm(x, axis=1)
+        nrm = np.where(nrm == 0, 1.0, nrm)
+        aff = (x @ c) / nrm
+        order = np.lexsort((ids, aff))
+        ids, aff = ids[order], aff[order]
+        xn = x[order] / nrm[order, None]
+        n = len(ids)
+        removed = np.zeros(n, dtype=bool)
+        for i0 in range(1, n, strip):
+            i1 = min(i0 + strip, n)
+            sims = xn[i0:i1] @ xn[:i1].T  # strip × i1 block of the triangle
+            for r in range(i1 - i0):
+                i = i0 + r
+                removed[i] = bool(sims[r, :i].max(initial=-np.inf) >= tau)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "centroid": np.full(n, int(key[0]), dtype="int64"),
+                "affinity": aff,
+                "is_kept": ~removed,
+            }
+        )
+
+    return prepared.groupBy("centroid").applyInPandas(
+        prune, "vec_id long, centroid long, affinity double, is_kept boolean"
+    )

@@ -906,14 +906,22 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin-time margin guard needed (unlike the BLAS argmax path in
     ``embedding_cluster_sizes``).
 
-    Scale shape: assignment + affinity are map-only whole-stage-codegen
-    expressions (k·d literal FMAs per row); the one shuffle keys on the
-    cluster id. Intra-cluster pairing is quadratic only in CLUSTER size —
-    SemDeDup's contract is that k grows with the corpus (the paper uses
-    k=50 000 on LAION) so clusters stay bounded; with the pinned k=8 gate
-    model the 8-key shuffle would skew at 100 TB, and the production call
-    routes the same pair stage through ``blocked_cosine_pairs`` per cluster
-    (operators/similarity.py) when clusters outgrow a partition.
+    Scale shape: assignment + affinity are one map pass (k fold-dots per
+    row); the one corpus shuffle keys on the cluster id. This exact
+    relational form is the CERTIFICATION tier, priced for the sf0.01 gate:
+    its pairwise cosine is a ``zip_with``/``aggregate`` higher-order
+    function, which is CodegenFallback in Spark — INTERPRETED per candidate
+    pair (~100 µs·core measured). Both obvious "fixes" were tried and
+    measured worse: unrolling the dot into element_at chains loses to the
+    fold's primitive loop (128 null-checked accessors; and unrolling the
+    centroid dots blows up the optimizer through the CASE pyramid), and
+    salting the pair join ×32 adds shuffle volume without touching the
+    interpreted constant. At corpus scale the identical semantics run as
+    strip-blocked BLAS in ``operators/similarity.py:semdedup_prune``
+    (equivalence-tested; 237× at 10×, see SCALE.md), whose parallelism is
+    the cluster count — SemDeDup's own contract (k grows with the corpus;
+    the paper fits k=50 000 on LAION) keeps clusters bounded and
+    plentiful.
 
     Reference parity: extends the reference's exact-hash dedup reporting
     (pipeline/bronze_to_silver.py drop_duplicates) to embedding space —

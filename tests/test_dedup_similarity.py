@@ -557,3 +557,34 @@ def test_semdedup_matches_numpy_triangular_rule(spark):
     got_assign = {int(r["vec_id"]): r["centroid"] for r in out}
     for i, vid in enumerate(ids):
         assert got_assign[int(vid)] == int(assign[i])
+
+
+def test_semdedup_prune_blas_matches_exact_query(spark):
+    """The BLAS scale path (operators/similarity.py:semdedup_prune) must
+    produce the identical keep-set, assignment, and (to float tolerance)
+    affinities as the exact relational gate query on the gate corpora."""
+    from data_lake_medallion_architecture_project_spark.operators.similarity import semdedup_prune
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+    from data_lake_medallion_architecture_project_spark.plans.curation import _SEMDEDUP_TAU
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            r["vec_id"]: r
+            for r in REGISTRY["semdedup_keep_list"].build(spark, sf).collect()
+        }
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        blas = {
+            r["vec_id"]: r
+            for r in semdedup_prune(
+                emb, _CLUSTER_CENTROIDS_K8, tau=_SEMDEDUP_TAU
+            ).collect()
+        }
+        assert set(exact) == set(blas)
+        for vid, e in exact.items():
+            b = blas[vid]
+            assert b["centroid"] == e["centroid"]
+            assert b["is_kept"] == e["is_kept"]
+            assert abs(b["affinity"] - e["affinity"]) < 1e-9
