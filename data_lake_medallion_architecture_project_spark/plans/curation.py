@@ -812,12 +812,13 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.4
 
 
-def _semdedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
-    """Full SemDeDup replay in DuckDB: identical sequential-fold dots against
-    the pinned centroid literals (list_sum over list_zip ≡ Spark's
-    ``F.aggregate``/``zip_with`` fold — bit-equal doubles, so the argmax CASE
-    needs no margin assumption), the same affinity ordering, the same
-    intra-cluster pairwise-cosine EXISTS rule."""
+def _sem_aff_cte() -> str:
+    """The shared DuckDB CTE prefix both SemDeDup oracles build on: raw
+    vectors widened to double, sequential-fold dots against the pinned
+    centroid literals (list_sum over list_zip ≡ Spark's
+    ``F.aggregate``/``zip_with`` fold — bit-equal doubles, so the argmax
+    CASE needs no margin assumption), first-max-wins assignment, and the
+    affinity-to-centroid metric."""
     from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
 
     k = len(cent)
@@ -836,6 +837,7 @@ def _semdedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
     aff_whens = "\n    ".join(
         f"WHEN centroid = {i} THEN d{i} / nrm" for i in range(k)
     )
+    dcols = ", ".join(f"d{i}" for i in range(k))
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -852,7 +854,7 @@ assigned AS (
          CASE
     {whens}
     ELSE {k - 1} END AS centroid,
-         d0, d1, d2, d3, d4, d5, d6, d7
+         {dcols}
   FROM d
 ),
 aff AS (
@@ -861,7 +863,54 @@ aff AS (
     {aff_whens}
     END AS affinity
   FROM assigned
-),
+)"""
+
+
+def _sem_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Spark prefix of the SemDeDup queries: every vector with
+    its double array, norm, pinned-centroid assignment (first-max-wins over
+    sequential-fold dots — bit-equal to the oracle's list_sum fold), and
+    affinity-to-centroid. Columns: vec_id, e, nrm, centroid, affinity."""
+    from ..functions.vectors import dot, l2_norm, to_double_array
+    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+
+    k = len(cent)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    lits = [F.array(*[F.lit(float(x)) for x in row]) for row in cent]
+    d = emb.select(
+        "vec_id",
+        "e",
+        l2_norm(F.col("e")).alias("nrm"),
+        *[dot(F.col("e"), lits[i]).alias(f"d{i}") for i in range(k)],
+    )
+    assign = None
+    for i in range(k - 1):
+        cond = F.col(f"d{i}") >= F.col(f"d{i + 1}")
+        for j in range(i + 2, k):
+            cond = cond & (F.col(f"d{i}") >= F.col(f"d{j}"))
+        assign = (
+            F.when(cond, F.lit(i)) if assign is None else assign.when(cond, F.lit(i))
+        )
+    assign = assign.otherwise(F.lit(k - 1))
+    aff = None
+    for i in range(k):
+        c = F.col("centroid") == i
+        t = F.col(f"d{i}") / F.col("nrm")
+        aff = F.when(c, t) if aff is None else aff.when(c, t)
+    return (
+        d.withColumn("centroid", assign)
+        .withColumn("affinity", aff)
+        .select("vec_id", "e", "nrm", "centroid", "affinity")
+    )
+
+
+def _semdedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
+    """Full SemDeDup replay in DuckDB (shared prefix: ``_sem_aff_cte``),
+    plus the same affinity ordering and the same intra-cluster
+    pairwise-cosine EXISTS rule as the Spark plan."""
+    return f"""{_sem_aff_cte()},
 ranked AS (
   SELECT vec_id, e, nrm, centroid, affinity,
          ROW_NUMBER() OVER (
@@ -928,44 +977,13 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup tier a training-data pipeline runs after MinHash."""
     from pyspark.sql import Window
 
-    from ..functions.vectors import dot, l2_norm, to_double_array
-    from ._pinned_centroids import _CLUSTER_CENTROIDS_K8 as cent
+    from ..functions.vectors import dot
 
-    k = len(cent)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("e")
-    )
-    lits = [F.array(*[F.lit(float(x)) for x in row]) for row in cent]
-    d = emb.select(
-        "vec_id",
-        "e",
-        l2_norm(F.col("e")).alias("nrm"),
-        *[dot(F.col("e"), lits[i]).alias(f"d{i}") for i in range(k)],
-    )
-    assign = None
-    for i in range(k - 1):
-        cond = F.col(f"d{i}") >= F.col(f"d{i + 1}")
-        for j in range(i + 2, k):
-            cond = cond & (F.col(f"d{i}") >= F.col(f"d{j}"))
-        assign = (
-            F.when(cond, F.lit(i)) if assign is None else assign.when(cond, F.lit(i))
-        )
-    assign = assign.otherwise(F.lit(k - 1))
-    aff = None
-    for i in range(k):
-        c = F.col("centroid") == i
-        t = F.col(f"d{i}") / F.col("nrm")
-        aff = F.when(c, t) if aff is None else aff.when(c, t)
-    ranked = (
-        d.withColumn("centroid", assign)
-        .withColumn("affinity", aff)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("centroid").orderBy("affinity", "vec_id")
-            ),
-        )
-        .select("vec_id", "e", "nrm", "centroid", "affinity", "rk")
+    ranked = _sem_scored(spark, sf_dir).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("centroid").orderBy("affinity", "vec_id")
+        ),
     )
     a = ranked.select(
         F.col("centroid").alias("ca"),
@@ -996,6 +1014,181 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("centroid").cast("long").alias("centroid"),
             "affinity",
             F.col("rm_id").isNull().alias("is_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# SemDeDup in append mode: new embedding batch vs the kept corpus.
+# --------------------------------------------------------------------------- #
+
+
+def _semdedup_append_oracle(
+    split: int = _BATCH_SPLIT_ID, tau: float = _SEMDEDUP_TAU
+) -> str:
+    cos = (
+        "list_sum(list_transform(list_zip({a}.e, {b}.e), t -> t[1] * t[2]))"
+        " / ({a}.nrm * {b}.nrm)"
+    )
+    return f"""{_sem_aff_cte()},
+cr AS (
+  SELECT vec_id, e, nrm, centroid, affinity,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid ORDER BY affinity, vec_id
+         ) AS rk
+  FROM aff WHERE vec_id < {split}
+),
+cremoved AS (
+  SELECT DISTINCT b.vec_id
+  FROM cr a JOIN cr b ON a.centroid = b.centroid AND a.rk < b.rk
+  WHERE {cos.format(a="a", b="b")} >= {tau!r}
+),
+ckept AS (
+  SELECT c.* FROM cr c
+  LEFT JOIN cremoved x ON x.vec_id = c.vec_id
+  WHERE x.vec_id IS NULL
+),
+batch AS (
+  SELECT vec_id, e, nrm, centroid, affinity,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid ORDER BY affinity, vec_id
+         ) AS rk
+  FROM aff WHERE vec_id >= {split}
+),
+dupc AS (
+  SELECT DISTINCT b.vec_id
+  FROM batch b JOIN ckept c ON c.centroid = b.centroid
+  WHERE {cos.format(a="c", b="b")} >= {tau!r}
+),
+dupb AS (
+  SELECT DISTINCT b.vec_id
+  FROM batch a JOIN batch b ON a.centroid = b.centroid AND a.rk < b.rk
+  WHERE {cos.format(a="a", b="b")} >= {tau!r}
+)
+SELECT b.vec_id, CAST(b.centroid AS BIGINT) AS centroid,
+       CASE WHEN dc.vec_id IS NOT NULL THEN 'dup_of_corpus'
+            WHEN db.vec_id IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch b
+LEFT JOIN dupc dc ON dc.vec_id = b.vec_id
+LEFT JOIN dupb db ON db.vec_id = b.vec_id
+"""
+
+
+@register(
+    "semdedup_append_batch",
+    oracle=_semdedup_append_oracle(),
+    tags=("dedup", "similarity", "ml"),
+)
+def semdedup_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in APPEND mode — the semantic analog of
+    ``incremental_dedup_new_batch``: vectors below the split id are the
+    existing corpus (whose own keep-set is the maintained state), vectors
+    at/above are the incoming batch. A batch vector is ``dup_of_corpus`` if
+    some KEPT corpus member of its cluster is within τ, else
+    ``dup_in_batch`` if some earlier-ranked batch member is within τ (the
+    same upper-triangular relaxation as ``semdedup_keep_list``, so replays
+    are deterministic), else ``kept``.
+
+    Scale shape: the corpus side arrives as its kept-list STATE (here
+    recomputed from the split for the gate; in production it is the
+    maintained output of the previous appends, exactly like the corpus
+    hash-set of the exact incremental dedup), so per-append cost is
+    |batch|·|kept ∩ cluster| + |batch|²-within-cluster — never corpus-
+    quadratic, and the batch-side quadratic term is bounded by append
+    granularity. The interpreted-HOF cosine price and its BLAS escape hatch
+    are the same as ``semdedup_keep_list`` (see that docstring and
+    ``operators/similarity.py:semdedup_prune``); output is
+    integers+strings, so the hash gate has no float surface at all.
+
+    Reference parity: completes the append-mode dedup family
+    (exact hash → Bloom-screened → semantic), extending the reference's
+    drop_duplicates (pipeline/bronze_to_silver.py) the way an always-on
+    ingest pipeline needs."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+
+    scored = _sem_scored(spark, sf_dir)
+    w = Window.partitionBy("centroid").orderBy("affinity", "vec_id")
+    cr = (
+        scored.filter(F.col("vec_id") < _BATCH_SPLIT_ID)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    ca = cr.select(
+        F.col("centroid").alias("ca"),
+        F.col("rk").alias("rka"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cb = cr.select(
+        F.col("vec_id").alias("rm_id"),
+        F.col("centroid").alias("cb"),
+        F.col("rk").alias("rkb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cremoved = (
+        ca.join(cb, (F.col("ca") == F.col("cb")) & (F.col("rka") < F.col("rkb")))
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("rm_id")
+        .distinct()
+    )
+    ckept = cr.join(
+        cremoved, cr.vec_id == cremoved.rm_id, "left_anti"
+    ).select(
+        F.col("centroid").alias("kc"),
+        F.col("e").alias("ke"),
+        F.col("nrm").alias("kn"),
+    )
+    batch = (
+        scored.filter(F.col("vec_id") >= _BATCH_SPLIT_ID)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    dupc = (
+        batch.join(ckept, batch.centroid == ckept.kc)
+        .filter(
+            dot(F.col("ke"), F.col("e")) / (F.col("kn") * F.col("nrm"))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("vec_id").alias("dc_id"))
+        .distinct()
+    )
+    ba = batch.select(
+        F.col("centroid").alias("ca"),
+        F.col("rk").alias("rka"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    bb = batch.select(
+        F.col("vec_id").alias("db_id"),
+        F.col("centroid").alias("cb"),
+        F.col("rk").alias("rkb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dupb = (
+        ba.join(bb, (F.col("ca") == F.col("cb")) & (F.col("rka") < F.col("rkb")))
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("db_id")
+        .distinct()
+    )
+    return (
+        batch.join(dupc, batch.vec_id == dupc.dc_id, "left")
+        .join(dupb, batch.vec_id == dupb.db_id, "left")
+        .select(
+            "vec_id",
+            F.col("centroid").cast("long").alias("centroid"),
+            F.when(F.col("dc_id").isNotNull(), "dup_of_corpus")
+            .when(F.col("db_id").isNotNull(), "dup_in_batch")
+            .otherwise("kept")
+            .alias("status"),
         )
     )
 

@@ -588,3 +588,62 @@ def test_semdedup_prune_blas_matches_exact_query(spark):
             assert b["centroid"] == e["centroid"]
             assert b["is_kept"] == e["is_kept"]
             assert abs(b["affinity"] - e["affinity"]) < 1e-9
+
+
+def test_semdedup_append_matches_numpy_rule(spark):
+    """Append-mode SemDeDup replayed in numpy: corpus (vec_id < split) keeps
+    by the triangular rule; a batch vector is dup_of_corpus if within tau of
+    a KEPT corpus member of its cluster, else dup_in_batch if within tau of
+    an earlier-ranked batch member (kept or not — the triangular
+    relaxation), else kept."""
+    from data_lake_medallion_architecture_project_spark.plans.curation import (
+        _BATCH_SPLIT_ID,
+        _SEMDEDUP_TAU,
+    )
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = np.array(_CLUSTER_CENTROIDS_K8, dtype=np.float64)
+    dots = x @ cent.T
+    assign = dots.argmax(axis=1)
+    nrm = np.sqrt((x * x).sum(axis=1))
+    aff = dots[np.arange(len(x)), assign] / nrm
+    xn = x / nrm[:, None]
+
+    def cluster_order(mask, c):
+        m = mask & (assign == c)
+        order = np.lexsort((ids[m], aff[m]))
+        return np.flatnonzero(m)[order]
+
+    corpus_mask = ids < _BATCH_SPLIT_ID
+    corpus_kept = set()
+    for c in np.unique(assign[corpus_mask]):
+        members = cluster_order(corpus_mask, c)
+        for pos, i in enumerate(members):
+            if not any(xn[i] @ xn[j] >= _SEMDEDUP_TAU for j in members[:pos]):
+                corpus_kept.add(i)
+
+    batch_mask = ids >= _BATCH_SPLIT_ID
+    expected = {}
+    for c in np.unique(assign[batch_mask]):
+        members = cluster_order(batch_mask, c)
+        kept_corpus_c = [j for j in corpus_kept if assign[j] == c]
+        for pos, i in enumerate(members):
+            if any(xn[i] @ xn[j] >= _SEMDEDUP_TAU for j in kept_corpus_c):
+                expected[int(ids[i])] = "dup_of_corpus"
+            elif any(xn[i] @ xn[j] >= _SEMDEDUP_TAU for j in members[:pos]):
+                expected[int(ids[i])] = "dup_in_batch"
+            else:
+                expected[int(ids[i])] = "kept"
+
+    out = REGISTRY["semdedup_append_batch"].build(spark, sf).collect()
+    assert len(out) == int(batch_mask.sum())
+    got = {int(r["vec_id"]): r["status"] for r in out}
+    assert got == expected
