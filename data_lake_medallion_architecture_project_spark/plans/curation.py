@@ -970,7 +970,9 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equivalence-tested; 237× at 10×, see SCALE.md), whose parallelism is
     the cluster count — SemDeDup's own contract (k grows with the corpus;
     the paper fits k=50 000 on LAION) keeps clusters bounded and
-    plentiful.
+    plentiful. (Plan audit: the three branches over ``ranked`` re-scan the
+    source — AQE reuses one exchange, not all; the BLAS operator is
+    single-scan, one exchange.)
 
     Reference parity: extends the reference's exact-hash dedup reporting
     (pipeline/bronze_to_silver.py drop_duplicates) to embedding space —
