@@ -541,3 +541,114 @@ def audio_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInArrow(_feat, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------- #
+# Video — multi-frame container + keyframe sampling + per-frame perceptual
+# hashing. The container is a trivial length-prefixed frame sequence (the
+# stand-in for an MP4/MKV demux — swap decode_video for PyAV and nothing
+# downstream changes); frames are REAL BMPs, so the keyframe path exercises
+# container walk → image decode → dHash end-to-end.
+# --------------------------------------------------------------------------- #
+
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list) -> bytes:
+    """Pack frame payloads as magic + u32 count + (u32 len + bytes)*."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(bytes(f))
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> list:
+    """Walk the container; raises on bad magic or truncated/trailing bytes."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("decode_video: bad magic (only VID0 supported)")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    off, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + ln > len(payload):
+            raise ValueError("decode_video: truncated frame")
+        frames.append(payload[off : off + ln])
+        off += ln
+    if off != len(payload):
+        raise ValueError("decode_video: trailing bytes after last frame")
+    return frames
+
+
+def _textured_frame_pixels(doc_id: int, frame: int) -> np.ndarray:
+    """Frame-evolved texture: p(y, x) = (id·(7+x) + 13yx + 31y + f·(5+x))
+    mod 250. The f·(5+x) term changes the HORIZONTAL gradient per frame (a
+    constant offset would leave every dHash bit unchanged), so consecutive
+    frames of one video hash differently — all still pure modular
+    arithmetic an SQL oracle replays."""
+    w = 16 + doc_id % 13
+    h = 2 * (8 + doc_id % 11)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    base = (doc_id * (7 + x) + 13 * y * x + 31 * y + frame * (5 + x)) % 250
+    return np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+def attach_fake_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real video container per row: 4 + id % 5 textured BMP
+    frames (geometry fixed per video, texture evolving per frame)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 4 + d % 5
+                payloads.append(
+                    encode_video(
+                        [encode_bmp(_textured_frame_pixels(d, f)) for f in range(n)]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+VIDEO_HASH_SCHEMA = "doc_id long, frame_idx long, dhash long"
+
+
+def video_keyframe_dhash(payloads: DataFrame, stride: int = 2) -> DataFrame:
+    """(doc_id, frame_idx, dhash) for every ``stride``-th frame of each
+    video payload — container walk + BMP decode + 64-bit dHash in one
+    Arrow-batched pass (1→N flatMap, like ``sample_frames``). This is the
+    video near-dup signal: two videos sharing any keyframe hash (or within
+    small Hamming distance — compose ``image_near_dup_pairs`` on the output)
+    are re-encode/trim candidates."""
+
+    def _hash(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(
+                batch.column("doc_id").to_pylist(), batch.column("payload")
+            ):
+                frames = decode_video(payload.as_py())
+                for f in range(0, len(frames), stride):
+                    px = decode_image(frames[f])
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    hashes.append(np.int64(np.uint64(dhash64(px))))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "frame_idx": pa.array(idxs, pa.int64()),
+                    "dhash": pa.array(hashes, pa.int64()),
+                }
+            )
+
+    return payloads.mapInArrow(_hash, schema=VIDEO_HASH_SCHEMA)

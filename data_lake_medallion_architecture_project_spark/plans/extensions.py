@@ -907,6 +907,74 @@ def image_dhash_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(attach_fake_textured_bmp_payloads(docs))
 
 
+def _video_dhash_oracle_sql(stride: int = 2) -> str:
+    """(doc_id, frame_idx, dhash) replay of operators/multimodal.py:
+    _textured_frame_pixels + dhash64 over the sampled keyframes: pixel
+    p(y, x) = (id·(7+x) + 13yx + 31y + f·(5+x)) mod 250, geometry fixed per
+    video, frame count 4 + id % 5, every ``stride``-th frame sampled. Same
+    9×8 thumbnail and sign-bit int64 packing as the image oracle."""
+
+    def pix(y: str, x: str) -> str:
+        return (
+            f"((doc_id * (7 + ({x})) + 13 * ({y}) * ({x}) + 31 * ({y})"
+            f" + f * (5 + ({x}))) % 250)"
+        )
+
+    r = "((i * h) // 8)"
+    c0 = "((j * w) // 9)"
+    c1 = "(((j + 1) * w) // 9)"
+    return f"""
+WITH geo AS (
+  SELECT doc_id, 16 + doc_id % 13 AS w, 2 * (8 + doc_id % 11) AS h,
+         4 + doc_id % 5 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, ff.f AS f
+  FROM geo, (SELECT unnest(range(9)) AS f) ff
+  WHERE ff.f < nf AND ff.f % {stride} = 0
+),
+ij AS (
+  SELECT ii.i AS i, jj.j AS j
+  FROM (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj
+),
+b AS (
+  SELECT doc_id, f, i * 8 + j AS k,
+         CASE WHEN {pix(r, c1)} > {pix(r, c0)} THEN 1 ELSE 0 END AS bit
+  FROM fr, ij
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(SUM(CASE WHEN k > 0
+                     THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+            + MAX(CASE WHEN k = 0 THEN bit ELSE 0 END)
+              * (-9223372036854775807 - 1)
+            AS BIGINT) AS dhash
+FROM b GROUP BY doc_id, f
+"""
+
+
+@register("video_keyframe_dhash", oracle=_video_dhash_oracle_sql(),
+          tags=("multimodal", "dedup"))
+def video_keyframe_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-keyframe perceptual hashes through the REAL video path: container
+    encode (4 + id % 5 textured BMP frames, mapInPandas) → container walk +
+    frame decode + dHash for every 2nd frame (mapInArrow). The oracle
+    replays all 64 bits of every sampled frame from the (id, frame) pixel
+    arithmetic — a wrong length prefix, frame order, stride, or codec bit
+    fails the value hash. Composing ``image_near_dup_pairs`` over this
+    output is the video near-dup join (same banded pigeonhole); the frame
+    axis parallelizes map-side, so at 100 TB the cost is decode-bound and
+    divided by executors, with only (id, frame, 8-byte hash) rows ever
+    shuffling."""
+    from ..operators.multimodal import (
+        attach_fake_video_payloads,
+        video_keyframe_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_keyframe_dhash(attach_fake_video_payloads(docs), stride=2)
+
+
 @register("image_near_dup_pairs", oracle=_IMAGE_NEAR_DUP_ORACLE,
           tags=("multimodal", "dedup"))
 def image_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
