@@ -581,33 +581,48 @@ def decode_video(payload: bytes) -> list:
     return frames
 
 
-def _textured_frame_pixels(doc_id: int, frame: int) -> np.ndarray:
-    """Frame-evolved texture: p(y, x) = (id·(7+x) + 13yx + 31y + f·(5+x))
+def _textured_frame_pixels(
+    doc_id: int, frame: int, group: int = 1
+) -> np.ndarray:
+    """Frame-evolved texture: p(y, x) = (g·(7+x) + 13yx + 31y + f·(5+x))
     mod 250. The f·(5+x) term changes the HORIZONTAL gradient per frame (a
     constant offset would leave every dHash bit unchanged), so consecutive
     frames of one video hash differently — all still pure modular
-    arithmetic an SQL oracle replays."""
-    w = 16 + doc_id % 13
-    h = 2 * (8 + doc_id % 11)
+    arithmetic an SQL oracle replays. With ``group > 1``, ids sharing
+    ``doc_id // group`` render the same video and the member index perturbs
+    only pixel (0, 0) of FRAME 0 — a planted population of near-dup videos
+    whose sampled keyframes match at Hamming ≤ 1."""
+    g, m = (doc_id // group, doc_id % group) if group > 1 else (doc_id, 0)
+    w = 16 + g % 13
+    h = 2 * (8 + g % 11)
     y = np.arange(h, dtype=np.int64)[:, None]
     x = np.arange(w, dtype=np.int64)[None, :]
-    base = (doc_id * (7 + x) + 13 * y * x + 31 * y + frame * (5 + x)) % 250
+    base = (g * (7 + x) + 13 * y * x + 31 * y + frame * (5 + x)) % 250
+    if frame == 0:
+        base[0, 0] += m
     return np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
 
 
-def attach_fake_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize a real video container per row: 4 + id % 5 textured BMP
-    frames (geometry fixed per video, texture evolving per frame)."""
+def attach_fake_video_payloads(
+    df: DataFrame, id_col: str = "doc_id", group: int = 1
+) -> DataFrame:
+    """Synthesize a real video container per row: 4 + g % 5 textured BMP
+    frames (geometry fixed per video, texture evolving per frame; with
+    ``group > 1`` the frame count keys on the GROUP so planted near-dup
+    videos align frame-for-frame)."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                n = 4 + d % 5
+                n = 4 + (d // group if group > 1 else d) % 5
                 payloads.append(
                     encode_video(
-                        [encode_bmp(_textured_frame_pixels(d, f)) for f in range(n)]
+                        [
+                            encode_bmp(_textured_frame_pixels(d, f, group))
+                            for f in range(n)
+                        ]
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
@@ -652,3 +667,56 @@ def video_keyframe_dhash(payloads: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return payloads.mapInArrow(_hash, schema=VIDEO_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame, max_hamming: int = 3, min_frames: int = 1
+) -> DataFrame:
+    """Video pairs whose FRAME-ALIGNED sampled keyframes collide: for each
+    shared frame_idx, the banded pigeonhole join (same bands as
+    ``image_near_dup_pairs``, keyed additionally on the frame index) finds
+    keyframe pairs within ``max_hamming`` bits; pairs of videos with at
+    least ``min_frames`` such close keyframes are emitted with the count.
+    Candidate-bounded per frame — the |videos|² pair space is never
+    enumerated, and only (id, frame, hash) rows shuffle."""
+    n_bands = max(max_hamming + 1, 2)
+    width = 64 // n_bands
+    banded = frame_hashes.select(
+        "doc_id",
+        "frame_idx",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(
+                        F.col("dhash"), i * width
+                    ).bitwiseAND((1 << width) - 1).alias("key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "frame_idx", "dhash", "b.band", "b.key")
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("dhash").alias("a_hash"),
+        "frame_idx", "band", "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("dhash").alias("b_hash"),
+        "frame_idx", "band", "key",
+    )
+    close = (
+        a.join(b, ["frame_idx", "band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "frame_idx", "a_hash", "b_hash")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+            <= max_hamming
+        )
+    )
+    return (
+        close.groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_close_frames"))
+        .filter(F.col("n_close_frames") >= min_frames)
+    )

@@ -907,30 +907,39 @@ def image_dhash_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(attach_fake_textured_bmp_payloads(docs))
 
 
-def _video_dhash_oracle_sql(stride: int = 2) -> str:
+def _video_dhash_oracle_sql(stride: int = 2, grouped: bool = False) -> str:
     """(doc_id, frame_idx, dhash) replay of operators/multimodal.py:
     _textured_frame_pixels + dhash64 over the sampled keyframes: pixel
-    p(y, x) = (id·(7+x) + 13yx + 31y + f·(5+x)) mod 250, geometry fixed per
-    video, frame count 4 + id % 5, every ``stride``-th frame sampled. Same
-    9×8 thumbnail and sign-bit int64 packing as the image oracle."""
+    p(y, x) = (g·(7+x) + 13yx + 31y + f·(5+x)) mod 250, geometry fixed per
+    video, frame count 4 + g % 5, every ``stride``-th frame sampled. Same
+    9×8 thumbnail and sign-bit int64 packing as the image oracle. With
+    ``grouped``, g = doc_id // 4 and the member index perturbs pixel (0,0)
+    of frame 0 only."""
+    g = "(doc_id // 4)" if grouped else "doc_id"
 
     def pix(y: str, x: str) -> str:
-        return (
-            f"((doc_id * (7 + ({x})) + 13 * ({y}) * ({x}) + 31 * ({y})"
+        base = (
+            f"((g * (7 + ({x})) + 13 * ({y}) * ({x}) + 31 * ({y})"
             f" + f * (5 + ({x}))) % 250)"
         )
+        if grouped:
+            return (
+                f"({base} + CASE WHEN ({y}) = 0 AND ({x}) = 0 AND f = 0"
+                f" THEN doc_id % 4 ELSE 0 END)"
+            )
+        return base
 
     r = "((i * h) // 8)"
     c0 = "((j * w) // 9)"
     c1 = "(((j + 1) * w) // 9)"
     return f"""
 WITH geo AS (
-  SELECT doc_id, 16 + doc_id % 13 AS w, 2 * (8 + doc_id % 11) AS h,
-         4 + doc_id % 5 AS nf
+  SELECT doc_id, {g} AS g, 16 + {g} % 13 AS w, 2 * (8 + {g} % 11) AS h,
+         4 + {g} % 5 AS nf
   FROM documents
 ),
 fr AS (
-  SELECT doc_id, w, h, ff.f AS f
+  SELECT doc_id, g, w, h, ff.f AS f
   FROM geo, (SELECT unnest(range(9)) AS f) ff
   WHERE ff.f < nf AND ff.f % {stride} = 0
 ),
@@ -973,6 +982,43 @@ def video_keyframe_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return video_keyframe_dhash(attach_fake_video_payloads(docs), stride=2)
+
+
+def _video_near_dup_oracle() -> str:
+    return f"""
+WITH h AS ({_video_dhash_oracle_sql(grouped=True)})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_close_frames
+FROM h a
+JOIN h b ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("video_near_dup_pairs", oracle=_video_near_dup_oracle(),
+          tags=("multimodal", "dedup"))
+def video_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs over a planted population: docs sharing
+    doc_id DIV 4 render the same video up to a one-pixel perturbation of
+    frame 0, so within-group videos match on every sampled keyframe
+    (Hamming 0–1 on frame 0, 0 elsewhere). The Spark side runs the
+    frame-aligned banded pigeonhole join (operators/multimodal.py:
+    video_near_dup_pairs — per-frame candidates, never the |videos|² pair
+    space); the DuckDB oracle brute-forces all frame-aligned pairs from the
+    replayed hashes, so band-split recall loss OR a miscounted shared-frame
+    total fails the gate."""
+    from ..operators.multimodal import (
+        attach_fake_video_payloads,
+        video_keyframe_dhash,
+        video_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = video_keyframe_dhash(
+        attach_fake_video_payloads(docs, group=4), stride=2
+    )
+    return video_near_dup_pairs(hashes, max_hamming=3)
 
 
 @register("image_near_dup_pairs", oracle=_IMAGE_NEAR_DUP_ORACLE,

@@ -58,3 +58,33 @@ def test_frame_evolution_changes_hash():
         h1 = dhash64(_textured_frame_pixels(d, 3))
         changed += h0 != h1
     assert changed >= 6
+
+
+def test_video_near_dup_recovers_planted_groups(spark):
+    """group=4 plants near-dup quadruples: every within-group pair must be
+    recovered with n_close_frames = all sampled frames, and no cross-group
+    pair may appear."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    hashes = video_keyframe_dhash(
+        attach_fake_video_payloads(docs, group=4), stride=2
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["n_close_frames"]
+        for r in video_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    expected_pairs = {
+        (a, b)
+        for g in range(4)
+        for a in range(g * 4, g * 4 + 4)
+        for b in range(a + 1, g * 4 + 4)
+    }
+    assert set(pairs) == expected_pairs
+    for (a, b), n in pairs.items():
+        g = a // 4
+        n_frames = 4 + g % 5
+        n_sampled = len(range(0, n_frames, 2))
+        assert n == n_sampled
