@@ -534,7 +534,7 @@ def semdedup_prune(
         .withColumn("centroid", assign(F.col("v")))
     )
 
-    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def prune(key, pdf):
         c = cent[int(key[0])]
         x = np.array(pdf["v"].tolist(), dtype=np.float64)
         ids = pdf["vid"].to_numpy()

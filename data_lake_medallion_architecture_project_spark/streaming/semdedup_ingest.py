@@ -87,7 +87,7 @@ def semdedup_batch_against_table(
     else:
         both = prepared
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):
         c = cent[int(key[0])]
         batch = pdf[~pdf["is_state"]]
         if batch.empty:
