@@ -12,6 +12,8 @@ actually flows through before a tokenizer sees it:
 
 1. **exact dedup** — one row per distinct text (min doc_id wins);
 2. **near-dedup** — MinHash-LSH keep-list, keep ``doc_id == keep_id``;
+   optionally followed by **semantic dedup** (``--semdedup-embeddings`` —
+   SemDeDup over the documents' embedding table, the paraphrase-level tier);
 3. **quality gate** — minimum token count and distinct-token ratio (the
    boilerplate/degenerate-repetition floor); optionally followed by
    **mix** (``--mix`` — per-source downsampling to target weights via the
@@ -92,6 +94,10 @@ def prepare_corpus(
     max_shared_fraction: float | None = None,
     split_by_cluster: bool = False,
     cluster_threshold: float = 0.8,
+    semdedup_embeddings: str | None = None,
+    semdedup_tau: float = 0.4,
+    semdedup_centroids=None,
+    semdedup_id_col: str = "vec_id",
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
@@ -118,6 +124,15 @@ def prepare_corpus(
       exceeds the threshold — the boilerplate catch that whole-document
       exact/near dedup misses. Integer gram counts; the only float is the
       threshold comparison itself.
+    * ``semdedup_embeddings`` — SemDeDup semantic dedup (arXiv:2303.09540;
+      ``operators/similarity.semdedup_prune``, the strip-blocked BLAS
+      form): given an embeddings parquet whose ``semdedup_id_col`` matches
+      ``doc_id``, drop documents whose embedding is pruned by the
+      intra-cluster cosine-τ triangular rule. Runs AFTER MinHash near-dedup
+      — the tier that catches paraphrase-level duplicates surface n-grams
+      miss. Deterministic given the centroids (default: the pinned k=8
+      model; pass ``semdedup_centroids`` to scale k with the corpus).
+      Documents without an embedding pass (no evidence against them).
     """
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
@@ -127,6 +142,23 @@ def prepare_corpus(
 
     docs = _near_dedup(docs)
     report["after_near_dedup"] = docs.count()
+
+    if semdedup_embeddings is not None:
+        from .operators.similarity import semdedup_prune
+
+        if semdedup_centroids is None:
+            from .plans._pinned_centroids import _CLUSTER_CENTROIDS_K8
+
+            semdedup_centroids = _CLUSTER_CENTROIDS_K8
+        emb = spark.read.parquet(semdedup_embeddings)
+        pruned = semdedup_prune(
+            emb, semdedup_centroids, id_col=semdedup_id_col, tau=semdedup_tau
+        )
+        removed = pruned.filter(~F.col("is_kept")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        docs = docs.join(removed, "doc_id", "left_anti")
+        report["after_semdedup"] = docs.count()
 
     toks = tokenize("text")
     docs = docs.filter(
@@ -259,6 +291,11 @@ def main() -> None:
     ap.add_argument("--max-shared-fraction", type=float, default=None)
     ap.add_argument("--split-by-cluster", action="store_true")
     ap.add_argument("--cluster-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--semdedup-embeddings", default=None,
+        help="embeddings parquet (vec_id <-> doc_id) enabling the SemDeDup stage",
+    )
+    ap.add_argument("--semdedup-tau", type=float, default=0.4)
     args = ap.parse_args()
     from .session import get_spark
 
@@ -277,6 +314,8 @@ def main() -> None:
         max_shared_fraction=args.max_shared_fraction,
         split_by_cluster=args.split_by_cluster,
         cluster_threshold=args.cluster_threshold,
+        semdedup_embeddings=args.semdedup_embeddings,
+        semdedup_tau=args.semdedup_tau,
     )
     print(json.dumps(report))
 

@@ -204,3 +204,40 @@ def test_split_by_cluster_keeps_clusters_whole(spark, tmp_path):
         .count()
     )
     assert spans == 0
+
+
+def test_prepare_corpus_semdedup_stage(spark, tmp_path):
+    """The SemDeDup stage drops exactly the docs whose embedding the pruner
+    removes (docs without an embedding pass), and the report records the
+    attrition step in order."""
+    from data_lake_medallion_architecture_project_spark.operators.similarity import (
+        semdedup_prune,
+    )
+    from data_lake_medallion_architecture_project_spark.plans._pinned_centroids import (
+        _CLUSTER_CENTROIDS_K8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "prep")
+    report = prepare_corpus(
+        spark,
+        f"{sf}/documents.parquet",
+        out,
+        min_tokens=1,
+        min_distinct_ratio=0.0,
+        semdedup_embeddings=f"{sf}/embeddings.parquet",
+        semdedup_tau=0.4,
+    )
+    assert "after_semdedup" in report
+    assert report["after_semdedup"] <= report["after_near_dedup"]
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    removed = {
+        r["vec_id"]
+        for r in semdedup_prune(emb, _CLUSTER_CENTROIDS_K8, tau=0.4).collect()
+        if not r["is_kept"]
+    }
+    # Attrition equals the removed embeddings still in flight after near-dedup.
+    assert (
+        report["after_near_dedup"] - report["after_semdedup"] <= len(removed)
+    )
+    assert report["after_near_dedup"] - report["after_semdedup"] > 0
