@@ -534,6 +534,17 @@ def semdedup_prune(
         .withColumn("centroid", assign(F.col("v")))
     )
 
+    return prepared.groupBy("centroid").applyInPandas(
+        _semdedup_kernel(cent, tau, strip),
+        "vec_id long, centroid long, affinity double, is_kept boolean",
+    )
+
+
+def _semdedup_kernel(cent: np.ndarray, tau: float, strip: int):
+    """Per-cluster SemDeDup kernel shared by the in-memory and bucketed
+    prune paths: order by affinity ascending (tie: id), strip-blocked
+    triangular max-cosine, remove on ≥ tau."""
+
     def prune(key, pdf):
         c = cent[int(key[0])]
         x = np.array(pdf["v"].tolist(), dtype=np.float64)
@@ -561,6 +572,40 @@ def semdedup_prune(
             }
         )
 
+    return prune
+
+
+def semdedup_prune_bucketed(
+    spark,
+    index_path: str,
+    tau: float = 0.4,
+    strip: int = 512,
+) -> DataFrame:
+    """SemDeDup pruning over a ``write_ivf_bucketed`` index — the layout
+    where cluster assignment was paid ONCE at write time (the corpus sits
+    ``partitionBy("centroid")`` with precomputed double vectors). Pruning a
+    materialized index therefore skips the per-run Arrow assignment matmul
+    entirely: the plan is scan → one cluster-keyed exchange → per-cluster
+    kernel (the exchange remains because a directory partition is not a
+    Catalyst-known clustering; its payload is one (id, vector) pass — the
+    same volume ``semdedup_prune`` moves). Same kernel, same output
+    contract, identical results to ``semdedup_prune`` with the index's own
+    centroids (asserted in tests/test_dedup_similarity.py).
+
+    This is the repeated-curation shape at 100 TB: write the bucketed
+    layout once (``write_ivf_bucketed``), then run dedup sweeps at
+    different τ — or ANN probes (``ivf_topk_bucketed``) — against the same
+    paid-for assignment."""
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/_centroids").orderBy("centroid").collect()
+    )
+    cent = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    prepared = spark.read.parquet(index_path).select(
+        F.col("cid").cast("long").alias("vid"),
+        F.col("cvec").alias("v"),
+        F.col("centroid").cast("int").alias("centroid"),
+    )
     return prepared.groupBy("centroid").applyInPandas(
-        prune, "vec_id long, centroid long, affinity double, is_kept boolean"
+        _semdedup_kernel(cent, tau, strip),
+        "vec_id long, centroid long, affinity double, is_kept boolean",
     )

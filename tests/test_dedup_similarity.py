@@ -647,3 +647,30 @@ def test_semdedup_append_matches_numpy_rule(spark):
     assert len(out) == int(batch_mask.sum())
     got = {int(r["vec_id"]): r["status"] for r in out}
     assert got == expected
+
+
+def test_semdedup_prune_bucketed_matches_in_memory(spark, tmp_path):
+    """Pruning a write_ivf_bucketed index (assignment paid at write time)
+    must reproduce semdedup_prune's output exactly with the index's own
+    centroids."""
+    from data_lake_medallion_architecture_project_spark.operators.similarity import (
+        semdedup_prune,
+        semdedup_prune_bucketed,
+        write_ivf_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    cent = write_ivf_bucketed(emb, idx, n_centroids=8, seed=42)
+    mem = {
+        r["vec_id"]: r for r in semdedup_prune(emb, cent, tau=0.4).collect()
+    }
+    buck = {
+        r["vec_id"]: r
+        for r in semdedup_prune_bucketed(spark, idx, tau=0.4).collect()
+    }
+    assert set(mem) == set(buck)
+    for vid, m in mem.items():
+        b = buck[vid]
+        assert (m["centroid"], m["is_kept"]) == (b["centroid"], b["is_kept"])
+        assert abs(m["affinity"] - b["affinity"]) < 1e-12
