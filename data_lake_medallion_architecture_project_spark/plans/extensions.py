@@ -495,6 +495,51 @@ def ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding corpus statistics.
 # --------------------------------------------------------------------------- #
 
+_HASH_EMBED_DIM = 64
+
+_HASH_EMBED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+              % {_HASH_EMBED_DIM} AS INTEGER) AS bucket,
+         CASE WHEN substr(md5(tok), 9, 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS signed_count
+FROM hb GROUP BY doc_id, bucket
+HAVING SUM(sign) <> 0
+"""
+
+
+@register(
+    "doc_hash_embedding_buckets",
+    oracle=_HASH_EMBED_ORACLE,
+    tags=("text", "similarity", "ml"),
+)
+def doc_hash_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al., ICML 2009) in
+    their exact-integer long form: token → md5 bucket (first 8 hex chars mod
+    64) with a ±1 sign from the 9th hex char's high bit, summed per (doc,
+    bucket). This is the documents→vector bridge when no learned embedding
+    exists — the dense form (``operators/hashembed.py:hash_embed``) feeds
+    ``semdedup_prune``/``ivf_topk``/``blocked_cosine_pairs`` directly, and
+    inner products are unbiased estimates of bag-of-words inner products.
+
+    Scale shape: one tokenize scan → one map-side-combinable (doc, bucket)
+    aggregate; the key space is |docs|·64, never the vocabulary, and
+    everything is whole-stage-codegen column arithmetic. The gate certifies
+    the integer long form; the dense assembly adds only a per-doc map
+    lookup. Production callers flip ``hash_family='xxhash64'``."""
+    from ..operators.hashembed import hash_embed_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_embed_buckets(docs, dim=_HASH_EMBED_DIM, hash_family="md5")
+
+
 _EMB_STATS_ORACLE = """
 SELECT label, COUNT(*) AS n_vectors, MIN(len(embedding)) AS min_dim,
        MAX(len(embedding)) AS max_dim

@@ -1,0 +1,79 @@
+"""Feature-hashing embeddings: dense/long-form consistency, family
+agreement on shape, and composition with the embedding-space operators."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.operators.hashembed import (
+    hash_embed,
+    hash_embed_buckets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dense_assembly_matches_long_form(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    long_rows = hash_embed_buckets(docs, dim=64).collect()
+    dense_rows = hash_embed(docs, dim=64).collect()
+    long_map: dict[int, dict[int, int]] = {}
+    for r in long_rows:
+        long_map.setdefault(r["doc_id"], {})[r["bucket"]] = r["signed_count"]
+    assert set(long_map) == {r["doc_id"] for r in dense_rows}
+    for r in dense_rows:
+        v = r["embedding"]
+        assert len(v) == 64
+        expected = long_map[r["doc_id"]]
+        for b in range(64):
+            assert v[b] == float(expected.get(b, 0))
+
+
+def test_hash_families_same_shape_different_buckets(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    md5 = hash_embed_buckets(docs, dim=64, hash_family="md5")
+    xx = hash_embed_buckets(docs, dim=64, hash_family="xxhash64")
+    assert md5.columns == xx.columns
+    # Same per-doc L1 mass parity: sum of |signed_count| is bounded by the
+    # token count either way, and total signed mass has the same parity as
+    # the token count (each token contributes exactly +-1).
+    a = {
+        r["doc_id"]: r["s"]
+        for r in md5.groupBy("doc_id")
+        .agg(F.sum("signed_count").alias("s"))
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["s"]
+        for r in xx.groupBy("doc_id")
+        .agg(F.sum("signed_count").alias("s"))
+        .collect()
+    }
+    assert set(a) == set(b)
+    for d in a:
+        assert (a[d] - b[d]) % 2 == 0
+
+
+def test_hash_embed_feeds_semdedup_prune(spark):
+    """The dense output composes with the embedding-space operators: fit
+    cheap centroids from the first vectors and run the SemDeDup pruner over
+    hashed embeddings end-to-end."""
+    from data_lake_medallion_architecture_project_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    emb = hash_embed(docs, dim=64)
+    cent = np.array(
+        [r["embedding"] for r in emb.orderBy("doc_id").limit(8).collect()],
+        dtype=np.float64,
+    )
+    out = semdedup_prune(emb, cent, id_col="doc_id", vec_col="embedding", tau=0.95)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r["centroid"] for r in rows} <= set(range(8))
+    # Exact-duplicate texts hash to identical vectors -> cosine 1 >= tau, so
+    # at least every exact-dup cohort beyond its first member is pruned.
+    n_dupes = docs.count() - docs.select("text").distinct().count()
+    assert sum(1 for r in rows if not r["is_kept"]) >= n_dupes
