@@ -935,7 +935,7 @@ LEFT JOIN removed rm ON rm.vec_id = r.vec_id
 @register(
     "semdedup_keep_list",
     oracle=_semdedup_oracle(),
-    tags=("dedup", "similarity", "ml"),
+    tags=("dedup", "similarity", "ml", "bench"),
 )
 def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by

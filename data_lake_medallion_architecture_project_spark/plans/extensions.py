@@ -518,7 +518,7 @@ HAVING SUM(sign) <> 0
 @register(
     "doc_hash_embedding_buckets",
     oracle=_HASH_EMBED_ORACLE,
-    tags=("text", "similarity", "ml"),
+    tags=("text", "similarity", "ml", "bench"),
 )
 def doc_hash_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (Weinberger et al., ICML 2009) in
@@ -934,7 +934,7 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 
 
 @register("image_dhash_catalog", oracle=_dhash_oracle_sql(False),
-          tags=("multimodal", "dedup"))
+          tags=("multimodal", "dedup", "bench"))
 def image_dhash_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit perceptual dHash per image through the REAL binary path:
     textured BMP encode (mapInPandas) → BMP decode + grayscale + 9×8
@@ -1008,7 +1008,7 @@ FROM b GROUP BY doc_id, f
 
 
 @register("video_keyframe_dhash", oracle=_video_dhash_oracle_sql(),
-          tags=("multimodal", "dedup"))
+          tags=("multimodal", "dedup", "bench"))
 def video_keyframe_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-keyframe perceptual hashes through the REAL video path: container
     encode (4 + id % 5 textured BMP frames, mapInPandas) → container walk +

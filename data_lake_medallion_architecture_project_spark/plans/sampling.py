@@ -1187,7 +1187,7 @@ LIMIT {DSIR_TOP}
 @register(
     "dsir_importance_sample",
     oracle=_DSIR_ORACLE,
-    tags=("training", "sampling", "text"),
+    tags=("training", "sampling", "text", "bench"),
 )
 def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR; Xie et al.,
