@@ -81,21 +81,27 @@ def hash_embed(
     assembled from the long form with zeros filled in, ready for the
     embedding-space operators (cosine treats the signed counts as
     coordinates; callers needing unit vectors divide by the L2 norm, a
-    float operation on identical integers in any engine)."""
+    float operation on identical integers in any engine).
+
+    Output cardinality EQUALS the distinct input ids: a document with no
+    tokens, or whose buckets all cancel (two tokens in one bucket with
+    opposite signs), gets the ZERO vector rather than vanishing — the long
+    form drops its rows, and a silent absence would make downstream per-doc
+    operators (semdedup_prune, ivf_topk) never see the document."""
     long_form = hash_embed_buckets(docs, id_col, text_col, dim, hash_family)
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("bucket"), F.col("signed_count")))
     )
-    return (
-        long_form.groupBy(id_col)
-        .agg(m.alias("m"))
-        .select(
-            id_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda b: F.coalesce(
-                    F.element_at(F.col("m"), b.cast("int")), F.lit(0)
-                ).cast("double"),
-            ).alias("embedding"),
-        )
+    assembled = long_form.groupBy(id_col).agg(m.alias("m"))
+    ids = docs.select(id_col).distinct()
+    # element_at on the NULL map (id with no surviving buckets) is null →
+    # coalesce fills the whole vector with zeros.
+    return ids.join(assembled, id_col, "left").select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.col("m"), b.cast("int")), F.lit(0)
+            ).cast("double"),
+        ).alias("embedding"),
     )

@@ -245,6 +245,11 @@ def _textured_pixels(doc_id: int, group: int) -> np.ndarray:
     thumbnail samples as its top-left cell — so within-group pairs land at
     Hamming distance 0 or 1: a planted near-dup population an SQL oracle
     can replay bit-for-bit."""
+    if group > 7:
+        # base is mod 250 (max 249) and the member index m <= group-1 is
+        # added BEFORE the uint8 cast: group > 7 would wrap pixel (0,0) mod
+        # 256, silently diverging from the oracle's base + m formula.
+        raise ValueError(f"group must be <= 7 to keep base + m < 256, got {group}")
     g, m = (doc_id // group, doc_id % group) if group > 1 else (doc_id, 0)
     w = 16 + g % 13
     h = 2 * (8 + g % 11)
@@ -592,6 +597,10 @@ def _textured_frame_pixels(
     ``doc_id // group`` render the same video and the member index perturbs
     only pixel (0, 0) of FRAME 0 — a planted population of near-dup videos
     whose sampled keyframes match at Hamming ≤ 1."""
+    if group > 7:
+        # Same wrap hazard as _textured_pixels: base is mod 250 and m is
+        # added before the uint8 cast, so group > 7 breaks oracle bit-parity.
+        raise ValueError(f"group must be <= 7 to keep base + m < 256, got {group}")
     g, m = (doc_id // group, doc_id % group) if group > 1 else (doc_id, 0)
     w = 16 + g % 13
     h = 2 * (8 + g % 11)

@@ -151,6 +151,20 @@ def prepare_corpus(
 
             semdedup_centroids = _CLUSTER_CENTROIDS_K8
         emb = spark.read.parquet(semdedup_embeddings)
+        # Only embeddings of documents still IN FLIGHT may vote. Without this
+        # semi-join, a doc that survived MinHash near-dedup can be pruned
+        # because an earlier-ranked (lower-affinity) near-twin — already
+        # dropped by a prior stage — is within tau: the pruner "keeps" that
+        # twin, but it no longer exists in the corpus, so every copy of the
+        # content would be lost. (Exact dups are safe — the min-id tie-break
+        # matches the keep rule — but near-dup embeddings are non-identical,
+        # so the affinity order is independent of which doc MinHash kept.)
+        in_flight = docs.select(F.col("doc_id").alias("__sd_doc_id"))
+        emb = emb.join(
+            in_flight,
+            emb[semdedup_id_col] == in_flight["__sd_doc_id"],
+            "left_semi",
+        )
         pruned = semdedup_prune(
             emb, semdedup_centroids, id_col=semdedup_id_col, tau=semdedup_tau
         )
