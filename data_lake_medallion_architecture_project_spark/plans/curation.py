@@ -970,9 +970,12 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equivalence-tested; 237× at 10×, see SCALE.md), whose parallelism is
     the cluster count — SemDeDup's own contract (k grows with the corpus;
     the paper fits k=50 000 on LAION) keeps clusters bounded and
-    plentiful. (Plan audit: the three branches over ``ranked`` re-scan the
-    source — AQE reuses one exchange, not all; the BLAS operator is
-    single-scan, one exchange.)
+    plentiful. (Plan audit, round 11: ``ranked`` is materialized ONCE via an
+    eager localCheckpoint — the a-side, b-side, and keep-join branches used
+    to each re-derive it from the source, 3 scans + 3 windows where AQE
+    reuses one exchange but not all; now every branch reads the
+    checkpointed partitions. Values are unchanged — the checkpoint only
+    pins materialization — so the oracle hash is identical.)
 
     Reference parity: extends the reference's exact-hash dedup reporting
     (pipeline/bronze_to_silver.py drop_duplicates) to embedding space —
@@ -986,7 +989,7 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("centroid").orderBy("affinity", "vec_id")
         ),
-    )
+    ).localCheckpoint(eager=True)
     a = ranked.select(
         F.col("centroid").alias("ca"),
         F.col("rk").alias("rka"),
