@@ -232,8 +232,12 @@ def test_approx_distinct_within_error(spark):
     from data_lake_medallion_architecture_project_spark.plans import REGISTRY
 
     rows = REGISTRY["approx_distinct_users"].build(spark, "/root/testdata/sf0.001").collect()
+    assert rows
     for r in rows:
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
+        # The invariant column the oracle certifies: the HLL++ estimate
+        # landed within 2% of the exact count (integer comparison).
+        assert r["approx_within_2pct"] is True
+        assert r["exact_users"] > 0
 
 
 def test_bucketed_range_join_boundaries(spark):

