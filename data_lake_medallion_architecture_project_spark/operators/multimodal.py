@@ -6,11 +6,13 @@ Arrow-batched ``mapInPandas`` / ``mapInArrow`` so bytes stream executor-side
 in columnar batches and never hit the driver.
 
 Decode is REAL for uncompressed 24-bit BMP (``decode_image`` /
-``encode_bmp``) and PCM16 mono WAV (``decode_wav`` / ``encode_wav``) —
-pure-stdlib codecs, no media library needed — and ``resize_image`` is a
-real numpy nearest-neighbor resampler. Formats that genuinely need
-external codecs (JPEG/PNG/compressed audio/video) raise
-``NotImplementedError`` at the same dispatch points — swap in
+``encode_bmp``), 8-bit truecolor PNG (``encode_png`` / ``decode_png`` —
+zlib DEFLATE + all five scanline filters, pure stdlib), and PCM16 mono WAV
+(``decode_wav`` / ``encode_wav``) — no media library needed — and
+``resize_image`` is a real numpy nearest-neighbor resampler. Formats that
+genuinely need external codecs (JPEG/WebP/compressed audio/video, exotic
+PNG flavors) dispatch to pillow when installed and raise
+``NotImplementedError`` otherwise at the same dispatch points — swap in
 PIL/libvips/ffmpeg there and nothing else changes.
 ``extract_payload_features`` keeps the format-agnostic byte-level path
 (length, digest) for opaque payloads; ``image_dhash`` /
@@ -88,23 +90,132 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL PNG (8-bit truecolor,
+    filter 0 per scanline, one zlib IDAT) — pure stdlib, any PNG reader
+    opens it."""
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB, no interlace
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG into an (h, w, 3) uint8 RGB array — pure stdlib.
+
+    Supports the formats a training corpus actually contains: 8-bit
+    truecolor (color type 2) and truecolor+alpha (type 6, alpha dropped),
+    non-interlaced, ALL five scanline filters (None/Sub/Up/Average/Paeth).
+    Grayscale/palette/16-bit/interlaced dispatch onward (decode_image hands
+    them to pillow when present)."""
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_MAGIC), [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "built-in PNG decode covers 8-bit truecolor (±alpha), "
+            "non-interlaced; other PNG flavors need pillow"
+        )
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256, the PNG spec arithmetic
+        elif ftype == 1:  # Sub: prefix-sum per channel with mod-256 wrap
+            rec = line.reshape(w, ch).cumsum(axis=0, dtype=np.uint64).astype(
+                np.uint8
+            ).reshape(stride)
+        else:  # Average (3) / Paeth (4): depend on left+up, walk pixels
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, ch)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (h, w, 3) uint8 RGB array.
 
-    BMP decodes through the pure-stdlib codec above (always available, the
-    sandbox default). Every other format (JPEG/PNG/WebP/...) dispatches to
-    pillow when it is installed — the opt-in production path; downstream
-    operators (dHash, resize, frame stats) are format-agnostic either way.
-    Without pillow, non-BMP payloads raise NotImplementedError so a
-    misconfigured cluster fails loudly instead of producing fake features."""
+    BMP and 8-bit-truecolor PNG decode through the pure-stdlib codecs above
+    (always available, the sandbox default). Every other format
+    (JPEG/WebP/exotic PNG flavors/...) dispatches to pillow when it is
+    installed — the opt-in production path; downstream operators (dHash,
+    resize, frame stats) are format-agnostic either way. Without pillow,
+    those payloads raise NotImplementedError so a misconfigured cluster
+    fails loudly instead of producing fake features."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            pass  # exotic PNG flavor → pillow below
     try:
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "only BMP decoding is built in; JPEG/PNG/WebP need pillow "
-            "(pip install pillow) wired in at this dispatch point"
+            "built-in decode covers BMP and 8-bit truecolor PNG; "
+            "JPEG/WebP/other PNG flavors need pillow (pip install pillow) "
+            "wired in at this dispatch point"
         ) from None
     import io
 

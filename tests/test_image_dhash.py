@@ -97,3 +97,146 @@ def test_textured_generator_rejects_wrapping_group():
         _textured_pixels(0, 8)
     with pytest.raises(ValueError, match="group"):
         _textured_frame_pixels(0, 0, 8)
+
+
+# --------------------------------------------------------------------------- #
+# Built-in PNG codec (round 11): the real-codec path, testable without pillow.
+# --------------------------------------------------------------------------- #
+
+
+def _png_with_filters(pixels, filters):
+    """Test-side PNG encoder that FORCES a given filter type per scanline
+    (the shipped encoder always writes filter 0), to exercise the decoder's
+    Sub/Up/Average/Paeth reconstruction against the spec arithmetic."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    ch = 3
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.int64)
+        ft = filters[y % len(filters)]
+        filt = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    px = _noise(7, h=21, w=13)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    # decode_image dispatches PNG by magic.
+    assert np.array_equal(decode_image(encode_png(px)), px)
+    # All five scanline filters reconstruct bit-exactly.
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_with_filters(px, filters)
+        assert np.array_equal(decode_png(payload), px), filters
+
+
+def test_png_rgba_alpha_dropped():
+    import struct
+    import zlib
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_png
+
+    rgb = _noise(8, h=5, w=4)
+    rgba = np.dstack([rgb, np.full((5, 4), 200, dtype=np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(5))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), rgb)
+
+
+def test_image_dhash_is_format_agnostic_png_vs_bmp(spark):
+    """The dHash pipeline yields IDENTICAL hashes whether payloads arrive as
+    BMP or PNG — the decode dispatch is transparent to every downstream
+    operator."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import encode_png, image_dhash
+
+    images = [_noise(s, h=24, w=32) for s in range(6)]
+    bmp = image_dhash(_payloads(spark, images)).collect()
+    png_rows = [(i, bytearray(encode_png(px))) for i, px in enumerate(images)]
+    png = image_dhash(
+        spark.createDataFrame(png_rows, "doc_id long, payload binary")
+    ).collect()
+    assert {(r["doc_id"], r["dhash"]) for r in bmp} == {
+        (r["doc_id"], r["dhash"]) for r in png
+    }
+
+
+def test_non_builtin_format_dispatches_to_pillow_or_fails_loudly():
+    """Without pillow, a JPEG payload must raise NotImplementedError naming
+    pillow (fail loudly, never fake features); with pillow installed, the
+    same dispatch point must decode a real JPEG. Both branches are real
+    assertions — no skip either way."""
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_image
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+
+    if not have_pillow:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
+    else:  # pragma: no cover - sandbox has no pillow; runs on real clusters
+        import io
+
+        px = _noise(9, h=16, w=16)
+        buf = io.BytesIO()
+        Image.fromarray(px).save(buf, format="JPEG", quality=95)
+        out = decode_image(buf.getvalue())
+        assert out.shape == (16, 16, 3)
