@@ -98,6 +98,8 @@ def prepare_corpus(
     semdedup_tau: float = 0.4,
     semdedup_centroids=None,
     semdedup_id_col: str = "vec_id",
+    semdedup_fit_k: int | None = None,
+    semdedup_index: str | None = None,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
@@ -130,9 +132,25 @@ def prepare_corpus(
       ``doc_id``, drop documents whose embedding is pruned by the
       intra-cluster cosine-τ triangular rule. Runs AFTER MinHash near-dedup
       — the tier that catches paraphrase-level duplicates surface n-grams
-      miss. Deterministic given the centroids (default: the pinned k=8
-      model; pass ``semdedup_centroids`` to scale k with the corpus).
+      miss — and only embeddings of documents still in flight vote.
       Documents without an embedding pass (no evidence against them).
+
+      **Scale default: fit k to the corpus** (``semdedup_fit_k`` /
+      ``--semdedup-fit-k``): trains k deterministic centroids on the
+      in-flight embeddings (``train_ivf_centroids`` — hash-ordered bounded
+      sample, stable init). SemDeDup's own contract is that k GROWS with
+      the corpus (the paper fits k=50 000 on LAION); the pinned k=8 model —
+      used only when neither ``semdedup_fit_k`` nor ``semdedup_centroids``
+      is given — exists for gate parity with the hash-certified registry
+      queries, and SCALE.md's 1000× probe shows why it must not be the
+      scale default (k=64 corpus-fit was 13× faster at 2 M vectors).
+      Per-cluster work is quadratic in cluster size, so pick k ≈ n/5000.
+
+      **Repeated sweeps at scale** (``semdedup_index`` /
+      ``--semdedup-index``): point at a ``write_ivf_bucketed`` layout to
+      reuse a cluster assignment paid once at write time
+      (``semdedup_prune_bucketed``); the in-flight semi-join still applies.
+      Overrides ``semdedup_fit_k``.
     """
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
@@ -143,18 +161,28 @@ def prepare_corpus(
     docs = _near_dedup(docs)
     report["after_near_dedup"] = docs.count()
 
-    if semdedup_embeddings is not None:
+    if semdedup_index is not None:
+        # Repeated-sweep scale path: cluster assignment was paid once at
+        # write_ivf_bucketed time; the in-flight restriction (see below)
+        # rides in as the ids semi-join.
+        from .operators.similarity import semdedup_prune_bucketed
+
+        pruned = semdedup_prune_bucketed(
+            spark, semdedup_index, tau=semdedup_tau, ids=docs.select("doc_id")
+        )
+        removed = pruned.filter(~F.col("is_kept")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        docs = docs.join(removed, "doc_id", "left_anti")
+        report["after_semdedup"] = docs.count()
+    elif semdedup_embeddings is not None:
         from .operators.similarity import semdedup_prune
 
-        if semdedup_centroids is None:
-            from .plans._pinned_centroids import _CLUSTER_CENTROIDS_K8
-
-            semdedup_centroids = _CLUSTER_CENTROIDS_K8
         emb = spark.read.parquet(semdedup_embeddings)
         # Only embeddings of documents still IN FLIGHT may vote. Without this
         # semi-join, a doc that survived MinHash near-dedup can be pruned
         # because an earlier-ranked (lower-affinity) near-twin — already
-        # dropped by a prior stage — is within tau: the pruner "keeps" that
+        # dropped by a prior stage — is within tau: the pruner 'keeps' that
         # twin, but it no longer exists in the corpus, so every copy of the
         # content would be lost. (Exact dups are safe — the min-id tie-break
         # matches the keep rule — but near-dup embeddings are non-identical,
@@ -165,6 +193,21 @@ def prepare_corpus(
             emb[semdedup_id_col] == in_flight["__sd_doc_id"],
             "left_semi",
         )
+        if semdedup_centroids is None:
+            if semdedup_fit_k is not None:
+                # Scale default: k fit to the in-flight corpus (SemDeDup's
+                # contract — k grows with the data; see the docstring).
+                from .operators.similarity import train_ivf_centroids
+
+                semdedup_centroids = train_ivf_centroids(
+                    emb, id_col=semdedup_id_col, n_centroids=semdedup_fit_k
+                )
+            else:
+                # Gate-parity default: the pinned k=8 model the registry's
+                # hash-certified SemDeDup queries replay.
+                from .plans._pinned_centroids import _CLUSTER_CENTROIDS_K8
+
+                semdedup_centroids = _CLUSTER_CENTROIDS_K8
         pruned = semdedup_prune(
             emb, semdedup_centroids, id_col=semdedup_id_col, tau=semdedup_tau
         )
@@ -310,6 +353,18 @@ def main() -> None:
         help="embeddings parquet (vec_id <-> doc_id) enabling the SemDeDup stage",
     )
     ap.add_argument("--semdedup-tau", type=float, default=0.4)
+    ap.add_argument(
+        "--semdedup-fit-k", type=int, default=None,
+        help="fit this many centroids to the in-flight corpus (the SCALE "
+        "default — k should grow with the corpus, ~n/5000; omitting it "
+        "falls back to the pinned k=8 gate-parity model)",
+    )
+    ap.add_argument(
+        "--semdedup-index", default=None,
+        help="write_ivf_bucketed layout to prune against (repeated-sweep "
+        "scale path: cluster assignment paid once at write time); "
+        "overrides --semdedup-embeddings/--semdedup-fit-k",
+    )
     args = ap.parse_args()
     from .session import get_spark
 
@@ -330,6 +385,8 @@ def main() -> None:
         cluster_threshold=args.cluster_threshold,
         semdedup_embeddings=args.semdedup_embeddings,
         semdedup_tau=args.semdedup_tau,
+        semdedup_fit_k=args.semdedup_fit_k,
+        semdedup_index=args.semdedup_index,
     )
     print(json.dumps(report))
 

@@ -303,3 +303,104 @@ def test_semdedup_stage_only_consults_in_flight_docs(spark, tmp_path):
             for line in open(f):
                 kept_ids.add(json.loads(line)["doc_id"])
     assert 1 in kept_ids and 3 in kept_ids and 2 not in kept_ids
+
+
+def test_semdedup_scale_paths_fit_k_and_index(spark, tmp_path):
+    """The two scale paths of the SemDeDup stage: --semdedup-fit-k (corpus-
+    fit centroids, the documented scale default — k grows with the corpus)
+    and --semdedup-index (prune against a write_ivf_bucketed layout whose
+    assignment was paid at write time). Both run end-to-end, keep the
+    attrition funnel monotone, stay byte-deterministic, and the index path
+    honors the in-flight semi-join (the r10 content-loss trap)."""
+    import numpy as np
+
+    from data_lake_medallion_architecture_project_spark.operators.similarity import (
+        semdedup_prune,
+        train_ivf_centroids,
+        write_ivf_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kwargs = dict(
+        min_tokens=1,
+        min_distinct_ratio=0.0,
+        semdedup_embeddings=f"{sf}/embeddings.parquet",
+        semdedup_tau=0.4,
+        semdedup_fit_k=4,
+    )
+    a = prepare_corpus(spark, f"{sf}/documents.parquet", str(tmp_path / "a"), **kwargs)
+    b = prepare_corpus(spark, f"{sf}/documents.parquet", str(tmp_path / "b"), **kwargs)
+    assert a == b  # the fit is deterministic (hash-ordered sample, stable init)
+    assert "after_semdedup" in a
+    assert 0 < a["after_semdedup"] <= a["after_near_dedup"]
+
+    # fit-k path == passing the same fitted centroids explicitly.
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=4)
+    assert cent.shape[0] == 4
+    c = prepare_corpus(
+        spark,
+        f"{sf}/documents.parquet",
+        str(tmp_path / "c"),
+        min_tokens=1,
+        min_distinct_ratio=0.0,
+        semdedup_embeddings=f"{sf}/embeddings.parquet",
+        semdedup_tau=0.4,
+        semdedup_centroids=cent,
+    )
+    # Not byte-asserted against `a` (the fit in `a` runs on the in-flight
+    # subset, this one on the full table), but both must drop something at
+    # tau=0.4 on a corpus with planted near-dup embeddings.
+    assert c["after_semdedup"] < c["after_near_dedup"]
+
+    # Index path: build the bucketed layout once, prune through it.
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_bucketed(emb, idx, n_centroids=4)
+    d = prepare_corpus(
+        spark,
+        f"{sf}/documents.parquet",
+        str(tmp_path / "d"),
+        min_tokens=1,
+        min_distinct_ratio=0.0,
+        semdedup_index=idx,
+        semdedup_tau=0.4,
+    )
+    assert "after_semdedup" in d
+    assert 0 < d["after_semdedup"] <= d["after_near_dedup"]
+
+
+def test_semdedup_index_path_honors_in_flight_semi_join(spark, tmp_path):
+    """The planted content-loss trap, replayed through the INDEX path: the
+    near-dup twin (doc 2) is dropped by MinHash before the semantic stage,
+    so its index row must not vote and doc 1 must survive."""
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(199)) + " zzz"
+    docs = spark.createDataFrame(
+        [(1, base, "src0", len(base)), (2, near, "src0", len(near)),
+         (3, "totally unrelated words " * 10, "src0", 240)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [1.0, 0.2]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf_index")
+    from data_lake_medallion_architecture_project_spark.operators.similarity import write_ivf_bucketed
+
+    write_ivf_bucketed(emb, idx, n_centroids=2)
+    report = prepare_corpus(
+        spark,
+        docs_path,
+        str(tmp_path / "prep"),
+        min_tokens=1,
+        min_distinct_ratio=0.0,
+        source_cap=100,
+        n_shards=1,
+        semdedup_index=idx,
+        semdedup_tau=0.9,
+    )
+    assert report["after_near_dedup"] == 2
+    assert report["after_semdedup"] == 2  # doc 1 not pruned by absent doc 2
