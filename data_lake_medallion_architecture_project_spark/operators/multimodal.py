@@ -394,6 +394,31 @@ def attach_fake_textured_bmp_payloads(
     )
 
 
+def attach_fake_textured_png_payloads(
+    df: DataFrame, id_col: str = "doc_id", group: int = 1
+) -> DataFrame:
+    """The PNG twin of ``attach_fake_textured_bmp_payloads`` — identical
+    pixels, encoded through the pure-stdlib PNG codec (zlib DEFLATE), so a
+    pipeline over these payloads exercises the real compressed-format
+    decode path end-to-end while staying bit-replayable by the same SQL
+    oracle (decode(encode(px)) == px is exact)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(_textured_pixels(int(doc_id), group))
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 def attach_fake_wav_payloads(
     df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000
 ) -> DataFrame:

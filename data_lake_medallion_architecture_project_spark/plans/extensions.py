@@ -540,6 +540,67 @@ def doc_hash_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed_buckets(docs, dim=_HASH_EMBED_DIM, hash_family="md5")
 
 
+_HASH_EMBED_DENSE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+              % {_HASH_EMBED_DIM} AS INTEGER) AS bucket,
+         CASE WHEN substr(md5(tok), 9, 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sign
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, bucket, SUM(sign) AS c
+  FROM hb GROUP BY doc_id, bucket HAVING SUM(sign) <> 0
+),
+per AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS norm2,
+         CAST(COUNT(*) AS BIGINT) AS nnz
+  FROM agg GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(per.norm2, 0) AS norm2, COALESCE(per.nnz, 0) AS nnz
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@register(
+    "doc_hash_embedding_dense_stats",
+    oracle=_HASH_EMBED_DENSE_ORACLE,
+    tags=("text", "similarity", "ml"),
+)
+def doc_hash_embedding_dense_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document invariants of the DENSE hash-embedding assembly
+    (``operators/hashembed.py:hash_embed``): squared L2 norm and non-zero
+    count, both exact integers, computed FROM the assembled array. The
+    oracle recomputes them from the long form and LEFT-joins to all doc
+    ids, so a hash match certifies the round-11 cardinality contract —
+    every input document appears exactly once, fully-cancelled or
+    token-less docs as zero vectors (norm2 = 0, nnz = 0) — and that the
+    zero-fill map assembly lost no bucket. The per-row array fold is one
+    interpreted-HOF eval per DOCUMENT (never per pair — the scale rule in
+    SCALE.md), on top of the same single-exchange long-form plan the
+    ``doc_hash_embedding_buckets`` gate prices."""
+    from ..operators.hashembed import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    dense = hash_embed(docs, dim=_HASH_EMBED_DIM, hash_family="md5")
+    return dense.select(
+        "doc_id",
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x * x
+        ).cast("long").alias("norm2"),
+        F.aggregate(
+            "embedding",
+            F.lit(0),
+            lambda a, x: a + F.when(x != 0.0, 1).otherwise(0),
+        ).cast("long").alias("nnz"),
+    )
+
+
 _EMB_STATS_ORACLE = """
 SELECT label, COUNT(*) AS n_vectors, MIN(len(embedding)) AS min_dim,
        MAX(len(embedding)) AS max_dim
@@ -950,6 +1011,29 @@ def image_dhash_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return image_dhash(attach_fake_textured_bmp_payloads(docs))
+
+
+@register("image_dhash_catalog_png", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_dhash_catalog`` through the COMPRESSED format path: the same
+    textured pixels encoded as real PNG (zlib DEFLATE + scanline filter,
+    ``operators/multimodal.py:encode_png``) instead of raw BMP, decoded by
+    the pure-stdlib inflate+unfilter decoder inside the same mapInArrow
+    dHash stage. The oracle is IDENTICAL to the BMP catalog's — pixel
+    arithmetic replayed from doc_id — so a hash match certifies the whole
+    compressed encode → decode roundtrip bit-for-bit under the driver gate
+    (a wrong filter reconstruction, CRC-region slip, or channel-order bug
+    fails 64 bits per image, not a unit test). Decode cost rides executor-
+    side in Arrow batches exactly like the BMP path; format choice is
+    invisible to every operator past ``decode_image``."""
+    from ..operators.multimodal import (
+        attach_fake_textured_png_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(attach_fake_textured_png_payloads(docs))
 
 
 def _video_dhash_oracle_sql(stride: int = 2, grouped: bool = False) -> str:
