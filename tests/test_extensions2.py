@@ -107,35 +107,42 @@ def test_decode_image_dispatch():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert (decode_image(encode_bmp(px)) == px).all()
-    # Without pillow the dispatch point fails loudly; with it, a truncated
-    # PNG header still raises (pillow can't identify it) — never silent.
+    # A truncated PNG fails loudly in the built-in decoder (round 11: PNG is
+    # a stdlib codec, no pillow needed) — never silent.
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    # Formats with no built-in codec (JPEG) still dispatch to pillow or
+    # fail loudly naming it.
     with pytest.raises(Exception if _has_pillow() else NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")  # real codec integration point
+        decode_image(b"\xff\xd8\xff\xe0....")
 
 
-def test_decode_image_pillow_backend_matches_bmp():
-    """With pillow installed, a PNG round-trip of the same pixels must decode
-    to the identical RGB array the stdlib BMP path produces (so dHash and
-    decode stats agree across backends). Without pillow this asserts the
-    loud-failure contract instead, so the test is meaningful — and green —
-    under both backends."""
+def test_decode_image_png_backend_matches_bmp():
+    """A PNG round-trip of the same pixels must decode to the identical RGB
+    array the stdlib BMP path produces (so dHash and decode stats agree
+    across formats). Since round 11 the PNG leg runs WITHOUT pillow (the
+    built-in zlib codec); when pillow IS present, a pillow-WRITTEN PNG —
+    whatever scanline filters its encoder picked — must also decode
+    identically through the built-in decoder."""
     import io
 
     import numpy as np
 
-    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_image, encode_bmp
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
 
     rng = np.random.default_rng(11)
     px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
-    if not _has_pillow():
-        with pytest.raises(NotImplementedError, match="pillow"):
-            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-        return
-    from PIL import Image
+    assert (decode_image(encode_png(px)) == decode_image(encode_bmp(px))).all()
+    if _has_pillow():  # pragma: no cover - sandbox has no pillow
+        from PIL import Image
 
-    buf = io.BytesIO()
-    Image.fromarray(px, "RGB").save(buf, format="PNG")  # lossless
-    assert (decode_image(buf.getvalue()) == decode_image(encode_bmp(px))).all()
+        buf = io.BytesIO()
+        Image.fromarray(px, "RGB").save(buf, format="PNG")  # lossless
+        assert (decode_image(buf.getvalue()) == px).all()
 
 
 def test_resize_nearest_matches_manual_gather():
