@@ -601,6 +601,115 @@ def doc_hash_embedding_dense_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _logreg_oracle() -> str:
+    """Replay of the pinned-logreg logit: the SAME left-associated IEEE
+    sequence z = ((((b + t0) + t1) + t2) + t3), tᵢ = ((xᵢ − μᵢ)/σᵢ)·wᵢ,
+    over the already-certified exact-integer token-stat idioms. Every
+    pinned literal is CAST to DOUBLE — a bare 54.33 is DECIMAL in DuckDB
+    and decimal subtraction/division would not be IEEE arithmetic (the
+    corpus_mix_summary lesson)."""
+    from ._pinned_logreg import (
+        _LOGREG_BIAS,
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+    )
+
+    cols = ["n_tokens", "n_unique_tokens", "n_token_chars", "n_chars"]
+    z = f"CAST({_LOGREG_BIAS!r} AS DOUBLE)"
+    for c, m, s, w in zip(cols, _LOGREG_MEAN, _LOGREG_STD, _LOGREG_WEIGHTS):
+        z = (
+            f"({z} + (({c} - CAST({m!r} AS DOUBLE)) / CAST({s!r} AS DOUBLE))"
+            f" * CAST({w!r} AS DOUBLE))"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars AS raw_chars,
+         string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS n_token_chars,
+         CAST(raw_chars AS BIGINT) AS n_chars
+  FROM t
+)
+SELECT doc_id, {z} AS logit, {z} > 0.0 AS predicted_src0,
+       source = 'src0' AS is_src0
+FROM f
+"""
+
+
+@register(
+    "doc_source_logreg_scores",
+    oracle=_logreg_oracle(),
+    tags=("text", "ml", "quality"),
+)
+def doc_source_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored by the PINNED logistic-regression source
+    classifier — the fastText-style quality-filter tier (CCNet/GPT-3 style:
+    'does this look like the clean source?') promoted from pytest-only
+    parity to a hash-certified row, the round-10 PCA precedent applied to
+    the classifier operator.
+
+    The model (operators/logreg.py:fit_logreg — distributed full-batch GD,
+    one standardization pass, model-sized driver traffic per step, no
+    corpus shuffle ever) is trained by tools/pin_logreg.py to predict
+    ``source == 'src0'`` from four exact-integer text statistics and pinned
+    into plans/_pinned_logreg.py; tests/test_logreg.py asserts the pinned
+    values still match a fresh fit. Inference here is pure whole-stage-
+    codegen column arithmetic: the logit is the unrolled left-associated
+    z = b + Σ wᵢ·((xᵢ−μᵢ)/σᵢ) over integer features, so both engines run
+    the identical IEEE sequence and the emitted doubles are bit-equal — the
+    class decision (z > 0) is then exact by construction, no sigmoid/exp on
+    the gate surface (σ is monotone; thresholding z IS thresholding σ(z)).
+
+    Scale shape: map-only scan-side expressions after one tokenize pass —
+    the corpus-filtering pass costs the same as any projection at 100 TB;
+    training cost is per-iteration map passes emitting d+1 floats per
+    partition."""
+    from ._pinned_logreg import (
+        _LOGREG_BIAS,
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+    )
+    from ..functions.text import (
+        distinct_token_count,
+        token_count,
+        tokenize,
+        total_token_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    f = docs.select(
+        "doc_id",
+        "source",
+        token_count(toks).alias("n_tokens"),
+        distinct_token_count(toks).alias("n_unique_tokens"),
+        total_token_chars(toks).alias("n_token_chars"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    z = F.lit(float(_LOGREG_BIAS))
+    for c, m, s, w in zip(
+        ("n_tokens", "n_unique_tokens", "n_token_chars", "n_chars"),
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+    ):
+        z = z + ((F.col(c) - F.lit(float(m))) / F.lit(float(s))) * F.lit(float(w))
+    return f.select(
+        "doc_id",
+        z.alias("logit"),
+        (z > F.lit(0.0)).alias("predicted_src0"),
+        (F.col("source") == "src0").alias("is_src0"),
+    )
+
+
 _EMB_STATS_ORACLE = """
 SELECT label, COUNT(*) AS n_vectors, MIN(len(embedding)) AS min_dim,
        MAX(len(embedding)) AS max_dim

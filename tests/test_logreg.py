@@ -98,3 +98,69 @@ def test_jvm_scoring_matches_numpy_sigmoid(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pinned_model_matches_fresh_fit(spark):
+    """Drift guard for the doc_source_logreg_scores gate (the PCA/PQ
+    precedent): a fresh fit with the pinned schedule on the gate corpus
+    must reproduce plans/_pinned_logreg.py exactly — if the fitter or the
+    feature definitions change, this fails before the oracle does."""
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.functions.text import (
+        distinct_token_count,
+        token_count,
+        tokenize,
+        total_token_chars,
+    )
+    from data_lake_medallion_architecture_project_spark.plans._pinned_logreg import (
+        _LOGREG_BIAS,
+        _LOGREG_FEATURES,
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+    )
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    toks = tokenize("text")
+    feats = docs.select(
+        token_count(toks).alias("n_tokens"),
+        distinct_token_count(toks).alias("n_unique_tokens"),
+        total_token_chars(toks).alias("n_token_chars"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("source") == "src0").cast("int").alias("is_src0"),
+    )
+    model = fit_logreg(
+        feats, list(_LOGREG_FEATURES), "is_src0", n_iters=200, lr=0.5, l2=1e-4
+    )
+    np.testing.assert_allclose(model.mean, _LOGREG_MEAN, rtol=1e-12)
+    np.testing.assert_allclose(model.std, _LOGREG_STD, rtol=1e-12)
+    np.testing.assert_allclose(model.weights, _LOGREG_WEIGHTS, rtol=1e-9)
+    assert abs(model.bias - _LOGREG_BIAS) < 1e-9 * max(1.0, abs(_LOGREG_BIAS))
+
+
+def test_logreg_gate_query_ranks_the_clean_source(spark):
+    """The pinned classifier is not vacuous: ranking documents by its logit
+    separates src0 from the rest better than chance, and the logit column
+    is finite everywhere. Honest bar: the SYNTHETIC corpus carries little
+    source signal in surface statistics (best single feature AUC 0.57,
+    measured; a real web corpus separates far harder) — the assertion
+    guards against a broken/degenerate model (AUC ≈ 0.5), not for
+    production-grade separation."""
+    import math
+
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["doc_source_logreg_scores"].build(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert all(math.isfinite(r["logit"]) for r in rows)
+    pos = sorted(r["logit"] for r in rows if r["is_src0"])
+    neg = sorted(r["logit"] for r in rows if not r["is_src0"])
+    assert pos and neg
+    # AUC by direct pair counting (corpus is gate-sized).
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert auc > 0.55, auc
