@@ -36,7 +36,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["LogRegModel", "fit_logreg", "score_logreg"]
+__all__ = ["LogRegModel", "fit_logreg", "logit_expr", "score_logreg"]
 
 
 @dataclass(frozen=True)
@@ -124,12 +124,26 @@ def fit_logreg(
     )
 
 
-def score_logreg(df: DataFrame, model: LogRegModel) -> Column:
-    """σ(w·x + b) as a pure-JVM column expression — literal weights folded
-    into whole-stage codegen; no UDF in the corpus-filtering pass."""
-    z = F.lit(model.bias)
-    for c, m, s, w in zip(model.feature_cols, model.mean, model.std, model.weights):
+def logit_expr(
+    feature_cols, mean, std, weights, bias: float
+) -> Column:
+    """The raw logit z = ((((b + t0) + t1) + ...)) with
+    tᵢ = ((xᵢ − μᵢ)/σᵢ)·wᵢ as a pure-JVM column expression. The
+    LEFT-ASSOCIATED construction order is load-bearing: the DuckDB oracle
+    of ``doc_source_logreg_scores`` replays the identical IEEE sequence, so
+    the emitted doubles are bit-equal cross-engine (the PCA discipline).
+    Shared by the registry gate query, ``score_logreg``, and the streaming
+    quality-gate ingest."""
+    z = F.lit(float(bias))
+    for c, m, s, w in zip(feature_cols, mean, std, weights):
         z = z + ((F.col(c).cast("double") - F.lit(float(m))) / F.lit(float(s))) * F.lit(
             float(w)
         )
+    return z
+
+
+def score_logreg(df: DataFrame, model: LogRegModel) -> Column:
+    """σ(w·x + b) as a pure-JVM column expression — literal weights folded
+    into whole-stage codegen; no UDF in the corpus-filtering pass."""
+    z = logit_expr(model.feature_cols, model.mean, model.std, model.weights, model.bias)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

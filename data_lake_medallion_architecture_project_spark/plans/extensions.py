@@ -694,14 +694,15 @@ def doc_source_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_token_chars(toks).alias("n_token_chars"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
-    z = F.lit(float(_LOGREG_BIAS))
-    for c, m, s, w in zip(
+    from ..operators.logreg import logit_expr
+
+    z = logit_expr(
         ("n_tokens", "n_unique_tokens", "n_token_chars", "n_chars"),
         _LOGREG_MEAN,
         _LOGREG_STD,
         _LOGREG_WEIGHTS,
-    ):
-        z = z + ((F.col(c) - F.lit(float(m))) / F.lit(float(s))) * F.lit(float(w))
+        _LOGREG_BIAS,
+    )
     return f.select(
         "doc_id",
         z.alias("logit"),

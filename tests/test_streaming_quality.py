@@ -1,0 +1,108 @@
+"""Streaming quality-gate ingest (streaming/quality_ingest.py): classifier-
+routed exactly-once intake — pass/quarantine partition the input, the pass
+set equals the batch gate query's predicate, re-runs are no-ops, and
+replayed batches never double-append."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+from data_lake_medallion_architecture_project_spark.storage import TxnTable
+from data_lake_medallion_architecture_project_spark.streaming.quality_ingest import (
+    quality_batch_against_tables,
+    run_quality_ingest,
+    scored_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _setup_source(spark, tmp_path, max_id):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < max_id
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage1"))
+    for f in os.listdir(str(tmp_path / "stage1")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "stage1"), f),
+                        os.path.join(src, "batch1.parquet"))
+    return src, docs
+
+
+def test_quality_ingest_routes_and_is_exactly_once(spark, tmp_path):
+    src, docs = _setup_source(spark, tmp_path, 200)
+    # Pick a threshold at the median logit so BOTH routes are non-empty.
+    logits = sorted(
+        r["logit"] for r in scored_batch(docs).select("logit").collect()
+    )
+    thr = logits[len(logits) // 2]
+    paths = {
+        k: str(tmp_path / k) for k in ("pass_tbl", "quar_tbl", "ckpt")
+    }
+    n = run_quality_ingest(
+        spark, src, paths["pass_tbl"], paths["quar_tbl"], paths["ckpt"],
+        threshold=thr,
+    )
+    assert n == 1
+    passed = TxnTable(paths["pass_tbl"]).read(spark)
+    quarantined = TxnTable(paths["quar_tbl"]).read(spark)
+    pass_ids = {r["doc_id"] for r in passed.select("doc_id").collect()}
+    quar_ids = {r["doc_id"] for r in quarantined.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # Routed, never dropped: the two tables PARTITION the input.
+    assert pass_ids and quar_ids
+    assert pass_ids | quar_ids == all_ids
+    assert not (pass_ids & quar_ids)
+
+    # Pass set == the batch gate query's logit filtered at the same
+    # threshold (logit_expr is shared, so this must be exact equality).
+    gate = REGISTRY["doc_source_logreg_scores"].build(spark, SF).filter(
+        (F.col("logit") > F.lit(thr)) & (F.col("doc_id") < 200)
+    )
+    assert {r["doc_id"] for r in gate.select("doc_id").collect()} == pass_ids
+
+    # Quarantine rows carry the audit logit, matching the gate query's.
+    gate_logits = {
+        r["doc_id"]: r["logit"]
+        for r in REGISTRY["doc_source_logreg_scores"].build(spark, SF).collect()
+    }
+    for r in quarantined.select("doc_id", "logit").collect():
+        assert r["logit"] == gate_logits[r["doc_id"]]
+
+    # Idempotence: nothing new -> no batches, tables unchanged.
+    assert run_quality_ingest(
+        spark, src, paths["pass_tbl"], paths["quar_tbl"], paths["ckpt"],
+        threshold=thr,
+    ) == 0
+    assert passed.count() == len(pass_ids)
+    assert quarantined.count() == len(quar_ids)
+
+
+def test_quality_batch_replay_is_noop(spark, tmp_path):
+    """A replayed (app_id, batch_id) — the crash-between-commit-and-
+    checkpoint window — must not double-append to either table."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    pass_t = TxnTable(str(tmp_path / "p"))
+    quar_t = TxnTable(str(tmp_path / "q"))
+    thr = sorted(
+        r["logit"] for r in scored_batch(docs).select("logit").collect()
+    )[50]
+    for _ in range(2):  # second application replays the SAME batch id
+        quality_batch_against_tables(
+            spark, pass_t, quar_t, docs, "doc_id", "text", thr, "app", 0
+        )
+    n_pass = pass_t.read(spark).count()
+    n_quar = quar_t.read(spark).count()
+    assert n_pass + n_quar == 100
+    ids = [
+        r["doc_id"] for r in pass_t.read(spark).select("doc_id").collect()
+    ] + [r["doc_id"] for r in quar_t.read(spark).select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 100
