@@ -531,3 +531,97 @@ def shingle_jaccard_pairs(
     tokens have no shingles and produce no pairs."""
     sets = shingle_sets(df, id_col, text_col, n)
     return jaccard_pairs_from_sets(sets, threshold, prefix_filter=prefix_filter)
+
+
+def excise_shared_ngrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """EXACT substring deduplication with EXCISION (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    dedup-substrings tier): every repeated ``n``-token gram keeps exactly
+    ONE canonical occurrence in the corpus — the minimum (doc, position)
+    under a total order — and every other occurrence's token span is
+    REMOVED from its document's text. This is the tier past whole-document
+    dedup: boilerplate shared across otherwise-distinct pages (headers,
+    licenses, navigation) gets cut out of the survivors instead of the
+    survivors being dropped.
+
+    Output: one row per input document — (id, n_tokens, n_removed,
+    cleaned_text), where cleaned_text joins the surviving tokens of
+    lower(text) in order. Documents shorter than ``n`` tokens pass through
+    unchanged (n_removed = 0); a document that is pure boilerplate can
+    clean to the empty string (caller decides whether to drop it — the
+    quality gate's job, not this operator's).
+
+    Determinism / replayability: tokenization, the md5 gram hash, the
+    (doc, pos) canonical order, span cover, and reconstruction are all
+    engine-replayable — the registry query's DuckDB oracle recomputes
+    cleaned_text byte-for-byte.
+
+    Scale shape: occurrences are (id, pos, 32-char hash) rows — O(corpus
+    tokens), the vocabulary-build budget, hashed BEFORE leaving the row so
+    no exchange ever carries text; canonicalization is one window over the
+    gram hash; cover positions explode to at most n·|marked occurrences|;
+    reconstruction is one token-grain anti-join plus one doc-keyed
+    collect_list (the unavoidable cost of REWRITING the corpus — you pay
+    one doc-grain exchange to produce new text). No pair enumeration
+    anywhere."""
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    occ = base.filter(F.col("n") >= n).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("toks", i, n))).alias("gh"),
+                ),
+            )
+        ).alias("o"),
+    ).select("_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
+    marked = (
+        occ.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("gh").orderBy("_id", "pos")),
+        )
+        .filter(F.col("rk") > 1)  # every non-canonical occurrence of a dup gram
+        .select("_id", "pos")
+    )
+    covered = marked.select(
+        "_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos")
+    ).distinct()
+    tokens = base.select(
+        "_id",
+        F.posexplode("toks").alias("idx", "tok"),
+    ).select("_id", (F.col("idx") + 1).alias("pos"), "tok")
+    kept = tokens.join(
+        covered,
+        (tokens["_id"] == covered["_id"]) & (tokens["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1402,3 +1402,76 @@ def cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_overlap_scores(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Exact substring dedup with EXCISION — the Lee-et-al tier that rewrites.
+# --------------------------------------------------------------------------- #
+
+_EXCISE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+occ AS (
+  SELECT doc_id, i.i AS pos,
+         md5(array_to_string(toks[i.i:i.i + {_XGRAM_N - 1}], ' ')) AS gh
+  FROM b, LATERAL (SELECT unnest(range(1, n - {_XGRAM_N - 2})) AS i) i
+  WHERE n >= {_XGRAM_N}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rk
+    FROM occ
+  ) WHERE rk > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + o.o AS cpos
+  FROM marked, LATERAL (SELECT unnest(range(0, {_XGRAM_N})) AS o) o
+),
+tok AS (
+  SELECT doc_id, i.i AS pos, toks[i.i] AS tk
+  FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) i
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.cpos = tok.pos
+  WHERE cov.cpos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         array_to_string(list(tk ORDER BY pos), ' ') AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+"""
+
+
+@register(
+    "substring_excised_documents", oracle=_EXCISE_ORACLE, tags=("dedup", "text")
+)
+def substring_excised_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring deduplication with EXCISION (Lee et al. 2022) — the
+    tier past whole-document dedup that this registry previously only
+    SCORED (``cross_doc_ngram_overlap``): every repeated {n}-token gram
+    keeps one canonical occurrence (minimum (doc, position) — replay-
+    deterministic) and every other occurrence's span is cut out of its
+    document, so shared boilerplate survives exactly once in the corpus.
+    Output is the REWRITTEN text per document plus removal accounting; the
+    oracle recomputes cleaned_text byte-for-byte, so a wrong span bound,
+    ordering tie, or join flavor fails the hash on the string itself.
+
+    Scale shape (operators/dedup.py:excise_shared_ngrams): O(corpus tokens)
+    hashed occurrence rows (text never shuffles), one gram-hash window for
+    canonicalization, token-grain anti-join + one doc-keyed rebuild
+    exchange — the unavoidable price of rewriting the corpus, linear
+    throughout, no pair enumeration.""".replace("{n}", str(_XGRAM_N))
+    from ..operators.dedup import excise_shared_ngrams
+
+    return excise_shared_ngrams(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=_XGRAM_N
+    )

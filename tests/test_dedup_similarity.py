@@ -674,3 +674,64 @@ def test_semdedup_prune_bucketed_matches_in_memory(spark, tmp_path):
         b = buck[vid]
         assert (m["centroid"], m["is_kept"]) == (b["centroid"], b["is_kept"])
         assert abs(m["affinity"] - b["affinity"]) < 1e-12
+
+
+def test_excise_shared_ngrams_planted_boilerplate(spark):
+    """Excision semantics on a controlled corpus: the canonical (min doc,
+    pos) occurrence of a shared 5-gram survives, every other occurrence is
+    cut, within-doc repeats count, short docs pass through, and a full
+    duplicate cleans to the empty string."""
+    from data_lake_medallion_architecture_project_spark.operators.dedup import excise_shared_ngrams
+
+    boiler = "all rights reserved by example corp"  # 6 tokens -> two 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon"),
+            (2, f"zeta eta theta iota kappa {boiler}"),
+            (3, "tiny doc"),
+            (4, "u v w x y u v w x y"),  # within-doc repeat of a 5-gram
+            (5, f"{boiler} alpha beta gamma delta epsilon"),  # full dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in excise_shared_ngrams(docs, "doc_id", "text", n=5).collect()
+    }
+    # Doc 1 holds the canonical occurrences (min doc_id) -> unchanged.
+    assert out[1]["cleaned_text"] == f"{boiler} alpha beta gamma delta epsilon"
+    assert out[1]["n_removed"] == 0
+    # Doc 2 loses exactly the boilerplate span (6 tokens: two overlapping
+    # 5-gram occurrences cover positions 6..11).
+    assert out[2]["cleaned_text"] == "zeta eta theta iota kappa"
+    assert out[2]["n_removed"] == 6
+    # Short doc passes through untouched.
+    assert out[3]["cleaned_text"] == "tiny doc" and out[3]["n_removed"] == 0
+    # Within-doc repeat: the second "u v w x y" occurrence is excised.
+    assert out[4]["cleaned_text"] == "u v w x y"
+    assert out[4]["n_removed"] == 5
+    # A full duplicate of doc 1 is pure boilerplate -> empty string.
+    assert out[5]["cleaned_text"] == "" and out[5]["n_removed"] == out[5]["n_tokens"]
+
+
+def test_excise_cover_is_positionwise_not_gramwise(spark):
+    """A doc sharing only its PREFIX with an earlier doc keeps its novel
+    suffix: cover is by token position, so overlapping dup grams never
+    bleed into unique content."""
+    from data_lake_medallion_architecture_project_spark.operators.dedup import excise_shared_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d e novel tail content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in excise_shared_ngrams(docs, "doc_id", "text", n=5).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    # Doc 2's only dup 5-gram is "a b c d e" (positions 1..5); the rest stays.
+    assert out[2]["cleaned_text"] == "novel tail content here"
+    assert out[2]["n_removed"] == 5
