@@ -100,6 +100,7 @@ def prepare_corpus(
     semdedup_id_col: str = "vec_id",
     semdedup_fit_k: int | None = None,
     semdedup_index: str | None = None,
+    excise_ngrams: int | None = None,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
@@ -216,6 +217,28 @@ def prepare_corpus(
         )
         docs = docs.join(removed, "doc_id", "left_anti")
         report["after_semdedup"] = docs.count()
+
+    if excise_ngrams is not None:
+        # Substring EXCISION (Lee et al. 2022): rewrite documents so every
+        # repeated n-gram survives exactly once in the corpus — runs after
+        # the document-level dedup tiers (whose drops must not cede
+        # canonical occurrences to absent docs) and BEFORE the quality
+        # gate, which then drops documents excision hollowed out.
+        from .operators.dedup import excise_shared_ngrams
+
+        cleaned = excise_shared_ngrams(
+            docs.select("doc_id", "text"), "doc_id", "text", n=excise_ngrams
+        )
+        report["excised_tokens"] = (
+            cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        docs = (
+            docs.drop("text")
+            .join(cleaned.select("doc_id", "cleaned_text"), "doc_id")
+            .withColumnRenamed("cleaned_text", "text")
+        )
+        if "n_chars" in docs.columns:  # keep the stat column consistent
+            docs = docs.withColumn("n_chars", F.length("text").cast("long"))
 
     toks = tokenize("text")
     docs = docs.filter(
@@ -360,6 +383,12 @@ def main() -> None:
         "falls back to the pinned k=8 gate-parity model)",
     )
     ap.add_argument(
+        "--excise-ngrams", type=int, default=None,
+        help="rewrite documents so every repeated n-gram survives exactly "
+        "once in the corpus (Lee et al. 2022 substring excision); runs "
+        "before the quality gate",
+    )
+    ap.add_argument(
         "--semdedup-index", default=None,
         help="write_ivf_bucketed layout to prune against (repeated-sweep "
         "scale path: cluster assignment paid once at write time); "
@@ -387,6 +416,7 @@ def main() -> None:
         semdedup_tau=args.semdedup_tau,
         semdedup_fit_k=args.semdedup_fit_k,
         semdedup_index=args.semdedup_index,
+        excise_ngrams=args.excise_ngrams,
     )
     print(json.dumps(report))
 

@@ -404,3 +404,54 @@ def test_semdedup_index_path_honors_in_flight_semi_join(spark, tmp_path):
     )
     assert report["after_near_dedup"] == 2
     assert report["after_semdedup"] == 2  # doc 1 not pruned by absent doc 2
+
+
+def test_excision_stage_reduces_duplicate_grams(spark, tmp_path):
+    """--excise-ngrams rewrites documents before the quality gate: total
+    excised tokens are reported, the run stays byte-deterministic, and the
+    exported corpus carries strictly fewer duplicated 5-gram occurrences
+    than the input (seam-created grams make exact-zero too strong — the
+    single-pass caveat Lee et al. accept)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    def dup_gram_occurrences(df):
+        t = df.select(F.split(F.lower("text"), " ").alias("t")).filter(
+            F.size("t") >= 5
+        )
+        grams = t.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 5))),
+                )
+            ).alias("gh")
+        )
+        per = grams.groupBy("gh").count().filter(F.col("count") > 1)
+        return per.agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
+
+    kwargs = dict(min_tokens=1, min_distinct_ratio=0.0, source_cap=1000,
+                  n_shards=2, excise_ngrams=5)
+    a = prepare_corpus(
+        spark, f"{SF_SMALL}/documents.parquet", str(tmp_path / "a"), **kwargs
+    )
+    assert a["excised_tokens"] > 0
+    b = prepare_corpus(
+        spark, f"{SF_SMALL}/documents.parquet", str(tmp_path / "b"), **kwargs
+    )
+    assert a == b
+
+    parts = [
+        spark.read.json(f"{tmp_path}/a/{split}")
+        for split in ("train", "val", "test")
+    ]
+    exported = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    survivor_ids = [r["doc_id"] for r in exported.select("doc_id").collect()]
+    inp = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id").isin(survivor_ids)
+    )
+    assert dup_gram_occurrences(exported) < dup_gram_occurrences(inp)
+    # The stat column was kept consistent with the rewritten text.
+    mism = exported.filter(F.col("n_chars") != F.length("text")).count()
+    assert mism == 0
