@@ -51,6 +51,18 @@ def tokenize(col: Column | str) -> Column:
     return F.split(F.lower(c), " ")
 
 
+def normalize_text(col: Column | str) -> Column:
+    """CCNet-style normalization for robust dedup keys: lowercase, strip
+    everything outside [a-z0-9 ], collapse whitespace runs, trim. The
+    patterns are deliberately plain character classes so Java regex (Spark)
+    and RE2 (DuckDB) agree byte-for-byte — the registry oracle replays
+    ``trim(regexp_replace(regexp_replace(lower(x), '[^a-z0-9 ]', '', 'g'),
+    ' +', ' ', 'g'))`` exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
 def token_count(tokens: Column) -> Column:
     return F.size(tokens).cast("long")
 

@@ -69,6 +69,48 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, id_col="doc_id", content_col="text")
 
 
+_NORM_DEDUP_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(length(norm) AS BIGINT) AS n_norm_chars
+FROM n GROUP BY norm
+"""
+
+
+@register(
+    "normalized_dedup_documents", oracle=_NORM_DEDUP_ORACLE, tags=("dedup", "text")
+)
+def normalized_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text — the CCNet-style robustness tier
+    between byte-exact hashing and MinHash: lowercase, strip non-
+    alphanumerics, collapse whitespace, then keep one canonical (min id)
+    document per normalized form with its cohort size. Catches the
+    trivially-reformatted duplicates (punctuation, casing, double spaces)
+    that byte-exact dedup misses and near-dup LSH is overkill for.
+    Normalization uses plain character classes only, so Java regex and RE2
+    produce identical bytes and the oracle replays the whole key
+    (functions/text.py:normalize_text).
+
+    Scale shape: map-side normalize → md5 the normalized key in the
+    aggregate exchange (text itself never shuffles more than once) — the
+    exact_dedup budget with one extra regexp pass."""
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id", normalize_text("text").alias("norm"))
+    return n.groupBy("norm").agg(
+        F.min("doc_id").cast("long").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.length(F.max("norm")).cast("long").alias("n_norm_chars"),
+    ).drop("norm")
+
+
 # --------------------------------------------------------------------------- #
 # Token statistics per document.
 # --------------------------------------------------------------------------- #

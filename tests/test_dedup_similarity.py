@@ -735,3 +735,28 @@ def test_excise_cover_is_positionwise_not_gramwise(spark):
     # Doc 2's only dup 5-gram is "a b c d e" (positions 1..5); the rest stays.
     assert out[2]["cleaned_text"] == "novel tail content here"
     assert out[2]["n_removed"] == 5
+
+
+def test_normalized_dedup_collapses_reformatted_variants(spark):
+    """Normalization semantics: casing / punctuation / whitespace variants
+    collapse to one canonical doc; genuinely different text does not."""
+    from data_lake_medallion_architecture_project_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "  HELLO   world?? "),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    n = docs.select("doc_id", normalize_text("text").alias("norm"))
+    groups = {
+        r["doc_id"]: r["n"]
+        for r in n.groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert groups == {1: 3, 4: 1}
