@@ -565,9 +565,12 @@ def excise_shared_ngrams(
     reconstruction is one token-grain anti-join plus one doc-keyed
     collect_list (the unavoidable cost of REWRITING the corpus — you pay
     one doc-grain exchange to produce new text). No pair enumeration
-    anywhere."""
-    from pyspark.sql import Window
-
+    anywhere. Canonicalization is deliberately a MIN-STRUCT AGGREGATE plus
+    an equi-join, not a window: a hot boilerplate gram (tens of millions
+    of occurrences at 100 TB) would make one unsplittable window-sort
+    partition, while the aggregate combines map-side and AQE can split the
+    skewed probe join — same (min doc, pos) semantics, the oracle replays
+    it as a window over the gate corpus."""
     toks = tokenize(text_col)
     base = docs.select(
         F.col(id_col).alias("_id"), toks.alias("toks"), F.size(toks).alias("n")
@@ -584,12 +587,20 @@ def excise_shared_ngrams(
             )
         ).alias("o"),
     ).select("_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
-    marked = (
-        occ.withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("gh").orderBy("_id", "pos")),
+    canon = (
+        occ.groupBy("gh")
+        .agg(
+            F.min(F.struct("_id", "pos")).alias("c"),
+            F.count(F.lit(1)).alias("cnt"),
         )
-        .filter(F.col("rk") > 1)  # every non-canonical occurrence of a dup gram
+        .filter(F.col("cnt") > 1)  # unique grams excise nothing
+        .select("gh", "c")
+    )
+    marked = (
+        occ.join(canon, "gh")
+        .filter(
+            (F.col("_id") != F.col("c._id")) | (F.col("pos") != F.col("c.pos"))
+        )  # every non-canonical occurrence of a dup gram
         .select("_id", "pos")
     )
     covered = marked.select(
