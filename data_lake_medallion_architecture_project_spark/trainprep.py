@@ -15,7 +15,10 @@ actually flows through before a tokenizer sees it:
    optionally followed by **semantic dedup** (``--semdedup-embeddings`` —
    SemDeDup over the documents' embedding table, the paraphrase-level tier);
 3. **quality gate** — minimum token count and distinct-token ratio (the
-   boilerplate/degenerate-repetition floor); optionally followed by
+   boilerplate/degenerate-repetition floor); optionally preceded by
+   **substring excision** (``--excise-ngrams`` — Lee et al. 2022: rewrite
+   documents so every repeated n-gram survives exactly once in the
+   corpus; the gate then drops hollowed-out documents) and followed by
    **mix** (``--mix`` — per-source downsampling to target weights via the
    md5-prefix decision), a **perplexity filter** (``--max-perplexity``
    — capped-bigram-LM scoring, drop high-perplexity documents), and a
