@@ -101,8 +101,14 @@ def quality_batch_against_tables(
     """Apply one micro-batch: score, route on logit > threshold, append
     each side atomically under its own idempotency marker."""
     scored = scored_batch(batch_df, id_col, text_col)
-    passed = scored.filter(F.col("logit") > F.lit(float(threshold)))
-    failed = scored.filter(~(F.col("logit") > F.lit(float(threshold))))
+    # coalesce(..., False): a NULL-text row has NULL token stats and a NULL
+    # logit — a bare `logit > thr` is NULL in BOTH branches and the row
+    # would vanish, violating the routed-never-dropped contract. NULL
+    # routes to quarantine (no evidence it passes), logit preserved as the
+    # audit value.
+    passes = F.coalesce(F.col("logit") > F.lit(float(threshold)), F.lit(False))
+    passed = scored.filter(passes)
+    failed = scored.filter(~passes)
     pass_table.merge_upsert(
         spark,
         passed,

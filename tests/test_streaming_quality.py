@@ -106,3 +106,23 @@ def test_quality_batch_replay_is_noop(spark, tmp_path):
         r["doc_id"] for r in pass_t.read(spark).select("doc_id").collect()
     ] + [r["doc_id"] for r in quar_t.read(spark).select("doc_id").collect()]
     assert len(ids) == len(set(ids)) == 100
+
+
+def test_null_text_routes_to_quarantine_not_dropped(spark, tmp_path):
+    """A NULL-text document has a NULL logit; it must land in quarantine
+    (no evidence it passes), never vanish — the routed-never-dropped
+    contract under the SQL three-valued-logic trap."""
+    docs = spark.createDataFrame(
+        [(1, "perfectly ordinary words right here"), (2, None)],
+        "doc_id long, text string",
+    )
+    pass_t = TxnTable(str(tmp_path / "p"))
+    quar_t = TxnTable(str(tmp_path / "q"))
+    quality_batch_against_tables(
+        spark, pass_t, quar_t, docs, "doc_id", "text", -1e9, "app", 0
+    )
+    pass_ids = {r["doc_id"] for r in pass_t.read(spark).select("doc_id").collect()}
+    quar_rows = {r["doc_id"]: r["logit"] for r in quar_t.read(spark).collect()}
+    assert pass_ids == {1}          # threshold -1e9: every scored doc passes
+    assert set(quar_rows) == {2}    # the null-text doc is quarantined
+    assert quar_rows[2] is None     # with its (null) logit as the audit value
