@@ -104,6 +104,7 @@ def prepare_corpus(
     semdedup_fit_k: int | None = None,
     semdedup_index: str | None = None,
     excise_ngrams: int | None = None,
+    min_logit: float | None = None,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
@@ -250,6 +251,40 @@ def prepare_corpus(
     )
     report["after_quality_gate"] = docs.count()
 
+    if min_logit is not None:
+        # Classifier gate: the pinned logreg quality model (the
+        # doc_source_logreg_scores surface) as a corpus filter — pure
+        # whole-stage-codegen column arithmetic, the fastText-filter shape.
+        # coalesce(..., False): a NULL logit (null text) has no evidence it
+        # passes and is dropped, never silently kept.
+        from .functions.text import total_token_chars
+        from .operators.logreg import logit_expr
+        from .plans._pinned_logreg import (
+            _LOGREG_BIAS,
+            _LOGREG_FEATURES,
+            _LOGREG_MEAN,
+            _LOGREG_STD,
+            _LOGREG_WEIGHTS,
+        )
+
+        t2 = tokenize("text")
+        with_feats = docs.withColumns(
+            {
+                "n_tokens": token_count(t2),
+                "n_unique_tokens": distinct_token_count(t2),
+                "n_token_chars": total_token_chars(t2),
+                "n_chars": F.length("text").cast("long"),
+            }
+        )
+        z = logit_expr(
+            _LOGREG_FEATURES, _LOGREG_MEAN, _LOGREG_STD, _LOGREG_WEIGHTS,
+            _LOGREG_BIAS,
+        )
+        docs = with_feats.filter(
+            F.coalesce(z > F.lit(float(min_logit)), F.lit(False))
+        ).drop("n_tokens", "n_unique_tokens", "n_token_chars")
+        report["after_classifier_gate"] = docs.count()
+
     if mix_rates is not None:
         from .plans.sampling import mix_keep
 
@@ -386,6 +421,12 @@ def main() -> None:
         "falls back to the pinned k=8 gate-parity model)",
     )
     ap.add_argument(
+        "--min-logit", type=float, default=None,
+        help="drop documents whose pinned-logreg quality logit is not "
+        "above this threshold (the fastText-style classifier gate; NULL "
+        "logits drop)",
+    )
+    ap.add_argument(
         "--excise-ngrams", type=int, default=None,
         help="rewrite documents so every repeated n-gram survives exactly "
         "once in the corpus (Lee et al. 2022 substring excision); runs "
@@ -420,6 +461,7 @@ def main() -> None:
         semdedup_fit_k=args.semdedup_fit_k,
         semdedup_index=args.semdedup_index,
         excise_ngrams=args.excise_ngrams,
+        min_logit=args.min_logit,
     )
     print(json.dumps(report))
 

@@ -455,3 +455,48 @@ def test_excision_stage_reduces_duplicate_grams(spark, tmp_path):
     # The stat column was kept consistent with the rewritten text.
     mism = exported.filter(F.col("n_chars") != F.length("text")).count()
     assert mism == 0
+
+
+def test_classifier_gate_stage(spark, tmp_path):
+    """--min-logit filters by the pinned logreg logit: the kept set equals
+    the registry gate query's predicate (shared logit_expr), the funnel is
+    monotone, and the run is deterministic."""
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    # Median logit of the corpus -> both kept and dropped are non-empty.
+    logits = sorted(
+        r["logit"]
+        for r in REGISTRY["doc_source_logreg_scores"].build(spark, sf).collect()
+    )
+    thr = logits[len(logits) // 2]
+    kwargs = dict(min_tokens=1, min_distinct_ratio=0.0, source_cap=1000,
+                  n_shards=2, min_logit=thr)
+    a = prepare_corpus(
+        spark, f"{sf}/documents.parquet", str(tmp_path / "a"), **kwargs
+    )
+    assert 0 < a["after_classifier_gate"] < a["after_quality_gate"]
+    b = prepare_corpus(
+        spark, f"{sf}/documents.parquet", str(tmp_path / "b"), **kwargs
+    )
+    assert a == b
+
+    # Exported survivors == (docs surviving the earlier stages) whose gate
+    # logit clears the threshold.
+    import glob as _glob
+    import json as _json
+
+    exported = set()
+    for split in ("train", "val", "test"):
+        for f in _glob.glob(f"{tmp_path}/a/{split}/shard=*/part-*.json"):
+            for line in open(f):
+                exported.add(_json.loads(line)["doc_id"])
+    gate_pass = {
+        r["doc_id"]
+        for r in REGISTRY["doc_source_logreg_scores"].build(spark, sf).collect()
+        if r["logit"] > thr
+    }
+    assert exported <= gate_pass
+    assert len(exported) == a["after_classifier_gate"]
