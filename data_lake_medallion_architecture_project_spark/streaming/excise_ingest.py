@@ -1,0 +1,205 @@
+"""Streaming substring-excision ingest — exactly-once, first-arrival-wins
+span dedup (the incremental form of ``operators/dedup.py:
+excise_shared_ngrams``).
+
+Documents arrive as files; the corpus must end up holding every n-token
+gram AT MOST once across everything ever ingested — later arrivals have
+the repeated span CUT OUT of their text before they land, exactly like the
+batch operator, but maintained incrementally so history is never
+re-excised. The maintained state is the set of gram HASHES seen so far
+(gram-grain, 32-char md5 — hash-only, text never enters state), and the
+rule is the batch operator's with ingest order as the outer total order:
+
+* an occurrence is excised iff its gram was seen in a PREVIOUS batch
+  (state hit), or an earlier (doc, pos) of the SAME batch holds the
+  canonical slot — so single-batch ingest is BIT-IDENTICAL to the batch
+  operator (asserted in tests/test_streaming_excise.py);
+* the batch's gram hashes then merge into state keyed on the hash —
+  idempotent, so a crash-replayed batch regenerates identical state.
+
+Exactly-once: both the rewritten-documents append and the gram-state merge
+carry the (app_id, batch_id) idempotency marker; the file-source
+checkpoint (``Trigger.AvailableNow``) accounts consumption. Both tables
+partition on a leading hash nibble (uniform load whatever the id/gram
+skew).
+
+Single-pass caveat (same as the batch operator and Lee et al.): rebuilding
+text creates seam-adjacent grams that are not themselves deduped — the
+contract is over the ORIGINAL token streams.
+
+100-TB shape: state rows are 32-char hashes at vocabulary-growth rate; a
+batch consults it with one semi-join on the gram hash (AQE-splittable; at
+corpus scale put ``operators/bloom.py`` in front exactly like
+``dedup_ingest``'s bloom screen — a state MISS is guaranteed-new and skips
+the join). The rewrite itself is the batch's own token grain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..storage import TxnTable
+
+_GRAM_SHARD = "gram_shard"
+_DOC_SHARD = "id_shard"
+
+
+def _occurrences(batch_df: DataFrame, id_col: str, text_col: str, n: int):
+    """(base, occ): per-doc token arrays and the (id, pos, gram-hash)
+    occurrence rows — the batch operator's construction."""
+    toks = tokenize(text_col)
+    base = batch_df.select(
+        F.col(id_col).alias("_id"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    occ = (
+        base.filter(F.col("n") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, n))).alias("gh"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("_id", F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
+    )
+    return base, occ
+
+
+def excise_batch_against_table(
+    spark: SparkSession,
+    corpus_table: TxnTable,
+    gram_table: TxnTable,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    app_id: str,
+    batch_id: int,
+) -> None:
+    """Apply one micro-batch: excise spans already seen (state or earlier
+    in-batch), append the rewritten documents and the batch's gram hashes
+    atomically under the idempotency marker."""
+    base, occ = _occurrences(batch_df, id_col, text_col, n)
+    canon = (
+        occ.groupBy("gh")
+        .agg(F.min(F.struct("_id", "pos")).alias("c"))
+        .select("gh", "c")
+    )
+    with_canon = occ.join(canon, "gh")
+    marked_within = with_canon.filter(
+        (F.col("_id") != F.col("c._id")) | (F.col("pos") != F.col("c.pos"))
+    ).select("_id", "pos")
+    canon_occ = with_canon.filter(
+        (F.col("_id") == F.col("c._id")) & (F.col("pos") == F.col("c.pos"))
+    ).select("_id", "pos", "gh")
+    snap = gram_table.snapshot()
+    if snap.version >= 0 and snap.files:
+        seen = gram_table.read(spark).select("gh")
+        marked_state = canon_occ.join(seen, "gh", "left_semi").select("_id", "pos")
+        marked = marked_within.unionByName(marked_state)
+    else:
+        marked = marked_within
+    covered = marked.select(
+        "_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos"),
+    ).distinct()
+    tokens = base.select("_id", F.posexplode("toks").alias("idx", "tok")).select(
+        "_id", (F.col("idx") + 1).alias("pos"), "tok"
+    )
+    kept = tokens.join(
+        covered,
+        (tokens["_id"] == covered["_id"]) & (tokens["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    cleaned = (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(text_col),
+        )
+        .withColumn(
+            _DOC_SHARD, F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+        )
+    )
+    corpus_table.merge_upsert(
+        spark,
+        cleaned,
+        keys=[id_col],
+        partition_col=_DOC_SHARD,
+        app_id=app_id,
+        batch_id=batch_id,
+    )
+    # State gains ALL of the batch's gram hashes: canonical grams are the
+    # new entries; already-seen ones re-merge idempotently on the key.
+    gram_table.merge_upsert(
+        spark,
+        occ.select("gh").distinct().withColumn(
+            _GRAM_SHARD, F.substring("gh", 1, 1)
+        ),
+        keys=["gh"],
+        partition_col=_GRAM_SHARD,
+        app_id=app_id,
+        batch_id=batch_id,
+    )
+
+
+def run_excise_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_table_path: str,
+    gram_table_path: str,
+    checkpoint_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> int:
+    """Consume all not-yet-seen document files through the excision door.
+    Returns the number of micro-batches applied this invocation."""
+    schema = spark.read.parquet(source_dir).schema
+    corpus_table = TxnTable(corpus_table_path)
+    gram_table = TxnTable(gram_table_path)
+    app_id = f"excise_ingest/{os.path.basename(corpus_table_path.rstrip('/'))}"
+    applied = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        excise_batch_against_table(
+            spark, corpus_table, gram_table, batch_df,
+            id_col, text_col, n, app_id, int(batch_id),
+        )
+        applied["n"] += 1
+
+    query = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_root, "excise_ingest")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return applied["n"]

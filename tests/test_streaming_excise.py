@@ -1,0 +1,111 @@
+"""Streaming substring-excision ingest (streaming/excise_ingest.py):
+single-batch parity with the batch operator, cross-batch first-arrival-wins
+span cuts, exactly-once replay, and idempotent re-runs."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_lake_medallion_architecture_project_spark.operators.dedup import excise_shared_ngrams
+from data_lake_medallion_architecture_project_spark.storage import TxnTable
+from data_lake_medallion_architecture_project_spark.streaming.excise_ingest import (
+    excise_batch_against_table,
+    run_excise_ingest,
+)
+
+BOILER = "all rights reserved by example corp"  # 6 tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_single_batch_parity_with_batch_operator(spark, tmp_path):
+    """Ingesting everything in ONE batch must reproduce the batch
+    operator's rewritten texts byte-for-byte (empty state, identical
+    canonical rule)."""
+    docs = _docs(spark, [
+        (1, f"{BOILER} alpha beta gamma delta"),
+        (2, f"zeta eta theta iota kappa {BOILER}"),
+        (3, "u v w x y u v w x y"),
+    ])
+    corpus = TxnTable(str(tmp_path / "corpus"))
+    grams = TxnTable(str(tmp_path / "grams"))
+    excise_batch_against_table(
+        spark, corpus, grams, docs, "doc_id", "text", 5, "app", 0
+    )
+    streamed = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in corpus.read(spark).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in excise_shared_ngrams(docs, "doc_id", "text", n=5).collect()
+    }
+    assert streamed == batch
+
+
+def test_cross_batch_first_arrival_wins_and_replay(spark, tmp_path):
+    """Batch 2 re-sends batch 1's boilerplate inside new documents: the
+    span is cut because its grams live in STATE, while batch 2's novel
+    text lands intact; a replayed batch changes nothing."""
+    corpus = TxnTable(str(tmp_path / "corpus"))
+    grams = TxnTable(str(tmp_path / "grams"))
+    b1 = _docs(spark, [(1, f"{BOILER} alpha beta gamma delta")])
+    excise_batch_against_table(
+        spark, corpus, grams, b1, "doc_id", "text", 5, "app", 0
+    )
+    b2 = _docs(spark, [
+        (10, f"fresh novel opening words here {BOILER}"),
+        (11, "entirely new content with plenty tokens"),
+    ])
+    for _ in range(2):  # second application replays the SAME batch id
+        excise_batch_against_table(
+            spark, corpus, grams, b2, "doc_id", "text", 5, "app", 1
+        )
+    rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+    assert set(rows) == {1, 10, 11}
+    assert rows[1]["text"] == f"{BOILER} alpha beta gamma delta"  # canonical
+    assert rows[10]["text"] == "fresh novel opening words here"  # span cut
+    assert rows[10]["n_removed"] == 6
+    assert rows[11]["text"] == "entirely new content with plenty tokens"
+    assert rows[11]["n_removed"] == 0
+    # State holds each gram hash exactly once despite the replay.
+    gh = [r["gh"] for r in grams.read(spark).collect()]
+    assert len(gh) == len(set(gh))
+
+
+def test_run_excise_ingest_files_exactly_once(spark, tmp_path):
+    """The file-source door: two files -> two batches in arrival order,
+    re-run with nothing new is a no-op."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _write(name, rows):
+        stage = str(tmp_path / f"stage_{name}")
+        _docs(spark, rows).coalesce(1).write.parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(stage, f), os.path.join(src, name))
+
+    _write("b1.parquet", [(1, f"{BOILER} alpha beta gamma delta")])
+    paths = {k: str(tmp_path / k) for k in ("corpus", "grams", "ckpt")}
+    n1 = run_excise_ingest(
+        spark, src, paths["corpus"], paths["grams"], paths["ckpt"]
+    )
+    assert n1 >= 1
+    _write("b2.parquet", [(10, f"brand new words in front {BOILER}")])
+    n2 = run_excise_ingest(
+        spark, src, paths["corpus"], paths["grams"], paths["ckpt"]
+    )
+    assert n2 >= 1
+    rows = {r["doc_id"]: r["text"] for r in TxnTable(paths["corpus"]).read(spark).collect()}
+    assert rows[1] == f"{BOILER} alpha beta gamma delta"
+    assert rows[10] == "brand new words in front"
+    # Nothing new -> no batches applied.
+    assert run_excise_ingest(
+        spark, src, paths["corpus"], paths["grams"], paths["ckpt"]
+    ) == 0
