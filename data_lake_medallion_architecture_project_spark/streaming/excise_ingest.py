@@ -130,16 +130,20 @@ def excise_batch_against_table(
             " ",
         ).alias("cleaned_text"),
     )
+    rewritten = base.join(rebuilt, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias(text_col),
+    )
+    # Rejoin the batch's OTHER columns (source, stats, ...) so the corpus
+    # table keeps the input schema plus the rewrite accounting — the
+    # dedup_ingest discipline (an intake door must not shed columns).
     cleaned = (
-        base.join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n").cast("long").alias("n_tokens"),
-            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(text_col),
-        )
+        batch_df.drop(text_col)
+        .join(rewritten, id_col)
         .withColumn(
             _DOC_SHARD, F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
         )

@@ -109,3 +109,23 @@ def test_run_excise_ingest_files_exactly_once(spark, tmp_path):
     assert run_excise_ingest(
         spark, src, paths["corpus"], paths["grams"], paths["ckpt"]
     ) == 0
+
+
+def test_ingest_preserves_non_text_columns(spark, tmp_path):
+    """The intake door must not shed columns: source/stat columns ride
+    through beside the rewritten text and the rewrite accounting."""
+    docs = spark.createDataFrame(
+        [(1, f"{BOILER} alpha beta gamma delta", "srcA", 7),
+         (2, f"unrelated novel wording here {BOILER}", "srcB", 9)],
+        "doc_id long, text string, source string, prio long",
+    )
+    corpus = TxnTable(str(tmp_path / "corpus"))
+    grams = TxnTable(str(tmp_path / "grams"))
+    excise_batch_against_table(
+        spark, corpus, grams, docs, "doc_id", "text", 5, "app", 0
+    )
+    rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+    assert rows[1]["source"] == "srcA" and rows[1]["prio"] == 7
+    assert rows[2]["source"] == "srcB" and rows[2]["prio"] == 9
+    assert rows[2]["text"] == "unrelated novel wording here"
+    assert rows[2]["n_removed"] == 6
