@@ -1452,7 +1452,8 @@ FROM b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
 
 
 @register(
-    "substring_excised_documents", oracle=_EXCISE_ORACLE, tags=("dedup", "text")
+    "substring_excised_documents", oracle=_EXCISE_ORACLE,
+    tags=("dedup", "text", "bench")
 )
 def substring_excised_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring deduplication with EXCISION (Lee et al. 2022) — the

@@ -84,7 +84,8 @@ FROM n GROUP BY norm
 
 
 @register(
-    "normalized_dedup_documents", oracle=_NORM_DEDUP_ORACLE, tags=("dedup", "text")
+    "normalized_dedup_documents", oracle=_NORM_DEDUP_ORACLE,
+    tags=("dedup", "text", "bench")
 )
 def normalized_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over NORMALIZED text — the CCNet-style robustness tier
@@ -612,7 +613,7 @@ LEFT JOIN per ON per.doc_id = d.doc_id
 @register(
     "doc_hash_embedding_dense_stats",
     oracle=_HASH_EMBED_DENSE_ORACLE,
-    tags=("text", "similarity", "ml"),
+    tags=("text", "similarity", "ml", "bench"),
 )
 def doc_hash_embedding_dense_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document invariants of the DENSE hash-embedding assembly
@@ -688,7 +689,7 @@ FROM f
 @register(
     "doc_source_logreg_scores",
     oracle=_logreg_oracle(),
-    tags=("text", "ml", "quality"),
+    tags=("text", "ml", "quality", "bench"),
 )
 def doc_source_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document scored by the PINNED logistic-regression source
@@ -1166,7 +1167,7 @@ def image_dhash_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("image_dhash_catalog_png", oracle=_dhash_oracle_sql(False),
-          tags=("multimodal", "dedup"))
+          tags=("multimodal", "dedup", "bench"))
 def image_dhash_catalog_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``image_dhash_catalog`` through the COMPRESSED format path: the same
     textured pixels encoded as real PNG (zlib DEFLATE + scanline filter,
