@@ -28,10 +28,15 @@ text creates seam-adjacent grams that are not themselves deduped — the
 contract is over the ORIGINAL token streams.
 
 100-TB shape: state rows are 32-char hashes at vocabulary-growth rate; a
-batch consults it with one semi-join on the gram hash (AQE-splittable; at
-corpus scale put ``operators/bloom.py`` in front exactly like
-``dedup_ingest``'s bloom screen — a state MISS is guaranteed-new and skips
-the join). The rewrite itself is the batch's own token grain.
+batch consults it with one semi-join on the gram hash (AQE-splittable).
+With ``bloom_table_path``, a Bloom position-set table (operators/bloom.py,
+the ``dedup_ingest`` screen applied at GRAM grain) is maintained
+transactionally beside the gram state: each batch's canonical occurrences
+are screened map-side against the broadcast filter, Bloom MISSES are
+guaranteed-new (zero false negatives by construction) and skip the state
+semi-join entirely, and only the hit sliver pays the exact join — the
+filter saturates at k·16⁴ positions however large the gram state grows.
+The rewrite itself is the batch's own token grain.
 """
 
 from __future__ import annotations
@@ -84,10 +89,17 @@ def excise_batch_against_table(
     n: int,
     app_id: str,
     batch_id: int,
+    bloom_table: TxnTable | None = None,
 ) -> None:
     """Apply one micro-batch: excise spans already seen (state or earlier
     in-batch), append the rewritten documents and the batch's gram hashes
-    atomically under the idempotency marker."""
+    atomically under the idempotency marker.
+
+    With ``bloom_table``: canonical occurrences are screened map-side
+    against the broadcast gram-position filter; Bloom misses are
+    guaranteed-new and never consult the gram state — only candidates pay
+    the exact semi-join (no false negatives, so the excision decision is
+    IDENTICAL to the unscreened path — consistency-tested)."""
     base, occ = _occurrences(batch_df, id_col, text_col, n)
     canon = (
         occ.groupBy("gh")
@@ -101,10 +113,29 @@ def excise_batch_against_table(
     canon_occ = with_canon.filter(
         (F.col("_id") == F.col("c._id")) & (F.col("pos") == F.col("c.pos"))
     ).select("_id", "pos", "gh")
+    position_src = occ.select("gh").distinct()
     snap = gram_table.snapshot()
     if snap.version >= 0 and snap.files:
         seen = gram_table.read(spark).select("gh")
-        marked_state = canon_occ.join(seen, "gh", "left_semi").select("_id", "pos")
+        probe = canon_occ
+        bloom_state = None
+        if bloom_table is not None:
+            bsnap = bloom_table.snapshot()
+            if bsnap.version >= 0 and bsnap.files:
+                bloom_state = bloom_table.read(spark).select("j", "pos")
+            else:
+                # Bootstrap: bloom enabled on EXISTING gram state whose
+                # hashes predate the filter — backfill positions from the
+                # state this batch (one hash-column scan, paid once) and
+                # take the plain semi-join path (the dedup_ingest rule).
+                position_src = position_src.unionByName(seen)
+        if bloom_state is not None:
+            from ..operators.bloom import BLOOM_K, bloom_mark
+
+            marked_b = bloom_mark(canon_occ, "gh", bloom_state, "_hits")
+            # hits < K ⇒ guaranteed-new gram ⇒ cannot be in state.
+            probe = marked_b.filter(F.col("_hits") == BLOOM_K).drop("_hits")
+        marked_state = probe.join(seen, "gh", "left_semi").select("_id", "pos")
         marked = marked_within.unionByName(marked_state)
     else:
         marked = marked_within
@@ -168,6 +199,21 @@ def excise_batch_against_table(
         app_id=app_id,
         batch_id=batch_id,
     )
+    if bloom_table is not None:
+        from ..operators.bloom import bloom_build
+
+        # Maintain the filter from the batch's own gram set (plus the
+        # state backfill on the bootstrap batch): deterministic function
+        # of the ingested stream, idempotent under replay via the marker —
+        # the dedup_ingest bloom discipline at gram grain.
+        bloom_table.merge_upsert(
+            spark,
+            bloom_build(position_src, "gh"),
+            keys=["j", "pos"],
+            partition_col="j",
+            app_id=app_id,
+            batch_id=batch_id,
+        )
 
 
 def run_excise_ingest(
@@ -179,12 +225,17 @@ def run_excise_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    bloom_table_path: str | None = None,
 ) -> int:
     """Consume all not-yet-seen document files through the excision door.
-    Returns the number of micro-batches applied this invocation."""
+    Returns the number of micro-batches applied this invocation. With
+    ``bloom_table_path``, a gram-grain Bloom position-set table screens
+    each batch map-side before the gram-state semi-join (the 100 TB
+    shape — see the module docstring)."""
     schema = spark.read.parquet(source_dir).schema
     corpus_table = TxnTable(corpus_table_path)
     gram_table = TxnTable(gram_table_path)
+    bloom_table = TxnTable(bloom_table_path) if bloom_table_path else None
     app_id = f"excise_ingest/{os.path.basename(corpus_table_path.rstrip('/'))}"
     applied = {"n": 0}
 
@@ -192,6 +243,7 @@ def run_excise_ingest(
         excise_batch_against_table(
             spark, corpus_table, gram_table, batch_df,
             id_col, text_col, n, app_id, int(batch_id),
+            bloom_table=bloom_table,
         )
         applied["n"] += 1
 

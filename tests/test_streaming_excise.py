@@ -129,3 +129,66 @@ def test_ingest_preserves_non_text_columns(spark, tmp_path):
     assert rows[2]["source"] == "srcB" and rows[2]["prio"] == 9
     assert rows[2]["text"] == "unrelated novel wording here"
     assert rows[2]["n_removed"] == 6
+
+
+def test_bloom_screened_path_matches_unscreened(spark, tmp_path):
+    """Bloom screen consistency: with the gram-grain filter in front of the
+    state semi-join, the rewritten corpus is IDENTICAL to the unscreened
+    door's (zero false negatives by construction), across batches and under
+    replay; the filter table stays bounded and idempotent."""
+    batches = [
+        [(1, f"{BOILER} alpha beta gamma delta")],
+        [(10, f"fresh novel opening words here {BOILER}"),
+         (11, "entirely new content with plenty tokens")],
+        [(20, f"third wave reuses {BOILER} and fresh novel opening words here")],
+    ]
+    plain_c = TxnTable(str(tmp_path / "pc"))
+    plain_g = TxnTable(str(tmp_path / "pg"))
+    bloom_c = TxnTable(str(tmp_path / "bc"))
+    bloom_g = TxnTable(str(tmp_path / "bg"))
+    bloom_f = TxnTable(str(tmp_path / "bf"))
+    for bid, rows in enumerate(batches):
+        docs = _docs(spark, rows)
+        excise_batch_against_table(
+            spark, plain_c, plain_g, docs, "doc_id", "text", 5, "p", bid
+        )
+        for _ in range(2):  # replay every bloom batch
+            excise_batch_against_table(
+                spark, bloom_c, bloom_g, docs, "doc_id", "text", 5, "b", bid,
+                bloom_table=bloom_f,
+            )
+    plain = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in plain_c.read(spark).collect()
+    }
+    screened = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in bloom_c.read(spark).collect()
+    }
+    assert plain == screened and len(plain) == 4
+    # Filter rows are unique (j, pos) pairs despite the replays.
+    f = [(r["j"], r["pos"]) for r in bloom_f.read(spark).collect()]
+    assert len(f) == len(set(f)) > 0
+
+
+def test_bloom_bootstrap_on_existing_gram_state(spark, tmp_path):
+    """Enabling the bloom screen on a door that already has gram state must
+    backfill the filter and still excise pre-filter spans correctly."""
+    corpus = TxnTable(str(tmp_path / "c"))
+    grams = TxnTable(str(tmp_path / "g"))
+    bloom = TxnTable(str(tmp_path / "f"))
+    # Batch 0: no bloom (pre-existing deployment).
+    excise_batch_against_table(
+        spark, corpus, grams,
+        _docs(spark, [(1, f"{BOILER} alpha beta gamma delta")]),
+        "doc_id", "text", 5, "a", 0,
+    )
+    # Batch 1: bloom enabled mid-life; the boilerplate predates the filter
+    # and MUST still be cut (the backfill path).
+    excise_batch_against_table(
+        spark, corpus, grams,
+        _docs(spark, [(10, f"late arrival repeating {BOILER}")]),
+        "doc_id", "text", 5, "a", 1, bloom_table=bloom,
+    )
+    rows = {r["doc_id"]: r["text"] for r in corpus.read(spark).collect()}
+    assert rows[10] == "late arrival repeating"
