@@ -36,7 +36,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["LogRegModel", "fit_logreg", "logit_expr", "score_logreg"]
+__all__ = [
+    "LogRegModel",
+    "fit_logreg",
+    "logit_expr",
+    "pinned_quality_logit",
+    "score_logreg",
+]
 
 
 @dataclass(frozen=True)
@@ -133,13 +139,69 @@ def logit_expr(
     of ``doc_source_logreg_scores`` replays the identical IEEE sequence, so
     the emitted doubles are bit-equal cross-engine (the PCA discipline).
     Shared by the registry gate query, ``score_logreg``, and the streaming
-    quality-gate ingest."""
+    quality-gate ingest. Each feature may be a column NAME or a Column
+    expression — the latter lets callers feed features without ever
+    attaching intermediate columns to the row."""
     z = F.lit(float(bias))
     for c, m, s, w in zip(feature_cols, mean, std, weights):
-        z = z + ((F.col(c).cast("double") - F.lit(float(m))) / F.lit(float(s))) * F.lit(
+        col = c if isinstance(c, Column) else F.col(c)
+        z = z + ((col.cast("double") - F.lit(float(m))) / F.lit(float(s))) * F.lit(
             float(w)
         )
     return z
+
+
+def pinned_quality_logit(columns, text_col: str = "text") -> Column:
+    """The PINNED quality-classifier logit as ONE self-contained column
+    expression over a raw document row — the single scoring surface shared
+    by the batch gate query (``doc_source_logreg_scores``), trainprep's
+    ``--min-logit`` gate, and the streaming quality-gate ingest.
+
+    Two contracts (both ADVICE-r11 fixes):
+
+    * **No intermediate feature columns.** The features live only inside
+      the expression tree, so attaching the logit can never shadow, drop,
+      or silently rewrite a stored stat column (``n_chars`` et al.) on its
+      way through an intake door.
+    * **The n_chars feature is sourced exactly like the certified gate
+      query**: the STORED ``n_chars`` column when the schema carries one
+      (pass the DataFrame's ``.columns``), ``length(text)`` otherwise —
+      so door/batch pass-set parity is structural, not an accident of
+      fixture data where the two happen to agree.
+    """
+    from ..functions.text import (
+        distinct_token_count,
+        token_count,
+        tokenize,
+        total_token_chars,
+    )
+    from ..plans._pinned_logreg import (
+        _LOGREG_BIAS,
+        _LOGREG_FEATURES,
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+    )
+
+    toks = tokenize(text_col)
+    n_chars = (
+        F.col("n_chars").cast("long")
+        if "n_chars" in columns
+        else F.length(F.col(text_col)).cast("long")
+    )
+    feature_exprs = {
+        "n_tokens": token_count(toks),
+        "n_unique_tokens": distinct_token_count(toks),
+        "n_token_chars": total_token_chars(toks),
+        "n_chars": n_chars,
+    }
+    return logit_expr(
+        tuple(feature_exprs[f] for f in _LOGREG_FEATURES),
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+        _LOGREG_BIAS,
+    )
 
 
 def score_logreg(df: DataFrame, model: LogRegModel) -> Column:

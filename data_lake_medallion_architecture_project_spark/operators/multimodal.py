@@ -135,7 +135,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
+        # Fail AT the parse site with a specific error: a truncated or
+        # corrupt chunk must not silently shorten and resurface later as a
+        # generic zlib error (ADVICE r11). Bounds: 4 length + 4 tag +
+        # `length` body + 4 CRC must all fit.
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk {tag!r}: declares a {length}-byte "
+                f"body but the payload ends {pos + 12 + length - len(payload)}"
+                " bytes short"
+            )
         body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(payload[pos + 4 : pos + 8 + length]) != crc:
+            raise ValueError(f"corrupt PNG chunk {tag!r}: CRC mismatch")
         pos += 12 + length
         if tag == b"IHDR":
             meta = struct.unpack(">IIBBBBB", body)
@@ -171,21 +184,39 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = line.reshape(w, ch).cumsum(axis=0, dtype=np.uint64).astype(
                 np.uint8
             ).reshape(stride)
-        else:  # Average (3) / Paeth (4): depend on left+up, walk pixels
-            rec = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                if ftype == 3:
-                    pred = (a + b) // 2
-                elif ftype == 4:
-                    c = int(prev[x - ch]) if x >= ch else 0
+        elif ftype in (3, 4):  # Average / Paeth: serial in x by spec
+            # (left-neighbor dependency) — walk Python ints, not numpy
+            # scalars: per-element ndarray indexing dominated the old
+            # loop (~3× slower, measured). Real corpora never pay even
+            # this: when pillow is installed, decode_image routes PNG to
+            # its C unfiltering and this pure-stdlib path is the
+            # no-dependency fallback only.
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
+            if ftype == 3:  # Average; first pixel: a = 0 ⇒ pred = b//2
+                for x in range(ch):
+                    rec_l[x] = (line_l[x] + (prev_l[x] >> 1)) & 0xFF
+                for x in range(ch, stride):
+                    rec_l[x] = (
+                        line_l[x] + ((rec_l[x - ch] + prev_l[x]) >> 1)
+                    ) & 0xFF
+            else:  # Paeth; first pixel: a = c = 0 ⇒ predictor is Up
+                for x in range(ch):
+                    rec_l[x] = (line_l[x] + prev_l[x]) & 0xFF
+                for x in range(ch, stride):
+                    a = rec_l[x - ch]
+                    b = prev_l[x]
+                    c = prev_l[x - ch]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter type {ftype}")
-                rec[x] = (int(line[x]) + pred) & 0xFF
+                    rec_l[x] = (line_l[x] + pred) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec
         prev = rec
     img = out.reshape(h, w, ch)
@@ -205,10 +236,20 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        # PNG prefers pillow when installed: libpng's C unfiltering is
+        # orders of magnitude faster than any pure-Python loop on real
+        # (Average/Paeth-heavy) corpora, and bit-identical for the flavors
+        # decode_png covers (lossless format; convert("RGB") drops the
+        # alpha plane without compositing, matching the [:, :, :3] slice).
+        # Without pillow, decode_png is the no-dependency sandbox path and
+        # exotic flavors fail loudly below.
         try:
-            return decode_png(payload)
-        except NotImplementedError:
-            pass  # exotic PNG flavor → pillow below
+            from PIL import Image  # noqa: F401 — presence probe
+        except ImportError:
+            try:
+                return decode_png(payload)
+            except NotImplementedError:
+                pass  # exotic PNG flavor → the loud install hint below
     try:
         from PIL import Image
     except ImportError:

@@ -172,12 +172,21 @@ def excise_batch_against_table(
     # Rejoin the batch's OTHER columns (source, stats, ...) so the corpus
     # table keeps the input schema plus the rewrite accounting — the
     # dedup_ingest discipline (an intake door must not shed columns).
-    cleaned = (
-        batch_df.drop(text_col)
-        .join(rewritten, id_col)
-        .withColumn(
-            _DOC_SHARD, F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    # Two ADVICE-r11 refinements: (1) a batch that already carries the
+    # accounting names (n_tokens/n_removed — plausible for document tables
+    # with stored stats) would make the join emit duplicate columns; the
+    # door's accounting wins, because excision is exactly what invalidates
+    # a stored token stat. (2) length-derived stat columns are refreshed
+    # from the REWRITTEN text (mirroring trainprep's post-excision
+    # refresh) so they never disagree with the text the table stores.
+    carried = batch_df.drop(text_col, "n_tokens", "n_removed")
+    cleaned = carried.join(rewritten, id_col)
+    if "n_chars" in batch_df.columns:
+        cleaned = cleaned.withColumn(
+            "n_chars", F.length(F.col(text_col)).cast("long")
         )
+    cleaned = cleaned.withColumn(
+        _DOC_SHARD, F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
     )
     corpus_table.merge_upsert(
         spark,

@@ -12,9 +12,11 @@ as ``dedup_ingest.py``:
    files have been consumed is exactly-once accounted by Structured
    Streaming.
 2. **Map-side scoring** — the logit is the shared left-associated
-   whole-stage-codegen expression (``operators/logreg.py:logit_expr``, the
-   one the DuckDB oracle certifies bit-for-bit), over integer token stats
-   computed inside the batch: no model lookup, no shuffle, no Python.
+   whole-stage-codegen expression (``operators/logreg.py:
+   pinned_quality_logit``, the one the DuckDB oracle certifies
+   bit-for-bit), with every feature living only inside the expression
+   tree — no model lookup, no shuffle, no Python, and no intermediate
+   columns that could shadow a stored stat column.
 3. **Two atomic appends with one idempotency marker each** — pass rows
    ``merge_upsert`` into the corpus table, fail rows into the quarantine
    table, both keyed on the doc id with the (app_id, batch_id) marker: a
@@ -40,51 +42,29 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import (
-    distinct_token_count,
-    token_count,
-    tokenize,
-    total_token_chars,
-)
-from ..operators.logreg import logit_expr
+from ..operators.logreg import pinned_quality_logit
 from ..storage import TxnTable
 
 _PART_COL = "id_shard"
 
 
-def _pinned_model():
-    from ..plans._pinned_logreg import (
-        _LOGREG_BIAS,
-        _LOGREG_FEATURES,
-        _LOGREG_MEAN,
-        _LOGREG_STD,
-        _LOGREG_WEIGHTS,
-    )
-
-    return _LOGREG_FEATURES, _LOGREG_MEAN, _LOGREG_STD, _LOGREG_WEIGHTS, _LOGREG_BIAS
-
-
 def scored_batch(
     batch_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Batch rows + their pinned-logreg logit and the partition shard —
-    pure column expressions (one tokenize pass; features never leave the
-    row)."""
-    feats, mean, std, weights, bias = _pinned_model()
-    toks = tokenize(text_col)
-    with_feats = batch_df.withColumns(
-        {
-            "n_tokens": token_count(toks),
-            "n_unique_tokens": distinct_token_count(toks),
-            "n_token_chars": total_token_chars(toks),
-            "n_chars": F.length(F.col(text_col)).cast("long"),
-        }
-    )
-    return with_feats.withColumn(
-        "logit", logit_expr(feats, mean, std, weights, bias)
-    ).drop("n_tokens", "n_unique_tokens", "n_token_chars", "n_chars").withColumn(
-        _PART_COL, F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    )
+    """Batch rows + their pinned-logreg logit and the partition shard.
+
+    The logit is ONE self-contained column expression
+    (``operators/logreg.py:pinned_quality_logit``) — no intermediate
+    feature columns ever touch the row, so a source table's stored stat
+    columns (``n_chars``, ...) ride through both the corpus and quarantine
+    tables untouched, and the n_chars feature is sourced the way the
+    certified gate query sources it: the stored column when present,
+    ``length(text)`` otherwise. Batch/stream pass-set parity with
+    ``doc_source_logreg_scores`` is therefore structural (same expression,
+    same feature source), not data-dependent (ADVICE r11)."""
+    return batch_df.withColumn(
+        "logit", pinned_quality_logit(batch_df.columns, text_col)
+    ).withColumn(_PART_COL, F.substring(F.md5(F.col(id_col).cast("string")), 1, 1))
 
 
 def quality_batch_against_tables(

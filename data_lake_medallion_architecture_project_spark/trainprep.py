@@ -255,34 +255,18 @@ def prepare_corpus(
         # Classifier gate: the pinned logreg quality model (the
         # doc_source_logreg_scores surface) as a corpus filter — pure
         # whole-stage-codegen column arithmetic, the fastText-filter shape.
-        # coalesce(..., False): a NULL logit (null text) has no evidence it
-        # passes and is dropped, never silently kept.
-        from .functions.text import total_token_chars
-        from .operators.logreg import logit_expr
-        from .plans._pinned_logreg import (
-            _LOGREG_BIAS,
-            _LOGREG_FEATURES,
-            _LOGREG_MEAN,
-            _LOGREG_STD,
-            _LOGREG_WEIGHTS,
-        )
+        # The logit is one self-contained expression (no feature columns
+        # attached), so the gate never adds/overwrites a stored stat
+        # column — enabling it changes WHICH rows survive, never their
+        # schema or values (ADVICE r11) — and the n_chars feature is the
+        # stored column when present (the gate-query sourcing), with the
+        # length(text) fallback. coalesce(..., False): a NULL logit (null
+        # text) has no evidence it passes and is dropped, never silently
+        # kept.
+        from .operators.logreg import pinned_quality_logit
 
-        t2 = tokenize("text")
-        with_feats = docs.withColumns(
-            {
-                "n_tokens": token_count(t2),
-                "n_unique_tokens": distinct_token_count(t2),
-                "n_token_chars": total_token_chars(t2),
-                "n_chars": F.length("text").cast("long"),
-            }
-        )
-        z = logit_expr(
-            _LOGREG_FEATURES, _LOGREG_MEAN, _LOGREG_STD, _LOGREG_WEIGHTS,
-            _LOGREG_BIAS,
-        )
-        docs = with_feats.filter(
-            F.coalesce(z > F.lit(float(min_logit)), F.lit(False))
-        ).drop("n_tokens", "n_unique_tokens", "n_token_chars")
+        z = pinned_quality_logit(docs.columns, "text")
+        docs = docs.filter(F.coalesce(z > F.lit(float(min_logit)), F.lit(False)))
         report["after_classifier_gate"] = docs.count()
 
     if mix_rates is not None:

@@ -240,3 +240,53 @@ def test_non_builtin_format_dispatches_to_pillow_or_fails_loudly():
         Image.fromarray(px).save(buf, format="JPEG", quality=95)
         out = decode_image(buf.getvalue())
         assert out.shape == (16, 16, 3)
+
+
+def test_png_truncated_chunk_fails_at_parse_site():
+    """ADVICE r11: a chunk whose declared length runs past the payload must
+    raise a specific truncation error AT the parse site, not surface later
+    as a generic zlib failure."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    # Cut two bytes short of the IDAT body's declared end: the walker must
+    # name the truncated chunk instead of handing zlib a shortened slice.
+    idat_len_pos = payload.index(b"IDAT") - 4
+    (declared,) = struct.unpack_from(">I", payload, idat_len_pos)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(payload[: idat_len_pos + 8 + declared - 2])
+    # Inflate a declared chunk length past the payload end: IHDR is the
+    # first chunk, at offset 8.
+    bad = bytearray(payload)
+    bad[8:12] = struct.pack(">I", 10_000)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(bytes(bad))
+
+
+def test_png_crc_mismatch_is_detected():
+    """A flipped byte inside a chunk body fails CRC verification with a
+    chunk-named error instead of decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(
+        encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    )
+    # Locate the IDAT body and flip one byte.
+    idx = bytes(payload).index(b"IDAT") + 4
+    payload[idx + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(payload))

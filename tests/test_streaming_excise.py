@@ -192,3 +192,33 @@ def test_bloom_bootstrap_on_existing_gram_state(spark, tmp_path):
     )
     rows = {r["doc_id"]: r["text"] for r in corpus.read(spark).collect()}
     assert rows[10] == "late arrival repeating"
+
+
+def test_colliding_accounting_and_stat_columns(spark, tmp_path):
+    """ADVICE r11: a batch already carrying n_tokens/n_removed columns
+    (document tables with stored stats) must not break the rejoin with
+    duplicate column names — the door's rewrite accounting wins, because
+    excision is precisely what invalidates a stored token stat — and a
+    stored n_chars is refreshed from the REWRITTEN text (the trainprep
+    post-excision rule) so it never disagrees with the stored text."""
+    t1 = f"{BOILER} alpha beta gamma delta"
+    t2 = f"unrelated novel wording here {BOILER}"
+    docs = spark.createDataFrame(
+        [(1, t1, -111, -1, 5), (2, t2, -222, -2, 6)],
+        "doc_id long, text string, n_tokens long, n_removed long, n_chars long",
+    )  # stored stats are deliberately garbage
+    corpus = TxnTable(str(tmp_path / "corpus"))
+    grams = TxnTable(str(tmp_path / "grams"))
+    excise_batch_against_table(
+        spark, corpus, grams, docs, "doc_id", "text", 5, "app", 0
+    )
+    rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+    # Door accounting, not the stale stored values.
+    assert rows[1]["n_tokens"] == 10 and rows[1]["n_removed"] == 0
+    assert rows[2]["n_tokens"] == 10 and rows[2]["n_removed"] == 6
+    # Canonical doc keeps its text; the copy is excised.
+    assert rows[1]["text"] == t1
+    assert rows[2]["text"] == "unrelated novel wording here"
+    # n_chars refreshed from the REWRITTEN text on both.
+    assert rows[1]["n_chars"] == len(t1)
+    assert rows[2]["n_chars"] == len("unrelated novel wording here")

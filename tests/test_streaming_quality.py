@@ -126,3 +126,106 @@ def test_null_text_routes_to_quarantine_not_dropped(spark, tmp_path):
     assert pass_ids == {1}          # threshold -1e9: every scored doc passes
     assert set(quar_rows) == {2}    # the null-text doc is quarantined
     assert quar_rows[2] is None     # with its (null) logit as the audit value
+
+
+def test_stored_stat_column_preserved_and_feature_sourced_from_it(
+    spark, tmp_path
+):
+    """ADVICE r11, both halves. (1) A stored n_chars stat column rides
+    through BOTH routed tables untouched — the door must neither recompute
+    it nor shed it. (2) The logit's n_chars feature is the STORED column
+    (exactly how the certified gate query sources it), with length(text)
+    only as the no-column fallback — so door/gate pass-set parity is
+    structural, proven here on data where stored n_chars deliberately
+    disagrees with length(text)."""
+    from data_lake_medallion_architecture_project_spark.functions.text import (
+        distinct_token_count,
+        token_count,
+        tokenize,
+        total_token_chars,
+    )
+    from data_lake_medallion_architecture_project_spark.operators.logreg import (
+        logit_expr,
+    )
+    from data_lake_medallion_architecture_project_spark.plans._pinned_logreg import (
+        _LOGREG_BIAS,
+        _LOGREG_MEAN,
+        _LOGREG_STD,
+        _LOGREG_WEIGHTS,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", 999), (2, "epsilon zeta", 3)],
+        "doc_id long, text string, n_chars long",
+    )  # stored n_chars != length(text) on purpose
+    scored = {r["doc_id"]: r for r in scored_batch(docs).collect()}
+    # (1) stored values intact on the scored rows
+    assert scored[1]["n_chars"] == 999 and scored[2]["n_chars"] == 3
+
+    # (2) logit == the gate-style expression over the STORED n_chars ...
+    toks = tokenize("text")
+    stored_ref = {
+        r["doc_id"]: r["z"]
+        for r in docs.select(
+            "doc_id",
+            logit_expr(
+                (
+                    token_count(toks),
+                    distinct_token_count(toks),
+                    total_token_chars(toks),
+                    F.col("n_chars").cast("long"),
+                ),
+                _LOGREG_MEAN,
+                _LOGREG_STD,
+                _LOGREG_WEIGHTS,
+                _LOGREG_BIAS,
+            ).alias("z"),
+        ).collect()
+    }
+    assert scored[1]["logit"] == stored_ref[1]
+    assert scored[2]["logit"] == stored_ref[2]
+    # ... and NOT the length(text) recomputation (999 != 22 makes them
+    # genuinely different, so this assertion has teeth).
+    length_ref = {
+        r["doc_id"]: r["z"]
+        for r in docs.drop("n_chars").select(
+            "doc_id",
+            logit_expr(
+                (
+                    token_count(toks),
+                    distinct_token_count(toks),
+                    total_token_chars(toks),
+                    F.length(F.col("text")).cast("long"),
+                ),
+                _LOGREG_MEAN,
+                _LOGREG_STD,
+                _LOGREG_WEIGHTS,
+                _LOGREG_BIAS,
+            ).alias("z"),
+        ).collect()
+    }
+    assert scored[1]["logit"] != length_ref[1]
+
+    # Route through the tables: the stored stat survives on both sides.
+    pass_t = TxnTable(str(tmp_path / "p"))
+    quar_t = TxnTable(str(tmp_path / "q"))
+    thr = (stored_ref[1] + stored_ref[2]) / 2  # splits the two docs
+    quality_batch_against_tables(
+        spark, pass_t, quar_t, docs, "doc_id", "text", thr, "app", 0
+    )
+    landed = {
+        r["doc_id"]: r["n_chars"]
+        for r in pass_t.read(spark).collect() + quar_t.read(spark).collect()
+    }
+    assert landed == {1: 999, 2: 3}
+
+
+def test_no_stored_stat_falls_back_to_text_length(spark):
+    """Without an n_chars column the feature falls back to length(text) —
+    the schema the earlier door tests exercise stays supported, and the
+    door still adds only (logit, shard) to the row."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = scored_batch(docs)
+    assert set(out.columns) == {"doc_id", "text", "logit", "id_shard"}

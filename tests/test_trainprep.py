@@ -500,3 +500,52 @@ def test_classifier_gate_stage(spark, tmp_path):
     }
     assert exported <= gate_pass
     assert len(exported) == a["after_classifier_gate"]
+
+
+def test_classifier_gate_never_touches_schema_or_stats(spark, tmp_path):
+    """ADVICE r11: enabling --min-logit changes WHICH rows survive, never
+    their schema or values — no n_chars column materializes when the input
+    lacks one, and a stored n_chars (even one disagreeing with
+    length(text)) rides through untouched; the feature is read from the
+    stored column inside the logit expression, not attached to the row."""
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            i,
+            " ".join(f"w{i}x{j}" for j in range(8)),  # unique vocab per doc:
+            f"src{i % 2}",  # no stage ahead of the gate can drop a row
+        )
+        for i in range(20)
+    ]
+    bare = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with_stat = bare.withColumn(
+        "n_chars", F.col("doc_id") * 1000 + 7  # deliberately != length(text)
+    )
+    bare.write.parquet(str(tmp_path / "bare.parquet"))
+    with_stat.write.parquet(str(tmp_path / "stat.parquet"))
+
+    def _export(inp, out):
+        prepare_corpus(
+            spark, str(tmp_path / inp), str(tmp_path / out),
+            min_tokens=1, min_distinct_ratio=0.0, source_cap=1000,
+            n_shards=1, min_logit=-1e9,  # gate ENABLED, everything passes
+        )
+        docs = {}
+        for split in ("train", "val", "test"):
+            for f in _glob.glob(f"{tmp_path}/{out}/{split}/shard=*/part-*.json"):
+                for line in open(f):
+                    d = _json.loads(line)
+                    docs[d["doc_id"]] = d
+        return docs
+
+    got_bare = _export("bare.parquet", "out_bare")
+    assert len(got_bare) == 20
+    assert all("n_chars" not in d for d in got_bare.values())
+
+    got_stat = _export("stat.parquet", "out_stat")
+    assert len(got_stat) == 20
+    assert all(d["n_chars"] == d["doc_id"] * 1000 + 7 for d in got_stat.values())
