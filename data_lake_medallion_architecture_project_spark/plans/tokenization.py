@@ -76,3 +76,126 @@ def bpe_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_bpe_est"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Exact pinned-BPE tokenization (round 12): the real tokenizer, cross-engine.
+# --------------------------------------------------------------------------- #
+
+_SEP = "\x1f"  # symbol guard (U+001F unit separator)
+_WSEP = "\x1e"  # word guard (U+001E record separator)
+_EOW = "</w>"  # end-of-word marker, operators/bpe.py:_END
+
+
+def _bpe_replace_chain():
+    """The pinned merge table as an ordered list of (search, replacement)
+    flat-string rewrites. A word's symbol sequence is rendered as
+    ``\\x1f s1 \\x1f\\x1f s2 \\x1f\\x1f ... sk \\x1f`` (every symbol wrapped
+    in U+001F guards), so the rewrite ``\\x1f a \\x1f\\x1f b \\x1f →
+    \\x1f ab \\x1f`` can only fire where symbol a is immediately followed
+    by symbol b — never inside a multi-char symbol, and never across the
+    U+001E word boundary. Plain left-to-right non-overlapping replace()
+    (identical semantics in the JVM and DuckDB) IS greedy leftmost pair
+    merging; applying the merges in pinned rank order is exactly the
+    canonical lowest-rank-first encode, because BPE training can only emit
+    a merge whose component symbols were built by strictly earlier merges
+    (so a later rewrite can never create an occurrence of an earlier
+    pair)."""
+    from ._pinned_bpe import _BPE_MERGES
+
+    return [
+        (f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}", f"{_SEP}{a}{b}{_SEP}")
+        for a, b in _BPE_MERGES
+    ]
+
+
+def _bpe_oracle() -> str:
+    def q(s: str) -> str:  # SQL string literal (symbols may hold quotes)
+        return "'" + s.replace("'", "''") + "'"
+
+    rep = "rep"
+    for search, repl in _bpe_replace_chain():
+        rep = f"replace({rep}, {q(search)}, {q(repl)})"
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_ws_tokens,
+         array_to_string(list_transform(words, w ->
+           {q(_SEP)} ||
+           array_to_string(list_append(regexp_extract_all(w, '[\s\S]'),
+                                       {q(_EOW)}),
+                           {q(_SEP + _SEP)}) ||
+           {q(_SEP)}), {q(_WSEP)}) AS rep
+  FROM w
+),
+e AS (SELECT doc_id, n_ws_tokens, {rep} AS repf FROM r)
+SELECT doc_id, n_ws_tokens,
+       CAST(n_ws_tokens + length(repf)
+            - length(replace(repf, {q(_SEP + _SEP)}, {q(_SEP)}))
+         AS BIGINT) AS n_bpe_tokens
+FROM e
+"""
+
+
+@register(
+    "bpe_encoded_token_counts",
+    oracle=_bpe_oracle(),
+    tags=("text", "training", "ml", "bench"),
+)
+def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-document token counts under the pinned 48-merge BPE model
+    (plans/_pinned_bpe.py, trained by tools/pin_bpe.py with
+    operators/bpe.py:train_bpe) — the tokenizer tier promoted from a
+    pandas-UDF pytest-only path (``encode_with_merges``) to a
+    hash-certified, pure-JVM surface, the r10 PCA / r11 logreg precedent
+    applied to tokenization.
+
+    Mechanics: each word is rendered as a U+001F-guarded flat symbol
+    string (chars + the ``</w>`` marker, the trainer's representation),
+    words joined under a U+001E guard, and the pinned merges applied in
+    rank order as plain substring rewrites — see ``_bpe_replace_chain``
+    for why that is bit-for-bit the canonical greedy encode. The piece
+    count falls out as the count of adjacent-guard pairs plus one per
+    word, all integer arithmetic. (Documents containing the U+001F/U+001E
+    guard bytes would perturb both engines IDENTICALLY — parity is
+    structural — but real corpora should strip control bytes upstream.)
+
+    Scale shape: map-only column expressions — one scan, zero exchange,
+    no Python anywhere; the 48-rewrite chain whole-stage-codegens like
+    any other projection, so tokenizing 100 TB costs a linear scan. The
+    pandas-UDF path stays the right choice only when the piece ARRAYS
+    are needed downstream; for counts (compute budgeting, packing), this
+    plan beats it by keeping everything JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    word_rep = lambda w: F.concat(  # noqa: E731
+        F.lit(_SEP),
+        F.array_join(
+            F.concat(F.split(w, ""), F.array(F.lit(_EOW))), _SEP + _SEP
+        ),
+        F.lit(_SEP),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        F.array_join(F.transform(words, word_rep), _WSEP).alias("rep"),
+    )
+    rep = F.col("rep")
+    for search, repl in _bpe_replace_chain():
+        rep = F.replace(rep, F.lit(search), F.lit(repl))
+    return base.select(
+        "doc_id",
+        "n_ws_tokens",
+        (
+            F.col("n_ws_tokens")
+            + F.length(rep)
+            - F.length(F.replace(rep, F.lit(_SEP + _SEP), F.lit(_SEP)))
+        ).cast("long").alias("n_bpe_tokens"),
+    )

@@ -107,3 +107,96 @@ def test_encode_word_count_preserved(spark):
         .count()
     )
     assert enc.count() == n_tokens
+
+
+# ---- the hash-certified flat-string encode (plans/tokenization.py) ----
+
+
+def test_pinned_merges_match_fresh_fit(spark):
+    """The pinned merge table (plans/_pinned_bpe.py) must still equal a
+    fresh deterministic fit on its pinned corpus — the logreg/PCA drift
+    guard applied to the tokenizer tier."""
+    from data_lake_medallion_architecture_project_spark.plans._pinned_bpe import (
+        _BPE_MERGES,
+        _BPE_N_MERGES,
+        _BPE_SF_DIR,
+    )
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, _BPE_SF_DIR, "documents")
+    assert train_bpe(docs, n_merges=_BPE_N_MERGES) == _BPE_MERGES
+
+
+def test_certified_counts_match_canonical_encoder(spark):
+    """bpe_encoded_token_counts (the 48-deep replace chain, pure JVM) must
+    agree per document with the canonical lowest-rank-first encoder
+    (encode_with_merges, the pandas-UDF reference) — the replace-chain
+    equivalence argument, proven on real corpus data."""
+    from data_lake_medallion_architecture_project_spark.plans._pinned_bpe import (
+        _BPE_MERGES,
+    )
+    from data_lake_medallion_architecture_project_spark.plans.tokenization import (
+        bpe_encoded_token_counts,
+    )
+    from data_lake_medallion_architecture_project_spark.sources.readers import load_table
+
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encoded_token_counts(spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in encode_with_merges(docs, _BPE_MERGES)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+        )
+        .collect()
+    }
+    assert len(got) == docs.count()
+    for doc_id, counts in want.items():
+        assert got[doc_id] == counts, doc_id
+
+
+def test_certified_counts_adversarial_shapes(spark, tmp_path):
+    """Constructed edge cases for the flat-string encode: repeated-pair
+    words (the non-overlapping leftmost-merge semantics), multi-space
+    runs, quotes, a newline INSIDE a whitespace token, empty and
+    single-char texts — all must match the canonical encoder."""
+    from data_lake_medallion_architecture_project_spark.plans._pinned_bpe import (
+        _BPE_MERGES,
+    )
+    from data_lake_medallion_architecture_project_spark.plans.tokenization import (
+        bpe_encoded_token_counts,
+    )
+
+    rows = [
+        (1, "erererer er rere"),          # chained occurrences of merge ('e','r')
+        (2, "  double  spaces   x"),      # empty split cells are skipped
+        (3, "it's \"quoted\" o'clock"),   # SQL-literal escaping in the oracle
+        (4, "line\nbreak inside token"),  # \n is a char, not a separator
+        (5, ""),                          # no words at all
+        (6, "z"),                         # single char + </w>
+        (7, "customer customer filter"),  # words that fully merge
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encoded_token_counts(spark, str(tmp_path)).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in encode_with_merges(docs, _BPE_MERGES)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+        )
+        .collect()
+    }
+    assert got[5] == (0, 0)  # empty text: zero words, zero pieces
+    for doc_id, counts in want.items():
+        assert got[doc_id] == counts, doc_id
