@@ -1576,3 +1576,156 @@ def kmv_priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit(0.0))
         .alias("jaccard_est"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Temperature-based mixture sampling (round 12): DERIVED per-source rates.
+# --------------------------------------------------------------------------- #
+#
+# ``corpus_mix_summary`` mixes with a HAND-PINNED rate recipe; the other
+# standard construction (multilingual/multi-domain pretraining, e.g.
+# mBERT/XLM-R and the Pile appendices) derives the rates FROM the corpus:
+# sample source s proportionally to n_s^alpha (alpha = 0.5 here), which
+# up-weights small sources and flattens the head. Everything below is
+# INTEGER arithmetic so both engines agree exactly:
+#   w_s   = floor(sqrt(n_s))        (IEEE sqrt is correctly rounded — the
+#                                    doubles, hence the floors, are equal
+#                                    cross-engine by standard, not luck)
+#   N     = D div 2                 (budget: half the corpus)
+#   q_s   = min(n_s, (N * w_s) div sum(w))
+#   keep  = hash24(doc) * n_s < q_s * 2^24   (pure int64 compare; hash24 is
+#           the first 6 hex chars of md5('tmix|'+doc_id) — its own key
+#           prefix, so the decision never correlates with the split or mix
+#           hashes). int64 bound: hash24 * n_s overflows only past n_s ~
+#           5.5e11 docs PER SOURCE; shrink to 5 hex chars long before that.
+
+_TMIX_HEX = 6
+_TMIX_SPACE = 16 ** _TMIX_HEX
+
+_TMIX_ALLOC_SQL = f"""
+src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS sqrt_weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS d_total,
+         CAST(SUM(sqrt_weight) AS BIGINT) AS w_total
+  FROM src
+),
+alloc AS (
+  SELECT source, n_docs, sqrt_weight,
+         LEAST(n_docs, ((d_total // 2) * sqrt_weight) // w_total) AS quota
+  FROM src, tot
+),
+kept AS (
+  SELECT d.doc_id, d.source, a.n_docs, a.sqrt_weight, a.quota
+  FROM documents d JOIN alloc a USING (source)
+  WHERE CAST(('0x' || substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1,
+              {_TMIX_HEX})) AS BIGINT) * a.n_docs
+        < a.quota * {_TMIX_SPACE}
+)
+"""
+
+_TMIX_SUMMARY_ORACLE = f"""
+WITH {_TMIX_ALLOC_SQL}
+SELECT a.source, a.n_docs, a.sqrt_weight, CAST(a.quota AS BIGINT) AS quota,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept
+FROM alloc a LEFT JOIN kept k ON a.source = k.source
+GROUP BY a.source, a.n_docs, a.sqrt_weight, a.quota
+"""
+
+_TMIX_SAMPLE_ORACLE = f"""
+WITH {_TMIX_ALLOC_SQL}
+SELECT doc_id, source FROM kept
+"""
+
+
+def _tmix_plan(docs: DataFrame):
+    """(alloc, kept) DataFrames of the temperature mix — alloc is
+    sources-sized (broadcast both times it is joined), kept is the
+    deterministic sample."""
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("long").alias("sqrt_weight"),
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("long").alias("d_total"),
+        F.sum("sqrt_weight").cast("long").alias("w_total"),
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sqrt_weight",
+        F.least(
+            F.col("n_docs"),
+            F.expr("((d_total div 2) * sqrt_weight) div w_total"),
+        ).alias("quota"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tmix|"), F.col("doc_id").cast("string"))),
+            1,
+            _TMIX_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.select("doc_id", "source", h.alias("h24"))
+        .join(F.broadcast(alloc), "source")
+        .filter(
+            F.col("h24") * F.col("n_docs")
+            < F.col("quota") * F.lit(_TMIX_SPACE)
+        )
+    )
+    return alloc, kept
+
+
+@register(
+    "temperature_mix_allocation",
+    oracle=_TMIX_SUMMARY_ORACLE,
+    tags=("sampling", "training"),
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source allocation of the alpha=0.5 temperature mix — counts,
+    integer sqrt weight, quota, and how many documents the deterministic
+    md5 rule actually keeps. The rates are DERIVED from the corpus (the
+    multilingual-pretraining n^alpha recipe), complementing the pinned-
+    recipe ``corpus_mix_summary``; all-integer arithmetic keeps the two
+    engines exactly aligned (header comment).
+
+    Plan shape: one sources-sized aggregate, a 1-row broadcast for the
+    corpus totals (the BM25 discipline — no driver collect), then a
+    broadcast probe of the document scan; at 100 TB the only exchange is
+    the per-source count."""
+    docs = load_table(spark, sf_dir, "documents")
+    alloc, kept = _tmix_plan(docs)
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        alloc.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "sqrt_weight",
+            "quota",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "temperature_mix_sample",
+    oracle=_TMIX_SAMPLE_ORACLE,
+    tags=("sampling", "training"),
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept document set of the alpha=0.5 temperature mix — the
+    deterministic, engine-independent sample a 100 TB re-run (or DuckDB,
+    as the oracle proves) reproduces byte-identically. Map-only after a
+    broadcast of the sources-sized allocation table."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, kept = _tmix_plan(docs)
+    return kept.select("doc_id", "source")

@@ -359,3 +359,68 @@ def test_kmv_overlap_estimates_and_merge(spark):
     assert n_exact < KMV_K
     row = kmv_theta(st, ["g"]).collect()[0]
     assert row["est"] == float(n_exact)
+
+
+def test_temperature_mix_flattens_skew(spark, tmp_path):
+    """alpha=0.5 temperature sampling on a skewed corpus: the small source
+    keeps a strictly HIGHER fraction than the big one (the n^alpha
+    flattening), quotas never exceed source sizes, the total lands at the
+    derived budget, and the md5 decision is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.plans.sampling import (
+        temperature_mix_allocation,
+        temperature_mix_sample,
+    )
+
+    rows = [(i, f"text {i}", "big" if i < 900 else "small") for i in range(1000)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    alloc = {
+        r["source"]: r
+        for r in temperature_mix_allocation(spark, str(tmp_path)).collect()
+    }
+    big, small = alloc["big"], alloc["small"]
+    assert big["n_docs"] == 900 and small["n_docs"] == 100
+    # Integer sqrt weights: floor(sqrt(900)) = 30, floor(sqrt(100)) = 10.
+    assert big["sqrt_weight"] == 30 and small["sqrt_weight"] == 10
+    # Budget 500 split 30:10 -> raw quotas 375 / 125; the small source is
+    # capped at its size (quota = min(n_docs, share)), and a quota equal to
+    # the source size keeps EVERY document (h < 2^24 is always true).
+    assert big["quota"] == 375 and small["quota"] == 100
+    for r in alloc.values():
+        assert r["quota"] <= r["n_docs"]
+        assert r["n_kept"] <= r["n_docs"]
+    assert small["n_kept"] == 100
+    # The flattening: the small source's keep FRACTION is higher.
+    assert small["n_kept"] / 100 > big["n_kept"] / 900
+    # The md5 rule tracks the quota (exact count is deterministic, not
+    # binomial — bound it loosely and pin determinism below).
+    assert abs(big["n_kept"] - 375) < 60
+
+    kept1 = {r["doc_id"] for r in temperature_mix_sample(spark, str(tmp_path)).collect()}
+    kept2 = {r["doc_id"] for r in temperature_mix_sample(spark, str(tmp_path)).collect()}
+    assert kept1 == kept2
+    assert len(kept1) == big["n_kept"] + small["n_kept"]
+
+
+def test_temperature_mix_tiny_source_keeps_everything(spark, tmp_path):
+    """A source smaller than its quota is kept WHOLE (quota = min(n, ...)):
+    the temperature recipe must never starve a tail domain below its size."""
+    from data_lake_medallion_architecture_project_spark.plans.sampling import (
+        temperature_mix_allocation,
+    )
+
+    rows = [(i, "x", "huge") for i in range(2000)] + [(9000 + i, "y", "tiny") for i in range(4)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    alloc = {
+        r["source"]: r
+        for r in temperature_mix_allocation(spark, str(tmp_path)).collect()
+    }
+    # floor(sqrt(4)) = 2, floor(sqrt(2000)) = 44; budget 1002.
+    # tiny quota = min(4, (1002*2) div 46) = 4 -> every tiny doc kept.
+    assert alloc["tiny"]["quota"] == 4
+    assert alloc["tiny"]["n_kept"] == 4
