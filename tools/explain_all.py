@@ -75,6 +75,13 @@ NESTED_LOOP_OK = {
     # aggregate cross-joined onto the match-sized scored relation — replaced
     # the former driver collect (which cost a separate tokenize job).
     "bm25_search_docs",
+    # Scalar broadcast (round 12): the 1-row (d_total, w_total) corpus
+    # totals cross-joined onto the sources-sized (≤ |sources|-row) count
+    # table to derive temperature quotas — O(sources)·O(1); the document
+    # scan itself probes the alloc table through a BroadcastHASHJoin on
+    # the source equi-key.
+    "temperature_mix_allocation",
+    "temperature_mix_sample",
 }
 PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
