@@ -165,12 +165,15 @@ def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard bytes would perturb both engines IDENTICALLY — parity is
     structural — but real corpora should strip control bytes upstream.)
 
-    Scale shape: map-only column expressions — one scan, zero exchange,
-    no Python anywhere; the 48-rewrite chain whole-stage-codegens like
-    any other projection, so tokenizing 100 TB costs a linear scan. The
-    pandas-UDF path stays the right choice only when the piece ARRAYS
-    are needed downstream; for counts (compute budgeting, packing), this
-    plan beats it by keeping everything JVM-side."""
+    Scale shape: map-only column expressions — one scan, ZERO exchange,
+    no Python anywhere; dead-linear and embarrassingly parallel across
+    input splits, but the chain CPU is paid on every word OCCURRENCE
+    (~0.3 ms/document single-core, measured). This is the
+    certification/zero-shuffle tier; when corpus >> vocabulary the
+    occurrence-deduped twin ``bpe_token_counts_vocab`` (identical
+    output, equivalence-tested) is the scale path — the SemDeDup
+    exact-vs-BLAS tiering applied to tokenization. The pandas-UDF
+    encoder remains for consumers that need the piece ARRAYS themselves."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
@@ -198,4 +201,114 @@ def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.length(rep)
             - F.length(F.replace(rep, F.lit(_SEP + _SEP), F.lit(_SEP)))
         ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_word_pieces_expr(word_col: str):
+    """Piece count of ONE word under the pinned merges: guarded flat rep →
+    rank-order rewrite chain → half the surviving guard chars."""
+    rep = F.concat(
+        F.lit(_SEP),
+        F.array_join(
+            F.concat(F.split(F.col(word_col), ""), F.array(F.lit(_EOW))),
+            _SEP + _SEP,
+        ),
+        F.lit(_SEP),
+    )
+    for search, repl in _bpe_replace_chain():
+        rep = F.replace(rep, F.lit(search), F.lit(repl))
+    return (
+        (F.length(rep) - F.length(F.replace(rep, F.lit(_SEP), F.lit(""))))
+        / F.lit(2)
+    ).cast("long")
+
+
+def _bpe_vocab_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rep = (
+        f"{q(_SEP)} || array_to_string(list_append("
+        f"regexp_extract_all(word, '[\\s\\S]'), {q(_EOW)}),"
+        f" {q(_SEP + _SEP)}) || {q(_SEP)}"
+    )
+    for search, repl in _bpe_replace_chain():
+        rep = f"replace({rep}, {q(search)}, {q(repl)})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+v AS (SELECT DISTINCT word FROM t),
+enc AS (
+  SELECT word,
+         (length(repf) - length(replace(repf, {q(_SEP)}, ''))) // 2
+           AS n_pieces
+  FROM (SELECT word, {rep} AS repf FROM v)
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+         CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens
+  FROM t JOIN enc e USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_ws_tokens, 0) AS BIGINT) AS n_ws_tokens,
+       CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "bpe_token_counts_vocab",
+    oracle=_bpe_vocab_oracle(),
+    tags=("text", "training", "ml"),
+)
+def bpe_token_counts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-TIER form of ``bpe_encoded_token_counts`` — identical
+    output (equivalence-tested), different cost model: the 48-rewrite
+    chain runs once per DISTINCT word (Heaps'-law-sublinear vocab), and
+    the corpus-sized work collapses to an explode, an AQE-broadcastable
+    word→pieces join, and one per-document aggregate.
+
+    Why both forms exist (the SemDeDup exact/BLAS precedent): the flat
+    per-document chain is zero-shuffle but pays chain CPU on every
+    OCCURRENCE (~0.3 ms per document single-core, measured — linear but
+    CPU-bound); this form pays two corpus-sized exchanges (explode-join
+    and the doc regroup) but only vocab-sized chain CPU. On any real
+    corpus (trillions of words, millions-not-trillions of distinct
+    words) occurrence-dedup wins by orders of magnitude — measured
+    probes in SCALE.md: 13.5 s vs 1.5 s at 10×, 147 s vs 9 s at 100×
+    on the replicated corpus. Both are hash-certified against the same
+    DuckDB algorithm, so the tiers cannot drift apart silently."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab_pieces = (
+        toks.select("word")
+        .distinct()
+        .select("word", _bpe_word_pieces_expr("word").alias("n_pieces"))
+    )
+    per_doc = (
+        toks.join(vocab_pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ws_tokens"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ws_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_ws_tokens"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
     )

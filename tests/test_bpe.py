@@ -200,3 +200,40 @@ def test_certified_counts_adversarial_shapes(spark, tmp_path):
     assert got[5] == (0, 0)  # empty text: zero words, zero pieces
     for doc_id, counts in want.items():
         assert got[doc_id] == counts, doc_id
+
+
+def test_vocab_tier_equals_flat_tier(spark, tmp_path):
+    """bpe_token_counts_vocab (occurrence-deduped scale tier) must emit
+    EXACTLY the flat chain's per-document counts — on the real corpus and
+    on the adversarial shapes."""
+    from data_lake_medallion_architecture_project_spark.plans.tokenization import (
+        bpe_encoded_token_counts,
+        bpe_token_counts_vocab,
+    )
+
+    def both(sf_dir):
+        a = {
+            r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+            for r in bpe_encoded_token_counts(spark, sf_dir).collect()
+        }
+        b = {
+            r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+            for r in bpe_token_counts_vocab(spark, sf_dir).collect()
+        }
+        return a, b
+
+    a, b = both(SF_SMALL)
+    assert a == b and len(a) == 500
+
+    rows = [
+        (1, "erererer er rere"),
+        (2, "  double  spaces   x"),
+        (3, ""),
+        (4, "customer customer filter"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    a, b = both(str(tmp_path))
+    assert a == b
+    assert a[3] == (0, 0)  # the empty doc survives the left join as zeros
