@@ -282,9 +282,18 @@ def bpe_token_counts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes in SCALE.md: 13.5 s vs 1.5 s at 10×, 147 s vs 9 s at 100×
     on the replicated corpus. Both are hash-certified against the same
     DuckDB algorithm, so the tiers cannot drift apart silently."""
-    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts_for(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_token_counts_for(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The vocab-tier counting over an ARBITRARY document DataFrame:
+    (doc_id, n_ws_tokens, n_bpe_tokens) under the pinned merges — the
+    reusable form trainprep's ``--pack-tokenizer bpe`` budgets packs
+    with. Same plan as the certified registry query (which is this,
+    applied to the sf table)."""
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
     ).filter(F.col("word") != "")
     vocab_pieces = (
         toks.select("word")

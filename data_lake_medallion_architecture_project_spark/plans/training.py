@@ -132,6 +132,7 @@ def pack_documents(
     docs: DataFrame,
     budget: int = _PACK_BUDGET,
     n_shards: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budget sequence packing: assign every document to a pack.
 
@@ -148,12 +149,24 @@ def pack_documents(
     alone), so changing ``n_shards`` re-buckets documents but never reorders
     a shard internally — pack contents stay deterministic for any fixed
     shard count (property-tested in tests/test_advanced.py).
+
+    ``n_tokens_col`` swaps the budgeting unit: when given, documents must
+    carry that precomputed per-document count column (e.g. the exact
+    pinned-BPE counts of ``plans/tokenization.py:bpe_token_counts_for`` —
+    real tokenizer pieces, the unit trainers actually budget in) and the
+    whitespace tokenize is skipped; the default stays the certified
+    whitespace form the registry oracle replays.
     """
     if n_shards is None:
         n_shards = docs.sparkSession.sparkContext.defaultParallelism
+    n_tokens = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(tokenize("text"))
+    )
     t = docs.select(
         "doc_id",
-        token_count(tokenize("text")).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         F.pmod(F.col("doc_id"), F.lit(int(n_shards))).cast("long").alias("shard"),
     )
     w = (

@@ -31,7 +31,11 @@ actually flows through before a tokenizer sees it:
    and in-shard order (``sources/shards.py``); with ``--pack-budget N``
    each document also carries its (shard, pack_id) assignment from the
    token-budget sequence packer (``plans/training.py``), so the loader can
-   assemble fixed-budget training sequences without re-planning.
+   assemble fixed-budget training sequences without re-planning;
+   ``--pack-tokenizer bpe`` budgets in EXACT pinned-BPE pieces (the unit
+   the trainer's context window is measured in) instead of whitespace
+   tokens, via the occurrence-deduped scale tier
+   (``plans/tokenization.py:bpe_token_counts_for``).
 
 Every stage is hash-deterministic: re-running the command on the same
 input reproduces byte-identical shard trees, which is what makes corpus
@@ -91,6 +95,7 @@ def prepare_corpus(
     source_cap: int = 10_000,
     n_shards: int = 4,
     pack_budget: int | None = None,
+    pack_tokenizer: str = "ws",
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 1.0,
     max_perplexity: float | None = None,
@@ -362,7 +367,26 @@ def prepare_corpus(
         if pack_budget:
             from .plans.training import pack_documents
 
-            packs = pack_documents(part, budget=pack_budget, n_shards=n_shards)
+            if pack_tokenizer == "bpe":
+                # Budget packs in EXACT pinned-BPE pieces (the unit the
+                # trainer's context window is actually measured in), via
+                # the occurrence-deduped scale tier; whitespace tokens
+                # undercount real tokenizer output (~30% on this corpus).
+                from .plans.tokenization import bpe_token_counts_for
+
+                counts = bpe_token_counts_for(part.select("doc_id", "text"))
+                packs = pack_documents(
+                    part.join(
+                        counts.select("doc_id", "n_bpe_tokens"), "doc_id"
+                    ),
+                    budget=pack_budget,
+                    n_shards=n_shards,
+                    n_tokens_col="n_bpe_tokens",
+                )
+            else:
+                packs = pack_documents(
+                    part, budget=pack_budget, n_shards=n_shards
+                )
             part = part.join(
                 packs.select("doc_id", F.col("shard").alias("pack_shard"), "pack_id"),
                 "doc_id",
@@ -384,6 +408,11 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=10_000)
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--pack-budget", type=int, default=None)
+    ap.add_argument(
+        "--pack-tokenizer", choices=("ws", "bpe"), default="ws",
+        help="pack-budget unit: whitespace tokens (default) or exact "
+        "pinned-BPE pieces (plans/_pinned_bpe.py)",
+    )
     ap.add_argument(
         "--mix", default=None,
         help='per-source keep rates as JSON, e.g. \'{"src0": 1.0, "src1": 0.5}\'',
@@ -434,6 +463,7 @@ def main() -> None:
         source_cap=args.cap,
         n_shards=args.shards,
         pack_budget=args.pack_budget,
+        pack_tokenizer=args.pack_tokenizer,
         mix_rates=json.loads(args.mix) if args.mix else None,
         mix_default_rate=args.mix_default,
         max_perplexity=args.max_perplexity,

@@ -549,3 +549,61 @@ def test_classifier_gate_never_touches_schema_or_stats(spark, tmp_path):
     got_stat = _export("stat.parquet", "out_stat")
     assert len(got_stat) == 20
     assert all(d["n_chars"] == d["doc_id"] * 1000 + 7 for d in got_stat.values())
+
+
+def test_pack_tokenizer_bpe_budgets_in_pieces(spark, tmp_path):
+    """--pack-tokenizer bpe: pack assignments are budgeted by the EXACT
+    pinned-BPE piece counts — the packer's n_tokens column equals
+    bpe_token_counts_for, packs respect the budget in pieces (each pack
+    may overflow by at most its last document), and the run stays
+    byte-deterministic."""
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.plans.tokenization import (
+        bpe_token_counts_for,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kwargs = dict(min_tokens=1, min_distinct_ratio=0.0, source_cap=1000,
+                  n_shards=2, pack_budget=300, pack_tokenizer="bpe")
+    a = prepare_corpus(
+        spark, f"{sf}/documents.parquet", str(tmp_path / "a"), **kwargs
+    )
+    b = prepare_corpus(
+        spark, f"{sf}/documents.parquet", str(tmp_path / "b"), **kwargs
+    )
+    assert a == b
+
+    import glob as _glob
+    import json as _json
+
+    docs = {}
+    for split in ("train", "val", "test"):
+        for f in _glob.glob(f"{tmp_path}/a/{split}/shard=*/part-*.json"):
+            for line in open(f):
+                d = _json.loads(line)
+                d["split"] = split  # packing runs per split tree
+                docs[d["doc_id"]] = d
+    assert docs and all("pack_id" in d and "pack_shard" in d for d in docs.values())
+
+    survivors = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs.values()],
+        "doc_id long, text string",
+    )
+    pieces = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts_for(survivors).collect()
+    }
+    # Rebuild each (split-shard, pack) load in BPE pieces: the tokens
+    # BEFORE a pack's last doc must be under budget (the fixed-boundary
+    # packing contract, in the bpe unit).
+    packs = {}
+    for d in docs.values():
+        packs.setdefault(
+            (d["split"], d["pack_shard"], d["pack_id"]), []
+        ).append(d["doc_id"])
+    budget = 300
+    for members in packs.values():
+        members.sort()
+        load_before_last = sum(pieces[i] for i in members[:-1])
+        assert load_before_last < budget
