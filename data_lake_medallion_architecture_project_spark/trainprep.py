@@ -15,7 +15,10 @@ actually flows through before a tokenizer sees it:
    optionally followed by **semantic dedup** (``--semdedup-embeddings`` —
    SemDeDup over the documents' embedding table, the paraphrase-level tier);
 3. **quality gate** — minimum token count and distinct-token ratio (the
-   boilerplate/degenerate-repetition floor); optionally preceded by
+   boilerplate/degenerate-repetition floor); optionally preceded by a
+   **PII scrub** (``--scrub-pii`` — mask emails/IPv4/phones with the
+   ``pii_scan_stats`` patterns, case-blind match / case-preserving
+   rewrite, redaction count in the report) and
    **substring excision** (``--excise-ngrams`` — Lee et al. 2022: rewrite
    documents so every repeated n-gram survives exactly once in the
    corpus; the gate then drops hollowed-out documents) and followed by
@@ -110,6 +113,7 @@ def prepare_corpus(
     semdedup_index: str | None = None,
     excise_ngrams: int | None = None,
     min_logit: float | None = None,
+    scrub_pii: bool = False,
 ) -> dict:
     """Run the full prep flow; returns the per-stage attrition report.
 
@@ -226,6 +230,33 @@ def prepare_corpus(
         )
         docs = docs.join(removed, "doc_id", "left_anti")
         report["after_semdedup"] = docs.count()
+
+    if scrub_pii:
+        # PII scrub (the pii_scan_stats / scrub-door masks): redact AFTER
+        # the dedup tiers — dedup keys see the raw bytes, and scrub CPU is
+        # paid only on survivors — and BEFORE excision/quality, which must
+        # judge the text the corpus will actually store. Case-blind match,
+        # case-preserving rewrite; counts reported before rewriting.
+        from .streaming.scrub_ingest import _MASKS
+
+        n_redacted = F.lit(0).cast("long")
+        redacted = F.col("text")
+        for pat, mask, _ in _MASKS:
+            n_redacted = n_redacted + F.when(
+                F.col("text").isNull(), F.lit(0)
+            ).otherwise(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+            ).cast("long")
+            redacted = F.regexp_replace(redacted, pat, mask)
+        scrubbed = docs.withColumn("__n_pii", n_redacted).withColumn(
+            "text", redacted
+        )
+        report["pii_redactions"] = int(
+            scrubbed.agg(F.sum("__n_pii")).collect()[0][0] or 0
+        )
+        docs = scrubbed.drop("__n_pii")
+        if "n_chars" in docs.columns:  # masks change lengths
+            docs = docs.withColumn("n_chars", F.length("text").cast("long"))
 
     if excise_ngrams is not None:
         # Substring EXCISION (Lee et al. 2022): rewrite documents so every
@@ -409,6 +440,11 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--pack-budget", type=int, default=None)
     ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact emails/IPv4/phone numbers (the pii_scan_stats masks) "
+        "after the dedup tiers, before excision and the quality gates",
+    )
+    ap.add_argument(
         "--pack-tokenizer", choices=("ws", "bpe"), default="ws",
         help="pack-budget unit: whitespace tokens (default) or exact "
         "pinned-BPE pieces (plans/_pinned_bpe.py)",
@@ -464,6 +500,7 @@ def main() -> None:
         n_shards=args.shards,
         pack_budget=args.pack_budget,
         pack_tokenizer=args.pack_tokenizer,
+        scrub_pii=args.scrub_pii,
         mix_rates=json.loads(args.mix) if args.mix else None,
         mix_default_rate=args.mix_default,
         max_perplexity=args.max_perplexity,

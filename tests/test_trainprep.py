@@ -607,3 +607,46 @@ def test_pack_tokenizer_bpe_budgets_in_pieces(spark, tmp_path):
         members.sort()
         load_before_last = sum(pieces[i] for i in members[:-1])
         assert load_before_last < budget
+
+
+def test_scrub_pii_stage(spark, tmp_path):
+    """--scrub-pii: exported text is masked (emails/IPv4/phones), the
+    report carries the redaction count, a stored n_chars is refreshed from
+    the masked text, and the run stays deterministic."""
+    rows = [
+        (1, "write w1a w1b to First.Last@corp.example.org today", "src0"),
+        (2, "host w2a w2b at 192.168.0.7 and call 555-123-4567", "src0"),
+        (3, "w3a w3b w3c nothing sensitive here", "src1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from pyspark.sql import functions as F
+
+    docs.withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    kwargs = dict(min_tokens=1, min_distinct_ratio=0.0, source_cap=10,
+                  n_shards=1, scrub_pii=True)
+    a = prepare_corpus(
+        spark, str(tmp_path / "documents.parquet"), str(tmp_path / "a"), **kwargs
+    )
+    assert a["pii_redactions"] == 3  # one email + one IP + one phone
+    b = prepare_corpus(
+        spark, str(tmp_path / "documents.parquet"), str(tmp_path / "b"), **kwargs
+    )
+    assert a == b
+
+    import glob as _glob
+    import json as _json
+
+    out = {}
+    for split in ("train", "val", "test"):
+        for f in _glob.glob(f"{tmp_path}/a/{split}/shard=*/part-*.json"):
+            for line in open(f):
+                d = _json.loads(line)
+                out[d["doc_id"]] = d
+    assert len(out) == 3
+    assert out[1]["text"] == "write w1a w1b to <EMAIL> today"
+    assert out[2]["text"] == "host w2a w2b at <IP> and call <PHONE>"
+    assert out[3]["text"] == rows[2][1]  # untouched
+    for d in out.values():  # stat refreshed against the masked text
+        assert d["n_chars"] == len(d["text"])
