@@ -321,3 +321,83 @@ def bpe_token_counts_for(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("n_bpe_tokens"),
         )
     )
+
+
+def _bpe_freq_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rep = (
+        f"{q(_SEP)} || array_to_string(list_append("
+        f"regexp_extract_all(word, '[\\s\\S]'), {q(_EOW)}),"
+        f" {q(_SEP + _SEP)}) || {q(_SEP)}"
+    )
+    for search, repl in _bpe_replace_chain():
+        rep = f"replace({rep}, {q(search)}, {q(repl)})"
+    return f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM t GROUP BY word),
+enc AS (SELECT word, n_w, {rep} AS repf FROM w),
+p AS (
+  SELECT word, n_w,
+         unnest(string_split(substr(repf, 2, length(repf) - 2),
+                             {q(_SEP + _SEP)})) AS piece
+  FROM enc
+)
+SELECT piece,
+       CAST(SUM(n_w) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM p GROUP BY piece
+"""
+
+
+@register(
+    "bpe_piece_frequencies",
+    oracle=_bpe_freq_oracle(),
+    tags=("text", "training", "ml"),
+)
+def bpe_piece_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus piece-frequency table under the pinned BPE model: for every
+    emitted piece, its total occurrence count and how many distinct words
+    produce it — the vocabulary-usage profile a tokenizer owner reads to
+    size vocabularies and spot fertility problems (rare pieces = wasted
+    embedding rows; high char-level residue = merges too shallow).
+
+    Scale shape (the vocab tier throughout): the rewrite chain and the
+    piece explode run once per DISTINCT word; corpus-sized work is one
+    word-count aggregate. The piece list falls out of the flat encoding
+    by collapsing the word guards and splitting on the symbol guard —
+    no second tokenizer implementation to drift from the certified one."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    w = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    rep = F.concat(
+        F.lit(_SEP),
+        F.array_join(
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(_EOW))),
+            _SEP + _SEP,
+        ),
+        F.lit(_SEP),
+    )
+    for search, repl in _bpe_replace_chain():
+        rep = F.replace(rep, F.lit(search), F.lit(repl))
+    enc = w.select("word", "n_w", rep.alias("repf"))
+    pieces = enc.select(
+        "word",
+        "n_w",
+        F.explode(
+            F.split(
+                F.expr("substr(repf, 2, length(repf) - 2)"), _SEP + _SEP
+            )
+        ).alias("piece"),
+    )
+    return pieces.groupBy("piece").agg(
+        F.sum("n_w").cast("long").alias("n_occurrences"),
+        F.countDistinct("word").cast("long").alias("n_distinct_words"),
+    )

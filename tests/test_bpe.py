@@ -237,3 +237,39 @@ def test_vocab_tier_equals_flat_tier(spark, tmp_path):
     a, b = both(str(tmp_path))
     assert a == b
     assert a[3] == (0, 0)  # the empty doc survives the left join as zeros
+
+
+def test_piece_frequencies_conserve_token_mass(spark):
+    """The corpus piece-frequency table and the per-document count query
+    must agree on total mass: Σ n_occurrences == Σ n_bpe_tokens. Piece
+    strings carry no guard bytes, and every piece is either a learned
+    merge product or a single char / char+marker residue."""
+    from pyspark.sql import functions as F
+
+    from data_lake_medallion_architecture_project_spark.plans._pinned_bpe import (
+        _BPE_MERGES,
+    )
+    from data_lake_medallion_architecture_project_spark.plans.tokenization import (
+        bpe_encoded_token_counts,
+        bpe_piece_frequencies,
+    )
+
+    freq = bpe_piece_frequencies(spark, SF_SMALL).collect()
+    total_occ = sum(r["n_occurrences"] for r in freq)
+    total_docs = (
+        bpe_encoded_token_counts(spark, SF_SMALL)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert total_occ == total_docs
+
+    merged_symbols = {a + b for a, b in _BPE_MERGES}
+    for r in freq:
+        p = r["piece"]
+        assert "\x1f" not in p and "\x1e" not in p
+        assert (
+            p in merged_symbols
+            or len(p) == 1
+            or p == "</w>"
+            or (p.endswith("</w>") and len(p) == 5)  # single char + marker
+        ), p
