@@ -273,3 +273,49 @@ def test_piece_frequencies_conserve_token_mass(spark):
             or p == "</w>"
             or (p.endswith("</w>") and len(p) == 5)  # single char + marker
         ), p
+
+
+# ---- randomized attack on the flat-chain equivalence claim ----
+
+
+def _flat_chain_pieces(word: str, merges) -> list[str]:
+    """Pure-Python mirror of the certified SQL/JVM flat encoding: guarded
+    rep → rank-order replace chain → pieces (the piece-frequency
+    extraction: strip the outer guards, split on the double guard).
+    Python str.replace is left-to-right non-overlapping, exactly like
+    Spark's replace() and DuckDB's replace()."""
+    SEP = "\x1f"
+    rep = SEP + (SEP + SEP).join(list(word) + [_END]) + SEP
+    for a, b in merges:
+        rep = rep.replace(f"{SEP}{a}{SEP}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}")
+    return rep[1:-1].split(SEP + SEP)
+
+
+def test_flat_chain_equals_canonical_encode_property():
+    """Hypothesis attack on the core equivalence argument (a later merge
+    can never create an occurrence of an earlier pair, so rank-order
+    replace passes == canonical lowest-rank-first encoding): random tiny-
+    alphabet corpora maximize pathological overlapping/chained merges
+    ('aa'+'a', merged symbols recombining, marker merges)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_lake_medallion_architecture_project_spark.operators.bpe import _encode_word
+
+    words_strategy = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=2, max_size=25
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(words_strategy)
+    def inner(words):
+        counts = collections.Counter(words)
+        merges = _ref_train(dict(counts), 12)
+        rank = {p: i for i, p in enumerate(merges)}
+        for w in set(words):
+            assert _flat_chain_pieces(w, merges) == _encode_word(w, rank), (
+                w,
+                merges,
+            )
+
+    inner()
