@@ -562,10 +562,11 @@ def excise_shared_ngrams(
     tokens), the vocabulary-build budget, hashed BEFORE leaving the row so
     no exchange ever carries text; canonicalization is one window over the
     gram hash; cover positions explode to at most n·|marked occurrences|;
-    reconstruction is one token-grain anti-join plus one doc-keyed
-    collect_list (the unavoidable cost of REWRITING the corpus — you pay
-    one doc-grain exchange to produce new text). No pair enumeration
-    anywhere. Canonicalization is deliberately a MIN-STRUCT AGGREGATE plus
+    reconstruction collects each document's CUT POSITIONS into one int
+    array and rewrites MAP-SIDE (array_except over 1..n, element_at back
+    into the token array) — post-scan exchanges carry integer positions
+    only, and only for documents that actually lose spans, never token
+    text. No pair enumeration anywhere. Canonicalization is deliberately a MIN-STRUCT AGGREGATE plus
     an equi-join, not a window: a hot boilerplate gram (tens of millions
     of occurrences at 100 TB) would make one unsplittable window-sort
     partition, while the aggregate combines map-side and AQE can split the
@@ -603,36 +604,39 @@ def excise_shared_ngrams(
         )  # every non-canonical occurrence of a dup gram
         .select("_id", "pos")
     )
-    covered = marked.select(
-        "_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos")
-    ).distinct()
-    tokens = base.select(
-        "_id",
-        F.posexplode("toks").alias("idx", "tok"),
-    ).select("_id", (F.col("idx") + 1).alias("pos"), "tok")
-    kept = tokens.join(
-        covered,
-        (tokens["_id"] == covered["_id"]) & (tokens["pos"] == covered["cpos"]),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+    # Reconstruction via the CUT-POSITION SET (round 12): collect each
+    # document's excised positions into one int array and rebuild the text
+    # MAP-SIDE — kept positions are array_except(1..n, cut) (order-
+    # preserving, hash-based), each mapped back through element_at(toks).
+    # The former token-grain form (posexplode every token, anti-join, and a
+    # collect_list carrying (pos, token) STRUCTS back through a doc-keyed
+    # exchange) shuffled the whole corpus TEXT a second time; this shuffles
+    # only integer positions, and only for documents that lose spans —
+    # byte-identical output (A/B-asserted on the gate corpus), ~25% faster
+    # at sf0.1, a wash only on the replicated probe corpus where every
+    # position is boilerplate (SCALE.md round-12 note).
+    cut = (
+        marked.select(
+            "_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "cpos"
             ),
-            " ",
-        ).alias("cleaned_text"),
+        )
+        .groupBy("_id")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("cpos"))).alias("cut"))
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.col("n")),
+        F.coalesce(F.col("cut"), F.array().cast("array<int>")),
     )
     return (
-        base.join(rebuilt, "_id", "left")
+        base.join(cut, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.col("n").cast("long").alias("n_tokens"),
-            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            (F.col("n") - F.size(kept_pos)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at("toks", p)), " "
+            ).alias("cleaned_text"),
         )
     )

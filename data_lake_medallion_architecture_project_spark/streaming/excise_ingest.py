@@ -139,35 +139,31 @@ def excise_batch_against_table(
         marked = marked_within.unionByName(marked_state)
     else:
         marked = marked_within
-    covered = marked.select(
-        "_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos"),
-    ).distinct()
-    tokens = base.select("_id", F.posexplode("toks").alias("idx", "tok")).select(
-        "_id", (F.col("idx") + 1).alias("pos"), "tok"
-    )
-    kept = tokens.join(
-        covered,
-        (tokens["_id"] == covered["_id"]) & (tokens["pos"] == covered["cpos"]),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+    # Cut-position-set reconstruction (round 12, mirrors the batch
+    # operator): collect each doc's excised positions into one int array,
+    # rebuild the text map-side — post-scan exchanges carry integer
+    # positions only, never token text.
+    cut = (
+        marked.select(
+            "_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "cpos"
             ),
-            " ",
-        ).alias("cleaned_text"),
+        )
+        .groupBy("_id")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("cpos"))).alias("cut"))
     )
-    rewritten = base.join(rebuilt, "_id", "left").select(
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.col("n")),
+        F.coalesce(F.col("cut"), F.array().cast("array<int>")),
+    )
+    rewritten = base.join(cut, "_id", "left").select(
         F.col("_id").alias(id_col),
         F.col("n").cast("long").alias("n_tokens"),
-        (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias(text_col),
+        (F.col("n") - F.size(kept_pos)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at("toks", p)), " "
+        ).alias(text_col),
     )
     # Rejoin the batch's OTHER columns (source, stats, ...) so the corpus
     # table keeps the input schema plus the rewrite accounting — the
