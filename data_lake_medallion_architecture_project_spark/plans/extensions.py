@@ -2250,3 +2250,84 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy"
         ),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Semantic split contamination (round 12): embedding-space decontamination.
+# --------------------------------------------------------------------------- #
+
+_SEM_CONTAM_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM v
+),
+leaks AS (
+  SELECT b.vec_id, b.split
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.split = 'train' AND b.split <> 'train'
+    AND list_sum(list_transform(list_zip(a.e, b.e), t -> t[1] * t[2]))
+        / (a.nrm * b.nrm) >= 0.4
+)
+SELECT vec_id, split, CAST(COUNT(*) AS BIGINT) AS n_train_neighbors
+FROM leaks GROUP BY vec_id, split
+"""
+
+
+@register(
+    "semantic_split_contamination",
+    oracle=_SEM_CONTAM_ORACLE,
+    tags=("similarity", "training", "dedup"),
+)
+def semantic_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DECONTAMINATION of the train/eval boundary: every
+    val/test vector with a train vector at cosine ≥ 0.4, with its
+    train-neighbor count — the semantic tier of the n-gram
+    ``train_eval_contamination`` check (paraphrase-level leaks share no
+    n-grams but do share embedding neighborhoods; this is what makes eval
+    scores honest after aggressive dedup). The split is the corpus'
+    canonical md5 80/10/10 rule (``doc_split_summary``), computed map-side
+    from the id — leak-free to evaluate because no text is consulted.
+
+    Scale shape: pairs come from the EXACT blocked-matmul operator
+    (``blocked_cosine_pairs`` — B·n shuffle, one BLAS matmul per block
+    pair, never an n² pair stream), split tags are scan-side expressions,
+    and the final aggregate is leak-sized. Swap in ``cosine_lsh_pairs``
+    for the recall-tunable approximate tier at web scale; the oracle
+    replays the exact form."""
+    from ..operators.similarity import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, n_blocks=8
+    )
+    bucket = lambda c: F.substring(F.md5(F.col(c).cast("string")), 1, 2)  # noqa: E731
+    split_of = lambda c: (  # noqa: E731
+        F.when(bucket(c) < "cc", "train")
+        .when(bucket(c) < "e6", "val")
+        .otherwise("test")
+    )
+    p = pairs.select(
+        "id_a", "id_b", split_of("id_a").alias("sa"), split_of("id_b").alias("sb")
+    )
+    leaks = p.filter(
+        ((F.col("sa") == "train") & (F.col("sb") != "train"))
+        | ((F.col("sb") == "train") & (F.col("sa") != "train"))
+    )
+    ev = leaks.select(
+        F.when(F.col("sa") == "train", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("vec_id"),
+        F.when(F.col("sa") == "train", F.col("sb"))
+        .otherwise(F.col("sa"))
+        .alias("split"),
+    )
+    return ev.groupBy("vec_id", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_neighbors")
+    )

@@ -760,3 +760,36 @@ def test_normalized_dedup_collapses_reformatted_variants(spark):
         .collect()
     }
     assert groups == {1: 3, 4: 1}
+
+
+def test_semantic_split_contamination_cross_check(spark):
+    """The contamination list must equal what the independent brute-force
+    pair query + the canonical md5 split rule imply: for every reported
+    eval vector, its train-neighbor count matches; no train vector is ever
+    reported; vectors with only same-split neighbors are absent."""
+    import collections
+    import hashlib
+
+    from data_lake_medallion_architecture_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def split_of(vid: int) -> str:
+        b = hashlib.md5(str(vid).encode()).hexdigest()[:2]
+        return "train" if b < "cc" else ("val" if b < "e6" else "test")
+
+    pairs = REGISTRY["embedding_near_dup_pairs"].build(spark, sf).collect()
+    want = collections.Counter()
+    for r in pairs:
+        sa, sb = split_of(r["id_a"]), split_of(r["id_b"])
+        if sa == "train" and sb != "train":
+            want[(r["id_b"], sb)] += 1
+        elif sb == "train" and sa != "train":
+            want[(r["id_a"], sa)] += 1
+
+    got = {
+        (r["vec_id"], r["split"]): r["n_train_neighbors"]
+        for r in REGISTRY["semantic_split_contamination"].build(spark, sf).collect()
+    }
+    assert got == dict(want) and got  # non-vacuous on the gate corpus
+    assert all(split_of(v) != "train" for v, _ in got)
