@@ -574,7 +574,13 @@ def excise_shared_ngrams(
     it as a window over the gate corpus."""
     toks = tokenize(text_col)
     base = docs.select(
-        F.col(id_col).alias("_id"), toks.alias("toks"), F.size(toks).alias("n")
+        F.col(id_col).alias("_id"),
+        toks.alias("toks"),
+        # NULL text ⇒ NULL n in BOTH ANSI modes: with ansi.enabled=false
+        # (the engine session default) size(NULL) is -1, which would leak
+        # -1/-4 into n_tokens/n_removed; the oracle (len(NULL) in DuckDB)
+        # and ANSI mode both say NULL. Guard explicitly, don't coalesce.
+        F.when(toks.isNull(), F.lit(None)).otherwise(F.size(toks)).alias("n"),
     )
     occ = base.filter(F.col("n") >= n).select(
         "_id",
@@ -635,8 +641,16 @@ def excise_shared_ngrams(
             F.col("_id").alias(id_col),
             F.col("n").cast("long").alias("n_tokens"),
             (F.col("n") - F.size(kept_pos)).cast("long").alias("n_removed"),
-            F.array_join(
-                F.transform(kept_pos, lambda p: F.element_at("toks", p)), " "
+            # coalesce: NULL text ⇒ NULL toks ⇒ the whole rebuild chain is
+            # NULL, but the contract (and the DuckDB oracle) is '' — the
+            # r12 cut-position rewrite dropped this and broke byte parity
+            # on NULL-text corpora (ADVICE r12).
+            F.coalesce(
+                F.array_join(
+                    F.transform(kept_pos, lambda p: F.element_at("toks", p)),
+                    " ",
+                ),
+                F.lit(""),
             ).alias("cleaned_text"),
         )
     )

@@ -58,7 +58,11 @@ def _occurrences(batch_df: DataFrame, id_col: str, text_col: str, n: int):
     occurrence rows — the batch operator's construction."""
     toks = tokenize(text_col)
     base = batch_df.select(
-        F.col(id_col).alias("_id"), toks.alias("toks"), F.size(toks).alias("n")
+        F.col(id_col).alias("_id"),
+        toks.alias("toks"),
+        # NULL-text guard mirrors the batch operator (ADVICE r12): NULL n
+        # in both ANSI modes, never the legacy -1 of size(NULL).
+        F.when(toks.isNull(), F.lit(None)).otherwise(F.size(toks)).alias("n"),
     )
     occ = (
         base.filter(F.col("n") >= n)
@@ -161,8 +165,14 @@ def excise_batch_against_table(
         F.col("_id").alias(id_col),
         F.col("n").cast("long").alias("n_tokens"),
         (F.col("n") - F.size(kept_pos)).cast("long").alias("n_removed"),
-        F.array_join(
-            F.transform(kept_pos, lambda p: F.element_at("toks", p)), " "
+        # coalesce mirrors the batch operator (ADVICE r12): NULL text must
+        # store '' in the corpus table, not NULL — byte parity with the
+        # certified batch rewrite and its oracle.
+        F.coalesce(
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at("toks", p)), " "
+            ),
+            F.lit(""),
         ).alias(text_col),
     )
     # Rejoin the batch's OTHER columns (source, stats, ...) so the corpus

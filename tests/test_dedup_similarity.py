@@ -793,3 +793,41 @@ def test_semantic_split_contamination_cross_check(spark):
     }
     assert got == dict(want) and got  # non-vacuous on the gate corpus
     assert all(split_of(v) != "train" for v, _ in got)
+
+
+def test_excise_null_text_matches_oracle(spark):
+    """ADVICE r12 (medium): the r12 cut-position rewrite dropped the
+    coalesce on cleaned_text, so NULL-text documents rebuilt to NULL while
+    the unchanged DuckDB oracle emits ''. Run the REAL registry oracle SQL
+    side-by-side on a corpus containing a NULL-text row and require all
+    four columns to agree per doc (NULL n_tokens/n_removed on both sides,
+    '' cleaned_text)."""
+    import duckdb
+
+    from data_lake_medallion_architecture_project_spark.operators.dedup import excise_shared_ngrams
+    from data_lake_medallion_architecture_project_spark.plans.curation import _EXCISE_ORACLE, _XGRAM_N
+
+    rows = [
+        (1, "a b c d e f a b c d e f"),
+        (2, None),
+        (3, "a b c d e f x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in excise_shared_ngrams(docs, "doc_id", "text", n=_XGRAM_N).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c d e f a b c d e f'), (2, NULL), "
+        "(3, 'a b c d e f x y z')) t(doc_id, text)"
+    )
+    want = {
+        doc_id: (n_tokens, n_removed, cleaned)
+        for doc_id, n_tokens, n_removed, cleaned in con.execute(
+            _EXCISE_ORACLE
+        ).fetchall()
+    }
+    assert got == want
+    assert got[2] == (None, None, "")  # the regression shape, pinned

@@ -222,3 +222,29 @@ def test_colliding_accounting_and_stat_columns(spark, tmp_path):
     # n_chars refreshed from the REWRITTEN text on both.
     assert rows[1]["n_chars"] == len(t1)
     assert rows[2]["n_chars"] == len("unrelated novel wording here")
+
+
+def test_null_text_doc_stores_empty_string(spark, tmp_path):
+    """ADVICE r12: a NULL-text document passing through the excision door
+    must store '' in the corpus table (the batch operator's contract), not
+    NULL — and its accounting columns stay NULL, never the legacy -1/-4 of
+    size(NULL) under ansi.enabled=false."""
+    docs = _docs(spark, [
+        (1, f"{BOILER} alpha beta gamma delta"),
+        (2, None),
+        (3, f"{BOILER} zeta eta theta iota"),
+    ])
+    corpus = TxnTable(str(tmp_path / "corpus"))
+    grams = TxnTable(str(tmp_path / "grams"))
+    excise_batch_against_table(
+        spark, corpus, grams, docs, "doc_id", "text", 5, "app", 0
+    )
+    rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+    assert rows[2]["text"] == ""
+    assert rows[2]["n_tokens"] is None and rows[2]["n_removed"] is None
+    # And byte parity with the batch operator holds corpus-wide.
+    batch = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in excise_shared_ngrams(docs, "doc_id", "text", n=5).collect()
+    }
+    assert {d: r["text"] for d, r in rows.items()} == batch
