@@ -23,6 +23,7 @@ and quality-gate layers on top.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 import struct
 from collections.abc import Iterator
 
@@ -92,6 +93,52 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Probed ONCE at import: a failed `from PIL import Image` is NOT
+# negative-cached by Python, so probing per payload pays a full sys.path
+# scan + ImportError per image inside the executor loop (measured as the
+# +63% image_dhash_catalog_png regression in BENCH_r12). find_spec answers
+# the presence question without importing anything.
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def _walk_png_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """Walk the chunk stream of a PNG payload, enforcing bounds + CRC on
+    every chunk, and return ``[(tag, body), ...]`` up to and including IEND.
+
+    Shared by the pure-stdlib decoder AND the pillow dispatch path: the
+    same malformed payload (truncated chunk, CRC mismatch, trailing
+    garbage) must be rejected identically whether or not pillow is
+    installed — acceptance is part of the determinism contract, not an
+    environment accident. Cost is one zlib.crc32 pass over the bytes
+    (~GB/s), no unfiltering."""
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, chunks = len(_PNG_MAGIC), []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        # Fail AT the parse site with a specific error: a truncated or
+        # corrupt chunk must not silently shorten and resurface later as a
+        # generic zlib error (ADVICE r11). Bounds: 4 length + 4 tag +
+        # `length` body + 4 CRC must all fit.
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk {tag!r}: declares a {length}-byte "
+                f"body but the payload ends {pos + 12 + length - len(payload)}"
+                " bytes short"
+            )
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(payload[pos + 4 : pos + 8 + length]) != crc:
+            raise ValueError(f"corrupt PNG chunk {tag!r}: CRC mismatch")
+        pos += 12 + length
+        chunks.append((tag, body))
+        if tag == b"IEND":
+            break
+    return chunks
+
 
 def encode_png(pixels: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a REAL PNG (8-bit truecolor,
@@ -129,27 +176,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     them to pillow when present)."""
     import zlib
 
-    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = len(_PNG_MAGIC), [], None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        # Fail AT the parse site with a specific error: a truncated or
-        # corrupt chunk must not silently shorten and resurface later as a
-        # generic zlib error (ADVICE r11). Bounds: 4 length + 4 tag +
-        # `length` body + 4 CRC must all fit.
-        if pos + 12 + length > len(payload):
-            raise ValueError(
-                f"truncated PNG chunk {tag!r}: declares a {length}-byte "
-                f"body but the payload ends {pos + 12 + length - len(payload)}"
-                " bytes short"
-            )
-        body = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(payload[pos + 4 : pos + 8 + length]) != crc:
-            raise ValueError(f"corrupt PNG chunk {tag!r}: CRC mismatch")
-        pos += 12 + length
+    idat, meta = [], None
+    for tag, body in _walk_png_chunks(payload):
         if tag == b"IHDR":
             meta = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
@@ -242,23 +270,27 @@ def decode_image(payload: bytes) -> np.ndarray:
         # decode_png covers (lossless format; convert("RGB") drops the
         # alpha plane without compositing, matching the [:, :, :3] slice).
         # Without pillow, decode_png is the no-dependency sandbox path and
-        # exotic flavors fail loudly below.
-        try:
-            from PIL import Image  # noqa: F401 — presence probe
-        except ImportError:
+        # exotic flavors fail loudly below. Either way the chunk stream is
+        # validated FIRST (bounds + CRC, _walk_png_chunks) so a malformed
+        # payload is rejected identically in both environments — pillow
+        # alone would accept e.g. a corrupt ancillary-chunk CRC that the
+        # stdlib path rejects, making acceptance environment-dependent.
+        if _HAS_PIL:
+            _walk_png_chunks(payload)
+        else:
             try:
                 return decode_png(payload)
             except NotImplementedError:
                 pass  # exotic PNG flavor → the loud install hint below
-    try:
-        from PIL import Image
-    except ImportError:
+    if not _HAS_PIL:
         raise NotImplementedError(
             "built-in decode covers BMP and 8-bit truecolor PNG; "
             "JPEG/WebP/other PNG flavors need pillow (pip install pillow) "
             "wired in at this dispatch point"
-        ) from None
+        )
     import io
+
+    from PIL import Image
 
     with Image.open(io.BytesIO(payload)) as img:
         return np.asarray(img.convert("RGB"), dtype=np.uint8)

@@ -290,3 +290,82 @@ def test_png_crc_mismatch_is_detected():
     payload[idx + 2] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(payload))
+
+
+def test_decode_image_never_reprobes_pil_per_payload():
+    """BENCH_r12 regression (VERDICT r12 finding 1): without pillow, the old
+    dispatch re-attempted `from PIL import Image` for EVERY PNG payload —
+    Python does not negative-cache failed imports, so each image paid a
+    sys.path scan + ImportError inside the executor loop (+63% on
+    image_dhash_catalog_png). Presence is now a module-level find_spec flag;
+    decoding N payloads must attempt zero PIL imports."""
+    import builtins
+
+    from data_lake_medallion_architecture_project_spark.operators import multimodal
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    payloads = [encode_png(_noise(s, h=8, w=8)) for s in range(10)]
+    attempts = []
+    real_import = builtins.__import__
+
+    def counting_import(name, *args, **kwargs):
+        if name == "PIL" or name.startswith("PIL."):
+            attempts.append(name)
+        return real_import(name, *args, **kwargs)
+
+    builtins.__import__ = counting_import
+    try:
+        if multimodal._HAS_PIL:  # pragma: no cover - pillow-less sandbox
+            # Pillow present: ONE lazy import on first use is fine; the
+            # assertion is that it is not per-payload.
+            for p in payloads:
+                decode_image(p)
+            assert len(attempts) <= len(set(attempts)) + 1
+        else:
+            for p in payloads:
+                decode_image(p)
+            assert attempts == []
+    finally:
+        builtins.__import__ = real_import
+
+
+def test_decode_image_rejects_malformed_png_regardless_of_pillow():
+    """Determinism contract (ADVICE r12): the SAME malformed payload must be
+    rejected whether or not pillow is installed — decode_image validates the
+    chunk stream (bounds + CRC) BEFORE any pillow dispatch, so acceptance is
+    never environment-dependent."""
+    import pytest
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(_noise(3, h=4, w=4)))
+    idx = bytes(payload).index(b"IDAT") + 4
+    payload[idx + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_image(bytes(payload))
+    import struct
+
+    good = encode_png(_noise(3, h=4, w=4))
+    idat_len_pos = good.index(b"IDAT") - 4
+    (declared,) = struct.unpack_from(">I", good, idat_len_pos)
+    trunc = good[: idat_len_pos + 8 + declared - 2]  # cut into IDAT body
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_image(trunc)
+
+
+def test_png_average_paeth_realistic_scanline_widths():
+    """VERDICT r12 item 6: the Average/Paeth serial-reconstruction branches
+    exercised at realistic scanline widths (256 px x 3 ch = 768-byte
+    stride), not just toy 13-px lines — an all-Paeth and an all-Average
+    payload each reconstruct bit-exactly."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_png
+
+    px = _noise(11, h=48, w=256)
+    for ft in (3, 4):
+        assert np.array_equal(decode_png(_png_with_filters(px, [ft])), px), ft
