@@ -15,8 +15,14 @@ Composition of the same trusted pieces as ``quality_ingest.py``:
 2. **Map-side scrubbing** — the three masks are the batch query's regexes
    applied with a case-insensitivity flag (the batch query certifies the
    patterns against DuckDB on lowercased text; the door preserves the
-   document's case and matches case-blind). Counts are taken BEFORE
-   rewriting. All JVM regex — no shuffle, no Python.
+   document's case and matches case-blind). Each class is counted on the
+   text AS IT EXISTS when that mask is applied (email count on the raw
+   text, IP count after the email mask, phone count after both), so the
+   audit counts are exactly the replacements performed — a phone-shaped
+   local part swallowed by the email mask is counted once, as an email
+   (ADVICE r12; ``pii_scan_stats``' counts are independent pre-rewrite
+   match counts, which can overstate on such overlaps — identical on
+   non-overlapping text). All JVM regex — no shuffle, no Python.
 3. **One atomic append with an idempotency marker** — rows
    ``merge_upsert`` into the corpus table keyed on the doc id with the
    (app_id, batch_id) marker: a crash between commit and checkpoint
@@ -62,18 +68,23 @@ def scrubbed_batch(
     counts (door-owned names replace any same-named stored columns), a
     refreshed ``n_chars`` when the batch carries one, and the partition
     shard. NULL text stays NULL with zero counts — a row is never dropped
-    for being unscoreable."""
+    for being unscoreable. Counts are REPLACEMENT counts: each class is
+    matched against the text after the earlier masks have applied, so a
+    match consumed by an earlier mask is never double-counted."""
     # NULL text → zero counts (size() of a NULL array is -1 or NULL
     # depending on the session's legacy flag — never trust it on NULLs).
-    counts = {
-        name: F.when(F.col(text_col).isNull(), F.lit(0))
-        .otherwise(F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)))
-        .cast("long")
-        for pat, _, name in _MASKS
-    }
-    redacted = F.col(text_col)
-    for pat, mask, _ in _MASKS:
-        redacted = F.regexp_replace(redacted, pat, mask)
+    # `cur` walks the mask pipeline; each count snapshot sees the text as
+    # that mask sees it. Codegen CSE dedupes the repeated replace chains.
+    counts = {}
+    cur = F.col(text_col)
+    for pat, mask, name in _MASKS:
+        counts[name] = (
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)))
+            .cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, mask)
+    redacted = cur
     out = (
         batch_df.drop(*[name for _, _, name in _MASKS])
         .withColumns(counts)

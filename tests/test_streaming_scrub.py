@@ -112,3 +112,30 @@ def test_run_scrub_ingest_files_exactly_once(spark, tmp_path):
     assert n == 100
     assert run_scrub_ingest(spark, src, corpus, ckpt) == 0
     assert TxnTable(corpus).read(spark).count() == 100
+
+
+def test_scrub_counts_are_replacement_counts_on_overlap(spark):
+    """ADVICE r12: a phone-shaped substring inside an email local part is
+    swallowed by the email mask — it must be counted ONCE, as an email,
+    never also as a phone. Counts are what the scrubber actually replaced."""
+    docs = spark.createDataFrame(
+        [
+            # local part contains 555-123-4567 which the email regex's
+            # [a-z0-9._%+-]+ swallows; no standalone phone remains.
+            (1, "reach me at bob.555-123-4567@example.com today"),
+            # a standalone phone AND an email: one of each.
+            (2, "mail a@b.co or call 555-123-4567 now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrubbed_batch(docs).collect()}
+    assert rows[1]["n_emails_redacted"] == 1
+    assert rows[1]["n_phones_redacted"] == 0  # swallowed, not replaced
+    assert "<PHONE>" not in rows[1]["text"] and "<EMAIL>" in rows[1]["text"]
+    assert rows[2]["n_emails_redacted"] == 1
+    assert rows[2]["n_phones_redacted"] == 1
+    # Replacement-count invariant: per class, count == occurrences of the
+    # mask token newly present in the redacted text.
+    for r in rows.values():
+        assert r["n_phones_redacted"] == r["text"].count("<PHONE>")
+        assert r["n_emails_redacted"] == r["text"].count("<EMAIL>")
