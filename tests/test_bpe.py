@@ -319,3 +319,15 @@ def test_flat_chain_equals_canonical_encode_property():
             )
 
     inner()
+
+
+def test_pinned_merge_results_are_distinct():
+    """ADVICE r12: the replace-chain equivalence proof assumes no two
+    merges concatenate to the same symbol string (('a','bc') vs ('ab','c')
+    → 'abc'). tools/pin_bpe.py now asserts this before writing the table;
+    this pins the invariant on the SHIPPED table so a hand-edited
+    _pinned_bpe.py is caught too."""
+    from data_lake_medallion_architecture_project_spark.plans._pinned_bpe import _BPE_MERGES
+
+    results = [a + b for a, b in _BPE_MERGES]
+    assert len(results) == len(set(results))

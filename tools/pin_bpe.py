@@ -35,6 +35,22 @@ spark = (
 docs = load_table(spark, sf_dir, "documents")
 merges = train_bpe(docs, n_merges=n_merges)
 
+# Invariant the flat-string replace chain's equivalence proof rests on
+# (plans/tokenization.py:_bpe_replace_chain, ADVICE r12): no two merges may
+# concatenate to the SAME symbol string — e.g. ('a','bc') and ('ab','c')
+# both yielding 'abc' would make the later rewrite's search pattern
+# constructible by the earlier one, breaking "a later rewrite can never
+# create an occurrence of an earlier pair". Assert at pin time so a bad
+# table can never be written, instead of surfacing later as a parity test
+# failure.
+_results = [a + b for a, b in merges]
+_dups = {r for r in _results if _results.count(r) > 1}
+assert not _dups, (
+    f"pinned merge table violates the distinct-result invariant: {_dups!r} "
+    "produced by more than one merge — the replace-chain encoding is not "
+    "equivalent to canonical BPE for this table; do not pin it"
+)
+
 out = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data_lake_medallion_architecture_project_spark",
