@@ -650,3 +650,74 @@ def test_scrub_pii_stage(spark, tmp_path):
     assert out[3]["text"] == rows[2][1]  # untouched
     for d in out.values():  # stat refreshed against the masked text
         assert d["n_chars"] == len(d["text"])
+
+
+def test_mix_alpha_stage_matches_certified_query(spark, tmp_path):
+    """VERDICT r12 item 7: --mix-alpha 0.5 wires the certified
+    temperature_mix_sample surface into the front door. On a fixture corpus
+    that the earlier stages pass through untouched (unique docs, all above
+    the quality gate, cap not binding), the door's kept set must equal the
+    certified registry query's on the same table byte-for-byte, and the
+    attrition report must carry the per-source quota table."""
+    import hashlib
+
+    from data_lake_medallion_architecture_project_spark.plans.registry import REGISTRY
+
+    def words(seed, n=30):
+        return " ".join(
+            hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8] for i in range(n)
+        )
+
+    rows = []
+    doc_id = 0
+    for src, n in (("src0", 64), ("src1", 16), ("src2", 4)):
+        for _ in range(n):
+            rows.append((doc_id, src, words(doc_id)))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf_fixture = str(tmp_path / "sf_fixture")
+    docs.write.parquet(f"{sf_fixture}/documents.parquet")
+
+    report = prepare_corpus(
+        spark,
+        f"{sf_fixture}/documents.parquet",
+        str(tmp_path / "out"),
+        min_tokens=1,
+        source_cap=10_000,
+        n_shards=1,
+        mix_alpha=0.5,
+    )
+    # Pre-mix stages drop nothing on this corpus.
+    assert report["after_near_dedup"] == report["input"] == len(rows)
+
+    kept_cert = {
+        r["doc_id"]
+        for r in REGISTRY["temperature_mix_sample"].build(spark, sf_fixture).collect()
+    }
+    out_ids = set()
+    import glob as _glob
+    import json as _json
+
+    for f in _glob.glob(str(tmp_path / "out" / "*" / "shard=*" / "part-*.json")):
+        with open(f) as fh:
+            out_ids.update(_json.loads(line)["doc_id"] for line in fh if line.strip())
+    assert out_ids == kept_cert
+    assert report["after_temperature_mix"] == len(kept_cert)
+
+    # Quota report: every source present, kept <= quota <= n_docs.
+    q = report["mix_alpha_quotas"]
+    assert set(q) == {"src0", "src1", "src2"}
+    for src, n in (("src0", 64), ("src1", 16), ("src2", 4)):
+        assert q[src]["n_docs"] == n
+        assert 0 < q[src]["quota"] <= n
+
+    # Unsupported exponent fails loudly, not silently-approximately.
+    import pytest
+
+    with pytest.raises(ValueError, match="0.5"):
+        prepare_corpus(
+            spark,
+            f"{sf_fixture}/documents.parquet",
+            str(tmp_path / "out2"),
+            mix_alpha=0.9,
+        )
