@@ -8,15 +8,21 @@ Headline set = queries tagged "bench" in the registry (scan-heavy aggregate,
 join chains, pivot, window, dedup, text, similarity) — the queries whose plan
 shape matters at 100 TB.
 
-Cross-session protocol (round 9): the whole query set runs in TWO fresh JVM
-subprocesses and the reported time is the per-query best across sessions.
-Rationale: rounds 6 and 8 both produced 15-55% apparent per-query
-"regressions" on byte-identical code that a fresh-session re-measurement
-refuted — single-session numbers conflate plan cost with host/JIT/session
-drift. The JSON also carries the observed between-session delta
-(``session_delta_pct`` per query, ``median_session_delta_pct`` overall), the
-noise floor any round-over-round comparison should be read against.
-Set SPARK_GRAFT_BENCH_SESSIONS=1 to fall back to the old single-session run.
+Cross-session protocol (round 13, per VERDICT r12 item 2): the whole query
+set runs in THREE fresh JVM subprocesses and the reported time is the
+per-query MEDIAN across sessions of each session's best-of-k interleaved
+passes. Rationale: rounds 6 and 8 produced 15-55% apparent per-query
+"regressions" on byte-identical code that fresh-session re-measurement
+refuted, and round 12's official total drifted +12.4% across 29 UNTOUCHED
+queries — single-session (and best-of-two-session) numbers conflate plan
+cost with host/JIT/session drift; the median of three sessions is robust to
+one slow AND one fast outlier session. The JSON also carries the observed
+between-session delta (``session_delta_pct`` per query,
+``median_session_delta_pct`` overall), the noise floor any round-over-round
+comparison should be read against, and per-query spread is computed over
+the WARM samples pooled across all sessions with the single max dropped.
+Set SPARK_GRAFT_BENCH_SESSIONS=1 for a quick single-session run (reported
+value falls back to that session's best).
 """
 
 from __future__ import annotations
@@ -31,15 +37,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Queries whose r10 BENCH_DETAIL warm-pass spread exceeded 25% — they get two
-# extra interleaved passes (5 samples) and a single-max-trimmed spread, so the
-# reported noise floor reflects their typical cost rather than one outlier run.
+# Queries whose r10/r12 BENCH_DETAIL warm-pass spread exceeded 25% — they get
+# two extra interleaved passes (5 samples) and a single-max-trimmed spread, so
+# the reported noise floor reflects their typical cost rather than one outlier
+# run. (daily_sales_summary / large_orders / bpe_encoded_token_counts joined
+# in r13: 30-52% spreads in BENCH_r12's detail.)
 _NOISY_TAIL = frozenset(
     {
         "contrastive_training_triples",
         "purchases_with_last_click",
         "customer_activity_summary",
         "orders_reconciliation_diff",
+        "daily_sales_summary",
+        "large_orders",
+        "bpe_encoded_token_counts",
     }
 )
 
@@ -80,17 +91,12 @@ def run_pass(sf_dir: str) -> dict[str, dict]:
 
     out: dict[str, dict] = {}
     for name, rs in runs.items():
-        # Spread over the WARM passes — the within-session noise floor. With
-        # >=4 warm samples (the noisy tail) drop the single max: one outlier
-        # sample is host noise, not plan cost.
-        warm = sorted(rs[1:])
-        if len(warm) >= 4:
-            warm = warm[:-1]
+        # The session's contribution: its best pass, plus the raw WARM
+        # samples (pass 2+) — the parent pools warm samples across sessions
+        # for the reported spread (r13 protocol).
         out[name] = {
             "best": round(min(rs), 3),
-            "spread_pct": round(
-                100.0 * (max(warm) - min(warm)) / max(min(warm), 1e-9), 1
-            ),
+            "warm": [round(s, 3) for s in rs[1:]],
         }
     return out
 
@@ -99,7 +105,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
 
     if os.environ.get("_SPARK_GRAFT_BENCH_CHILD"):
         print("\n" + json.dumps(run_pass(sf_dir)))
@@ -138,8 +144,29 @@ def main() -> None:
             passes.append(parsed)
 
     names = list(passes[0])
-    timings = {n: round(min(p[n]["best"] for p in passes), 3) for n in names}
-    spread = {n: max(p[n]["spread_pct"] for p in passes) for n in names}
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid])
+
+    # Reported value: per-query MEDIAN across sessions of each session's
+    # best pass — robust to one slow and one fast outlier session (r13
+    # protocol). A single-session run degenerates to that session's best.
+    timings = {
+        n: round(median([p[n]["best"] for p in passes]), 3) for n in names
+    }
+    # Spread: warm samples POOLED across sessions, single max dropped (one
+    # outlier sample is host noise, not plan cost), (max-min)/min over the
+    # rest — the noise floor for round-over-round comparison.
+    spread = {}
+    for n in names:
+        warm = sorted(s for p in passes for s in p[n]["warm"])
+        if len(warm) >= 4:
+            warm = warm[:-1]
+        spread[n] = round(
+            100.0 * (warm[-1] - warm[0]) / max(warm[0], 1e-9), 1
+        )
     session_delta = {
         n: round(
             100.0
@@ -152,6 +179,11 @@ def main() -> None:
     deltas = sorted(session_delta.values())
     spreads = sorted(spread.values())
     detail = {
+        "protocol": (
+            f"median over {len(passes)} fresh-JVM sessions of per-session "
+            "best-of-k interleaved passes (k=3, 5 for the noisy tail); "
+            "spread = pooled warm samples, single max dropped"
+        ),
         "spread_pct": spread,
         "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
         "sessions": len(passes),

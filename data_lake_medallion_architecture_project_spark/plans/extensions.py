@@ -2283,7 +2283,9 @@ FROM leaks GROUP BY vec_id, split
 @register(
     "semantic_split_contamination",
     oracle=_SEM_CONTAM_ORACLE,
-    tags=("similarity", "training", "dedup"),
+    # bench (r13): official per-round timing for the r12 semantic-decon
+    # operator, per VERDICT r12 item 4.
+    tags=("similarity", "training", "dedup", "bench"),
 )
 def semantic_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space DECONTAMINATION of the train/eval boundary: every

@@ -263,7 +263,9 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 @register(
     "bpe_token_counts_vocab",
     oracle=_bpe_vocab_oracle(),
-    tags=("text", "training", "ml"),
+    # bench (r13): this is the tier users actually run at scale — the flat
+    # twin was measured while the scale path had only SCALE.md self-probes.
+    tags=("text", "training", "ml", "bench"),
 )
 def bpe_token_counts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-TIER form of ``bpe_encoded_token_counts`` — identical
