@@ -7,10 +7,12 @@ in columnar batches and never hit the driver.
 
 Decode is REAL for uncompressed 24-bit BMP (``decode_image`` /
 ``encode_bmp``), 8-bit truecolor PNG (``encode_png`` / ``decode_png`` —
-zlib DEFLATE + all five scanline filters, pure stdlib), and PCM16 mono WAV
-(``decode_wav`` / ``encode_wav``) — no media library needed — and
-``resize_image`` is a real numpy nearest-neighbor resampler. Formats that
-genuinely need external codecs (JPEG/WebP/compressed audio/video, exotic
+zlib DEFLATE + all five scanline filters, pure stdlib), baseline JPEG
+(``operators/jpeg.py`` — huffman + DCT, 4:4:4/4:2:2/4:2:0, restart
+intervals, pure stdlib + numpy), and PCM16 mono WAV (``decode_wav`` /
+``encode_wav``) — no media library needed — and ``resize_image`` is a
+real numpy nearest-neighbor resampler. Formats that genuinely need
+external codecs (WebP/progressive JPEG/compressed audio/video, exotic
 PNG flavors) dispatch to pillow when installed and raise
 ``NotImplementedError`` otherwise at the same dispatch points — swap in
 PIL/libvips/ffmpeg there and nothing else changes.
@@ -254,13 +256,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (h, w, 3) uint8 RGB array.
 
-    BMP and 8-bit-truecolor PNG decode through the pure-stdlib codecs above
-    (always available, the sandbox default). Every other format
-    (JPEG/WebP/exotic PNG flavors/...) dispatches to pillow when it is
-    installed — the opt-in production path; downstream operators (dHash,
-    resize, frame stats) are format-agnostic either way. Without pillow,
-    those payloads raise NotImplementedError so a misconfigured cluster
-    fails loudly instead of producing fake features."""
+    BMP, 8-bit-truecolor PNG, and baseline JPEG decode through the
+    pure-stdlib codecs (always available, the sandbox default). Every
+    other format (WebP/progressive JPEG/exotic PNG flavors/...) dispatches
+    to pillow when it is installed — the opt-in production path;
+    downstream operators (dHash, resize, frame stats) are format-agnostic
+    either way. Without pillow, those payloads raise NotImplementedError
+    so a misconfigured cluster fails loudly instead of producing fake
+    features."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -282,11 +285,25 @@ def decode_image(payload: bytes) -> np.ndarray:
                 return decode_png(payload)
             except NotImplementedError:
                 pass  # exotic PNG flavor → the loud install hint below
+    if payload[:2] == b"\xff\xd8" and not _HAS_PIL:
+        # Baseline JPEG decodes through the pure-stdlib codec (the same
+        # fallback role decode_png plays); progressive/arithmetic/12-bit
+        # streams fall through to the loud install hint. With pillow
+        # installed, JPEG goes to libjpeg below — NOTE the documented
+        # caveat in operators/jpeg.py: JPEG pixel values may differ by
+        # ±1-2 LSB between IDCT implementations (spec-licensed variance),
+        # unlike the bit-exact lossless PNG/BMP paths.
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass
     if not _HAS_PIL:
         raise NotImplementedError(
-            "built-in decode covers BMP and 8-bit truecolor PNG; "
-            "JPEG/WebP/other PNG flavors need pillow (pip install pillow) "
-            "wired in at this dispatch point"
+            "built-in decode covers BMP, 8-bit truecolor PNG, and baseline "
+            "JPEG; WebP/progressive-JPEG/other PNG flavors need pillow "
+            "(pip install pillow) wired in at this dispatch point"
         )
     import io
 
@@ -488,6 +505,68 @@ def attach_fake_textured_png_payloads(
         _encode,
         schema=StructType(
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def attach_fake_textured_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id", group: int = 1, quality: int = 90
+) -> DataFrame:
+    """The JPEG twin of ``attach_fake_textured_bmp_payloads`` — identical
+    textured pixels, encoded through the pure-stdlib baseline JPEG codec
+    (``operators/jpeg.py``, huffman + DCT). Unlike the lossless BMP/PNG
+    twins the decoded PIXELS are not bit-replayable (lossy; the spec
+    licenses ±1-2 LSB IDCT variance), so oracle-gated queries over these
+    payloads must emit only structure-exact facts (dimensions, component
+    count); pixel-level fidelity is certified by tests/test_jpeg.py."""
+    from .jpeg import encode_jpeg
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(_textured_pixels(int(doc_id), group), quality)
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def image_decode_dims(payloads: DataFrame) -> DataFrame:
+    """(doc_id, img_width, img_height) per payload through the REAL decode
+    path (``decode_image`` dispatch, Arrow-batched) — the structure-exact
+    surface every supported container (BMP/PNG/JPEG) can certify against a
+    SQL oracle even when its pixel values cannot (lossy codecs)."""
+
+    def _dims(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            ws, hs = [], []
+            for payload in batch.column("payload"):
+                px = decode_image(payload.as_py())
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "img_width": pa.array(ws, pa.int64()),
+                    "img_height": pa.array(hs, pa.int64()),
+                }
+            )
+
+    return payloads.mapInArrow(
+        _dims,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("img_width", LongType()),
+                StructField("img_height", LongType()),
+            ]
         ),
     )
 

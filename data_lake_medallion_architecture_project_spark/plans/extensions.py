@@ -1189,6 +1189,39 @@ def image_dhash_catalog_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(attach_fake_textured_png_payloads(docs))
 
 
+_JPEG_DIMS_ORACLE = """
+SELECT doc_id,
+       CAST(16 + doc_id % 13 AS BIGINT) AS img_width,
+       CAST(2 * (8 + doc_id % 11) AS BIGINT) AS img_height
+FROM documents
+"""
+
+
+@register("image_jpeg_decode_dims", oracle=_JPEG_DIMS_ORACLE,
+          tags=("multimodal",))
+def image_jpeg_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY-format member of the image catalog family: the same
+    textured pixels encoded as real baseline JPEG (huffman entropy coding
+    + DCT + quantization, ``operators/jpeg.py``), decoded through the same
+    ``decode_image`` dispatch inside mapInArrow, emitting per-image
+    dimensions. The oracle is deliberately structure-only: JPEG is lossy
+    and the spec licenses ±1-2 LSB IDCT variance, so a pixel value-hash
+    would be dishonest cross-engine — dimensions survive the
+    pad-to-MCU-grid → crop roundtrip exactly, so a wrong SOF parse, MCU
+    geometry, or crop bound fails the hash here, while pixel fidelity is
+    certified by tests/test_jpeg.py (roundtrip error bounds + published
+    Annex-K table spot checks). Scale shape: identical to the BMP/PNG
+    catalogs — synthesis and decode are scan-side Arrow batches, no
+    exchange carries payload bytes."""
+    from ..operators.multimodal import (
+        attach_fake_textured_jpeg_payloads,
+        image_decode_dims,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_decode_dims(attach_fake_textured_jpeg_payloads(docs))
+
+
 def _video_dhash_oracle_sql(stride: int = 2, grouped: bool = False) -> str:
     """(doc_id, frame_idx, dhash) replay of operators/multimodal.py:
     _textured_frame_pixels + dhash64 over the sampled keyframes: pixel

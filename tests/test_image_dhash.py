@@ -214,10 +214,11 @@ def test_image_dhash_is_format_agnostic_png_vs_bmp(spark):
 
 
 def test_non_builtin_format_dispatches_to_pillow_or_fails_loudly():
-    """Without pillow, a JPEG payload must raise NotImplementedError naming
-    pillow (fail loudly, never fake features); with pillow installed, the
-    same dispatch point must decode a real JPEG. Both branches are real
-    assertions — no skip either way."""
+    """Without pillow, a format outside the built-in codecs (WebP here —
+    baseline JPEG is built-in since r13) must raise NotImplementedError
+    naming pillow (fail loudly, never fake features); with pillow
+    installed, the same dispatch point must decode a real JPEG. Both
+    branches are real assertions — no skip either way."""
     import pytest
 
     from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_image
@@ -230,8 +231,9 @@ def test_non_builtin_format_dispatches_to_pillow_or_fails_loudly():
         have_pillow = False
 
     if not have_pillow:
+        webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"\x00" * 24
         with pytest.raises(NotImplementedError, match="pillow"):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
+            decode_image(webp)
     else:  # pragma: no cover - sandbox has no pillow; runs on real clusters
         import io
 
