@@ -19,10 +19,15 @@ cost with host/JIT/session drift; the median of three sessions is robust to
 one slow AND one fast outlier session. The JSON also carries the observed
 between-session delta (``session_delta_pct`` per query,
 ``median_session_delta_pct`` overall), the noise floor any round-over-round
-comparison should be read against, and per-query spread is computed over
-the WARM samples pooled across all sessions with the single max dropped.
-Set SPARK_GRAFT_BENCH_SESSIONS=1 for a quick single-session run (reported
-value falls back to that session's best).
+comparison should be read against. Per-query spread is the MEDIAN across
+sessions of each session's warm-sample spread (single max dropped when a
+session has ≥4 warm samples) — within-session repeatability, deliberately
+separated from between-session drift, which ``session_delta_pct`` carries;
+``spread_abs_sec`` gives the same quantity in seconds, because on sub-
+second queries a ±60 ms scheduler/GC wobble reads as a large percentage
+while being pure noise floor. Set SPARK_GRAFT_BENCH_SESSIONS=1 for a
+quick single-session run (reported value falls back to that session's
+best).
 """
 
 from __future__ import annotations
@@ -156,17 +161,25 @@ def main() -> None:
     timings = {
         n: round(median([p[n]["best"] for p in passes]), 3) for n in names
     }
-    # Spread: warm samples POOLED across sessions, single max dropped (one
-    # outlier sample is host noise, not plan cost), (max-min)/min over the
-    # rest — the noise floor for round-over-round comparison.
+    # Spread: each session's warm spread (single max dropped at >=4 warm
+    # samples — one outlier is host noise, not plan cost), then the MEDIAN
+    # across sessions. Pooling warm samples across sessions would conflate
+    # within-session repeatability with between-session drift, which
+    # session_delta_pct reports separately.
     spread = {}
+    spread_abs = {}
     for n in names:
-        warm = sorted(s for p in passes for s in p[n]["warm"])
-        if len(warm) >= 4:
-            warm = warm[:-1]
-        spread[n] = round(
-            100.0 * (warm[-1] - warm[0]) / max(warm[0], 1e-9), 1
-        )
+        per_sess_pct, per_sess_abs = [], []
+        for p in passes:
+            warm = sorted(p[n]["warm"])
+            if len(warm) >= 4:
+                warm = warm[:-1]
+            per_sess_pct.append(
+                100.0 * (warm[-1] - warm[0]) / max(warm[0], 1e-9)
+            )
+            per_sess_abs.append(warm[-1] - warm[0])
+        spread[n] = round(median(per_sess_pct), 1)
+        spread_abs[n] = round(median(per_sess_abs), 3)
     session_delta = {
         n: round(
             100.0
@@ -182,9 +195,12 @@ def main() -> None:
         "protocol": (
             f"median over {len(passes)} fresh-JVM sessions of per-session "
             "best-of-k interleaved passes (k=3, 5 for the noisy tail); "
-            "spread = pooled warm samples, single max dropped"
+            "spread = median across sessions of per-session warm spread "
+            "(single max dropped at >=4 warm); session drift reported "
+            "separately in session_delta_pct"
         ),
         "spread_pct": spread,
+        "spread_abs_sec": spread_abs,
         "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
         "sessions": len(passes),
         "session_delta_pct": session_delta,
