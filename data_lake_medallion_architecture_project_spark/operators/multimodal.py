@@ -285,6 +285,12 @@ def decode_image(payload: bytes) -> np.ndarray:
                 return decode_png(payload)
             except NotImplementedError:
                 pass  # exotic PNG flavor → the loud install hint below
+    if payload[:6] in (b"GIF87a", b"GIF89a") and not _HAS_PIL:
+        # GIF is lossless — the pure-stdlib LZW decoder is bit-exact, so
+        # unlike JPEG there is no cross-implementation variance to flag.
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8" and not _HAS_PIL:
         # Baseline JPEG decodes through the pure-stdlib codec (the same
         # fallback role decode_png plays); progressive/arithmetic/12-bit
@@ -301,9 +307,9 @@ def decode_image(payload: bytes) -> np.ndarray:
             pass
     if not _HAS_PIL:
         raise NotImplementedError(
-            "built-in decode covers BMP, 8-bit truecolor PNG, and baseline "
-            "JPEG; WebP/progressive-JPEG/other PNG flavors need pillow "
-            "(pip install pillow) wired in at this dispatch point"
+            "built-in decode covers BMP, 8-bit truecolor PNG, baseline "
+            "JPEG, and GIF; WebP/progressive-JPEG/other PNG flavors need "
+            "pillow (pip install pillow) wired in at this dispatch point"
         )
     import io
 
@@ -497,6 +503,35 @@ def attach_fake_textured_png_payloads(
         for pdf in batches:
             payloads = [
                 encode_png(_textured_pixels(int(doc_id), group))
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def attach_fake_textured_gif_payloads(
+    df: DataFrame, id_col: str = "doc_id", group: int = 1,
+    interlace: bool = False,
+) -> DataFrame:
+    """The GIF twin of ``attach_fake_textured_bmp_payloads`` — identical
+    textured pixels (grayscale mod-250, well inside GIF's 256-color
+    budget) through real variable-width LZW. GIF is lossless, so the same
+    pixel-arithmetic SQL oracle certifies the whole encode → decode
+    roundtrip bit-for-bit, the PNG-catalog pattern over a second
+    compressed container. ``interlace`` writes the four-pass row order
+    (the decoder must reassemble it)."""
+    from .gif import encode_gif
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gif(_textured_pixels(int(doc_id), group), interlace)
                 for doc_id in pdf[id_col]
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})

@@ -1189,6 +1189,31 @@ def image_dhash_catalog_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(attach_fake_textured_png_payloads(docs))
 
 
+@register("image_dhash_catalog_gif", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_dhash_catalog`` through the palette-format path: the same
+    textured pixels encoded as real INTERLACED GIF (variable-width LZW,
+    four-pass row order, ``operators/gif.py``), decoded by the pure-stdlib
+    LZW decoder inside the same mapInArrow dHash stage. GIF is lossless
+    for ≤256-color images (the textured generator is grayscale mod-250 by
+    construction), so the oracle is IDENTICAL to the BMP/PNG catalogs' —
+    a hash match certifies palette build, LZW roundtrip, dictionary
+    growth/reset, and de-interlacing bit-for-bit under the driver gate.
+    Interlace is deliberately ON: it is the layout web-crawled GIFs carry
+    and the row-reassembly path a unit test could fake is certified here
+    on 64 bits per image."""
+    from ..operators.multimodal import (
+        attach_fake_textured_gif_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(
+        attach_fake_textured_gif_payloads(docs, interlace=True)
+    )
+
+
 _JPEG_DIMS_ORACLE = """
 SELECT doc_id,
        CAST(16 + doc_id % 13 AS BIGINT) AS img_width,
