@@ -111,10 +111,15 @@ def test_decode_image_dispatch():
     # a stdlib codec, no pillow needed) — never silent.
     with pytest.raises(ValueError, match="truncated PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    # Formats with no built-in codec (JPEG) still dispatch to pillow or
-    # fail loudly naming it.
-    with pytest.raises(Exception if _has_pillow() else NotImplementedError):
+    # JPEG has a built-in baseline codec since r13 — a malformed stream
+    # fails loudly at the parse site (never silent, never fake pixels).
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_image(b"\xff\xd8\xff\xe0....")
+    # Formats with no built-in codec (WebP) still dispatch to pillow or
+    # fail loudly naming it.
+    if not _has_pillow():
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
 
 
 def test_decode_image_png_backend_matches_bmp():
@@ -206,8 +211,11 @@ def test_multimodal_features_match_hashlib(spark):
         assert feats[doc_id]["media_type"] == "text/plain"
 
 
-def test_decode_image_is_marked_stub():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_fails_loudly_on_garbage():
+    """A 3-byte JPEG-magic fragment is a truncated stream for the r13
+    built-in baseline codec — loud parse-site failure, never fake pixels
+    (this was a NotImplementedError stub check before the codec landed)."""
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff")
 
 

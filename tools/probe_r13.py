@@ -102,6 +102,40 @@ def main() -> None:
         f"decode_image over {len(payloads)} 64x64 PNGs: passes={ts} "
         f"warm={warm}s ({1000.0 * warm / len(payloads):.2f} ms/img)"
     )
+
+    # --- per-codec encode/decode cost at CATALOG image sizes (16-28 px) ---
+    from data_lake_medallion_architecture_project_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from data_lake_medallion_architecture_project_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        _textured_pixels,
+        decode_png,
+    )
+
+    imgs = [_textured_pixels(i, 1) for i in range(500)]
+    codecs = {
+        "png": (encode_png, decode_png),
+        "gif(interlaced)": (lambda px: encode_gif(px, True), decode_gif),
+        "jpeg(q90)": (lambda px: encode_jpeg(px, 90), decode_jpeg),
+    }
+    for name, (enc, dec) in codecs.items():
+        t0 = time.perf_counter()
+        payloads = [enc(px) for px in imgs]
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for p in payloads:
+            dec(p)
+        t_dec = time.perf_counter() - t0
+        print(
+            f"{name}: encode {1000 * t_enc / len(imgs):.2f} ms/img, "
+            f"decode {1000 * t_dec / len(imgs):.2f} ms/img "
+            f"(catalog-size textured, single-core driver loop)"
+        )
     shutil.rmtree(PROBE_ROOT, ignore_errors=True)
 
 
