@@ -1189,6 +1189,44 @@ def image_dhash_catalog_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(attach_fake_textured_png_payloads(docs))
 
 
+_WARC_ORACLE = """
+SELECT
+  'urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+    || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+    || substr(h, 21, 12) AS record_id,
+  'conversion' AS warc_type,
+  'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+  CAST(octet_length(ENCODE(COALESCE(text, ''))) AS BIGINT)
+    AS content_length,
+  COALESCE(text, '') AS text
+FROM (
+  SELECT doc_id, text, md5('warc|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+"""
+
+
+@register("warc_roundtrip_documents", oracle=_WARC_ORACLE, tags=("source",))
+def warc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) container support certified end-to-end: pack the
+    documents table into real Common Crawl-layout WARC blobs (one gzip
+    MEMBER per record, members concatenated — the framing that gives
+    petabyte archives per-record random access), then parse them back
+    with the production reader (``sources/warc.py``). The oracle replays
+    every parsed field from the table — the urn:uuid record id (md5
+    grouped 8-4-4-4-12), target URI, UTF-8 Content-Length byte
+    accounting, and the body text — so a one-byte framing slip, header
+    grammar error, or length miscount anywhere in writer or parser fails
+    the value hash on every record. Scale shape: both sides are scan-side
+    Arrow stages; blob bytes never cross an exchange, and at 100 TB the
+    parse side points at ``spark.read.format("binaryFile")`` over the
+    crawl with the same per-blob member walk."""
+    from ..sources.warc import build_warc_payloads, warc_records_from_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    return warc_records_from_payloads(build_warc_payloads(docs))
+
+
 @register("image_dhash_catalog_gif", oracle=_dhash_oracle_sql(False),
           tags=("multimodal", "dedup"))
 def image_dhash_catalog_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
