@@ -191,7 +191,13 @@ def build_warc_payloads(
 
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = list(zip(pdf[id_col], pdf[text_col]))
+            # Arrow->pandas renders NULL text as NaN, which is truthy —
+            # normalize to None so the record writer's empty-body rule
+            # applies instead of crashing on float.encode.
+            rows = [
+                (i, None if pd.isna(t) else t)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
             yield pd.DataFrame({"blob": [build_warc_blob(rows)]})
 
     return docs.select(id_col, text_col).mapInPandas(

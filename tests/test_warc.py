@@ -115,3 +115,22 @@ def test_spark_roundtrip_matches_source_table(spark):
     assert all(
         r["content_length"] == len(r["text"].encode("utf-8")) for r in out
     )
+
+
+def test_spark_roundtrip_null_text_writes_empty_body(spark):
+    """NULL text must land as a zero-length body (never crash on the
+    pandas NaN rendering of SQL NULL, never drop the row)."""
+    from data_lake_medallion_architecture_project_spark.sources.warc import (
+        build_warc_payloads,
+        warc_records_from_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "present"), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r["uri"]: (r["text"], r["content_length"])
+        for r in warc_records_from_payloads(build_warc_payloads(docs)).collect()
+    }
+    assert out["http://example.org/doc/2"] == ("", 0)
+    assert out["http://example.org/doc/1"] == ("present", 7)
