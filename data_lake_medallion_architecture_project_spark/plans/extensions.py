@@ -1206,7 +1206,8 @@ FROM (
 """
 
 
-@register("warc_roundtrip_documents", oracle=_WARC_ORACLE, tags=("source",))
+@register("warc_roundtrip_documents", oracle=_WARC_ORACLE,
+          tags=("source", "bench"))
 def warc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) container support certified end-to-end: pack the
     documents table into real Common Crawl-layout WARC blobs (one gzip
