@@ -117,16 +117,13 @@ def parse_warc(payload: bytes) -> list[dict]:
     accepted (sloppy writers exist in real crawls); the byte accounting
     is strict — a Content-Length pointing past the payload raises."""
     if payload[:2] == b"\x1f\x8b":
-        # gzip.decompress walks ALL members of a multi-member stream in C
-        # — a Python-side member walk pays a tail copy per member, which
-        # is quadratic over a 5 000-member archive blob (measured: 15.9 s
-        # vs 0.04 s for this form at sf0.1 blob sizes).
-        try:
-            raw = gzip.decompress(payload)
-        except (EOFError, zlib.error) as ex:
-            raise ValueError(
-                f"truncated gzip member in WARC payload: {ex}"
-            ) from None
+        # NOT stdlib gzip.decompress: its member loop re-slices
+        # `unused_data` — the whole remaining archive — once per member,
+        # which is quadratic over crawl-style blobs of many small members
+        # (measured 103 s for a 50 000-member / 15 MiB blob; the bounded-
+        # chunk walker below is 50×+ faster and linear: each member's
+        # tail copy is capped at one 64 KiB chunk).
+        raw = b"".join(_split_gzip_members(payload))
     else:
         raw = payload
     records = []

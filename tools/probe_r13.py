@@ -136,6 +136,33 @@ def main() -> None:
             f"decode {1000 * t_dec / len(imgs):.2f} ms/img "
             f"(catalog-size textured, single-core driver loop)"
         )
+    # --- WARC pack+parse at 1x/10x (driver-side; the Spark stages add
+    # only Arrow framing on top of exactly this work) ---
+    from data_lake_medallion_architecture_project_spark.sources.warc import (
+        build_warc_blob,
+        parse_warc,
+    )
+
+    for tag, sf_dir in DECADES:
+        if not os.path.isdir(sf_dir):
+            continue
+        rows = [
+            (r["doc_id"], r["text"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        t0 = time.perf_counter()
+        blob = build_warc_blob(rows)
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        recs = parse_warc(blob)
+        t_dec = time.perf_counter() - t0
+        assert len(recs) == len(rows)
+        print(
+            f"{tag} warc ({len(rows)} docs): pack {t_enc:.2f}s, "
+            f"parse {t_dec:.2f}s, blob {len(blob) >> 20} MiB"
+        )
     shutil.rmtree(PROBE_ROOT, ignore_errors=True)
 
 
