@@ -483,6 +483,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
+            if frame is not None and ns < len(frame["comps"]):
+                # Baseline multi-scan (one scan per component) is legal
+                # SOF0; decoding only the first scan would silently emit
+                # zeroed planes for the rest — refuse loudly so the
+                # pillow dispatch handles it like progressive streams.
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG needs pillow"
+                )
             scan = []
             for ci in range(ns):
                 cid, tsel = body[1 + ci * 2], body[2 + ci * 2]

@@ -1225,11 +1225,15 @@ def warc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warc import build_warc_payloads, warc_records_from_payloads
 
     docs = load_table(spark, sf_dir, "documents")
-    return warc_records_from_payloads(build_warc_payloads(docs))
+    # strict decode: we wrote these blobs, so a framing slip must RAISE,
+    # not smear into U+FFFD (production default is tolerant "replace").
+    return warc_records_from_payloads(
+        build_warc_payloads(docs), errors="strict"
+    )
 
 
 @register("image_dhash_catalog_gif", oracle=_dhash_oracle_sql(False),
-          tags=("multimodal", "dedup"))
+          tags=("multimodal", "dedup", "bench"))
 def image_dhash_catalog_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``image_dhash_catalog`` through the palette-format path: the same
     textured pixels encoded as real INTERLACED GIF (variable-width LZW,

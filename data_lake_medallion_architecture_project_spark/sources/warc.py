@@ -88,11 +88,15 @@ def build_warc_blob(rows: list[tuple[int, str | None]], compress: bool = True) -
 
 def _split_gzip_members(payload: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream member by member (zlib
-    decompressobj + unused_data walk) — the per-record random-access
-    primitive (seek to an offset from the crawl index, read ONE record).
-    For whole-archive parsing use ``gzip.decompress``, which walks all
-    members in C; this Python walk pays a tail copy per member and is for
-    targeted access, not bulk scans."""
+    decompressobj + bounded-chunk walk). This IS the bulk-parsing path:
+    stdlib ``gzip.decompress`` re-slices its ``unused_data`` tail — the
+    whole remaining archive — once per member, which is quadratic over
+    crawl-style blobs of many small members (measured 103 s for a
+    50 000-member / 15 MiB blob). Here each member's tail copy is capped
+    at one 64 KiB chunk, so the walk stays linear. It doubles as the
+    per-record random-access primitive (seek to a crawl-index offset,
+    read ONE member). Corrupt members (bad header/CRC) raise ValueError,
+    matching the parser's fail-loudly contract."""
     view = memoryview(payload)
     n = len(payload)
     pos = 0
@@ -100,10 +104,15 @@ def _split_gzip_members(payload: bytes) -> Iterator[bytes]:
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # gzip framing
         out = bytearray()
-        while not d.eof and pos < n:
-            chunk = view[pos : pos + chunk_size]
-            out += d.decompress(chunk)
-            pos += len(chunk)
+        try:
+            while not d.eof and pos < n:
+                chunk = view[pos : pos + chunk_size]
+                out += d.decompress(chunk)
+                pos += len(chunk)
+        except zlib.error as exc:
+            raise ValueError(
+                f"corrupt gzip member in WARC payload: {exc}"
+            ) from exc
         if not d.eof:
             raise ValueError("truncated gzip member in WARC payload")
         pos -= len(d.unused_data)  # rewind the over-fed part of the chunk
@@ -146,13 +155,14 @@ def parse_warc(payload: bytes) -> list[dict]:
                 f"{raw[pos : pos + 16]!r}"
             )
         # Header block ends at the first blank line (CRLFCRLF or LFLF).
-        # The LF-only probe must be BOUNDED: on a CRLF archive "\n\n"
-        # never occurs, and an unbounded find() scans the whole remaining
-        # archive once per record — quadratic (measured 16 s for 5 000
-        # records; bounded: 40 ms). Headers are capped at 64 KiB, or at
-        # the CRLF terminator when one exists.
-        hdr_end_crlf = raw.find(b"\r\n\r\n", pos)
-        lf_bound = hdr_end_crlf if hdr_end_crlf != -1 else min(n, pos + 65536)
+        # BOTH terminator probes must be BOUNDED: on an archive using
+        # only the other ending the absent delimiter never occurs, and an
+        # unbounded find() scans the whole remaining archive once per
+        # record — quadratic (measured 16 s for 5 000 records; bounded:
+        # 40 ms). Headers are capped at 64 KiB.
+        cap = min(n, pos + 65536 + 4)
+        hdr_end_crlf = raw.find(b"\r\n\r\n", pos, cap)
+        lf_bound = hdr_end_crlf if hdr_end_crlf != -1 else cap
         hdr_end_lf = raw.find(b"\n\n", pos, lf_bound)
         candidates = [e for e in (hdr_end_crlf, hdr_end_lf) if e != -1]
         if not candidates:
@@ -228,11 +238,18 @@ def build_warc_payloads(
 
 
 def warc_records_from_payloads(
-    blobs: DataFrame, blob_col: str = "blob"
+    blobs: DataFrame, blob_col: str = "blob", errors: str = "replace"
 ) -> DataFrame:
     """Parse WARC blobs into record rows (uri, type, byte length, UTF-8
     body text) — the read side; point it at ``binaryFile``-read crawl
-    blobs in production."""
+    blobs in production.
+
+    Real crawls carry miscoded bytes and binary 'response' payloads, so
+    the default decode is tolerant (``errors="replace"`` — U+FFFD for
+    bad bytes, the batch survives). ``errors="strict"`` is for
+    certification against a writer you control: the roundtrip oracle
+    passes it so a one-byte framing slip raises instead of smearing into
+    replacement characters."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,7 +261,7 @@ def warc_records_from_payloads(
                     out["warc_type"].append(rec["type"])
                     out["uri"].append(rec["uri"])
                     out["content_length"].append(rec["content_length"])
-                    out["text"].append(rec["body"].decode("utf-8"))
+                    out["text"].append(rec["body"].decode("utf-8", errors))
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)

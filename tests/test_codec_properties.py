@@ -25,15 +25,21 @@ from data_lake_medallion_architecture_project_spark.sources.warc import (
 _dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
 
 
-def _image(seed: int, h: int, w: int, colors: int = 256) -> np.ndarray:
+def _image(seed: int, h: int, w: int, colors: int | None = None) -> np.ndarray:
+    """Random uint8 RGB image. With ``colors`` set, pixels are drawn from
+    a random palette of exactly that many entries, so the image carries AT
+    MOST ``colors`` distinct colors regardless of h*w — the GIF strategy
+    must stay inside encode_gif's ≤256-distinct-color domain even when
+    dims exceed the palette size (an unconstrained draw at colors=256 on
+    a 260-pixel image is out-of-domain and correctly rejected)."""
     rng = np.random.default_rng(seed)
-    if colors >= 256:
+    if colors is None:
         return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    g = rng.integers(0, colors, (h, w), dtype=np.uint8)
-    return np.repeat(g[:, :, None], 3, axis=2)
+    palette = rng.integers(0, 256, (colors, 3), dtype=np.uint8)
+    return palette[rng.integers(0, colors, (h, w))]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(seed=st.integers(0, 2**31), dims=_dims)
 def test_png_roundtrip_arbitrary_images(seed, dims):
     h, w = dims
@@ -41,7 +47,7 @@ def test_png_roundtrip_arbitrary_images(seed, dims):
     assert np.array_equal(decode_png(encode_png(px)), px)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(seed=st.integers(0, 2**31), dims=_dims)
 def test_bmp_roundtrip_arbitrary_images(seed, dims):
     h, w = dims
@@ -49,7 +55,7 @@ def test_bmp_roundtrip_arbitrary_images(seed, dims):
     assert np.array_equal(decode_bmp(encode_bmp(px)), px)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     seed=st.integers(0, 2**31),
     dims=_dims,
@@ -62,7 +68,7 @@ def test_gif_roundtrip_arbitrary_palettes(seed, dims, colors, interlace):
     assert np.array_equal(decode_gif(encode_gif(px, interlace=interlace)), px)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(
     seed=st.integers(0, 2**31),
     dims=_dims,
@@ -84,7 +90,7 @@ _warc_text = st.text(
 )
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(st.lists(_warc_text | st.none(), min_size=1, max_size=8))
 def test_warc_roundtrip_arbitrary_unicode_bodies(texts):
     """Any unicode body — including strings containing CRLF runs, WARC
@@ -107,3 +113,24 @@ def test_warc_body_containing_fake_record_is_not_reparsed():
     assert len(recs) == 2
     assert recs[0]["body"].decode() == evil
     assert recs[1]["body"].decode() == "after"
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.lists(st.binary(max_size=300), min_size=1, max_size=8))
+def test_warc_arbitrary_byte_bodies_ride_through(bodies):
+    """The real-crawl case the unicode property can't reach: bodies of
+    ARBITRARY bytes — invalid UTF-8, embedded CRLFCRLF, fake WARC version
+    lines — must come back byte-exact from the length-delimited framing,
+    with no phantom records and no decode involvement at parse level."""
+    raw = b"".join(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.org/doc/" + str(i).encode()
+        + b"\r\nContent-Length: " + str(len(body)).encode()
+        + b"\r\n\r\n" + body + b"\r\n\r\n"
+        for i, body in enumerate(bodies)
+    )
+    recs = parse_warc(raw)
+    assert len(recs) == len(bodies)
+    for i, (body, rec) in enumerate(zip(bodies, recs)):
+        assert rec["body"] == body
+        assert rec["uri"] == f"http://example.org/doc/{i}"

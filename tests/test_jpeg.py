@@ -259,3 +259,27 @@ def test_image_dhash_stable_across_bmp_and_jpeg(spark):
     }
     for i in bmp:
         assert bin(bmp[i] ^ jpg[i]).count("1") <= 6, i
+
+
+def test_multiscan_baseline_raises_not_implemented():
+    """Baseline multi-scan (one scan per component) is legal SOF0; decoding
+    only the first scan would silently zero the other planes. The decoder
+    must refuse loudly so dispatch falls through to pillow."""
+    import numpy as np
+    import pytest
+
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    buf = encode_jpeg(px)
+    i = buf.find(b"\xff\xda")
+    seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+    body = buf[i + 4 : i + 2 + seglen]
+    assert body[0] == 3  # interleaved 3-component scan as written
+    # Rewrite the SOS to claim a single-component scan (first scan of a
+    # non-interleaved stream); entropy bytes after it are untouched.
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * 3 :]
+    new_seg = (
+        b"\xff\xda" + (2 + len(new_body)).to_bytes(2, "big") + new_body
+    )
+    hacked = buf[:i] + new_seg + buf[i + 2 + seglen :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(hacked)

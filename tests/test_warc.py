@@ -134,3 +134,80 @@ def test_spark_roundtrip_null_text_writes_empty_body(spark):
     }
     assert out["http://example.org/doc/2"] == ("", 0)
     assert out["http://example.org/doc/1"] == ("present", 7)
+
+def _raw_response_record(doc_id: int, body: bytes) -> bytes:
+    """A hand-built 'response' record with an ARBITRARY bytes body — the
+    shape real crawl WARCs carry (HTTP payloads, miscoded text) that the
+    str-typed writer can't produce."""
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.org/doc/"
+        + str(doc_id).encode()
+        + b"\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+
+
+def test_parse_keeps_arbitrary_binary_bodies_opaque():
+    body = b"\xff\xfe\x00binary\x80payload\r\n\r\nWARC/1.0 fake"
+    recs = parse_warc(_raw_response_record(5, body) + build_warc_record(6, "ok"))
+    assert len(recs) == 2
+    assert recs[0]["body"] == body  # byte-exact, no reparse of the fake
+    assert recs[1]["body"] == b"ok"
+
+
+def test_corrupt_gzip_member_raises_value_error():
+    """zlib-level corruption surfaces as the parser's ValueError contract,
+    not a bare zlib.error that per-blob error handling would miss."""
+    blob = bytearray(build_warc_blob([(1, "hello"), (2, "world")]))
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte mid-stream
+    with pytest.raises(ValueError, match="gzip member"):
+        parse_warc(bytes(blob))
+
+
+def test_lf_only_bulk_archive_parses_every_record():
+    """A whole LF-only archive (the sloppy-writer case) must parse — and
+    the CRLF terminator probe is bounded, so this is linear, not the
+    per-record full-archive scan the unbounded find() would do."""
+    raw = b"".join(
+        build_warc_record(i, f"body {i}").replace(b"\r\n", b"\n")
+        for i in range(500)
+    )
+    recs = parse_warc(raw)
+    assert len(recs) == 500
+    assert recs[499]["body"] == b"body 499"
+
+
+def test_header_block_beyond_cap_fails_loudly():
+    """Headers are capped at 64 KiB (documented); a block whose terminator
+    lies past the cap raises rather than scanning unboundedly."""
+    huge = (
+        b"WARC/1.0\r\nX-Pad: " + b"a" * 70000
+        + b"\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="never terminates"):
+        parse_warc(huge)
+
+
+def test_spark_tolerant_decode_survives_invalid_utf8(spark):
+    """Production default (errors='replace'): a record with miscoded bytes
+    parses — U+FFFD in the text, batch intact; errors='strict' raises."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from data_lake_medallion_architecture_project_spark.sources.warc import (
+        warc_records_from_payloads,
+    )
+
+    blob = _raw_response_record(1, b"good ") + _raw_response_record(
+        2, b"bad \xff\x80 bytes"
+    )
+    blobs = spark.createDataFrame(
+        [(blob,)], StructType([StructField("blob", BinaryType())])
+    )
+    out = {r["uri"]: r["text"]
+           for r in warc_records_from_payloads(blobs).collect()}
+    assert out["http://example.org/doc/1"] == "good "
+    assert out["http://example.org/doc/2"] == "bad �� bytes"
+    with pytest.raises(Exception, match="UnicodeDecodeError|invalid start byte"):
+        warc_records_from_payloads(blobs, errors="strict").collect()
