@@ -16,7 +16,9 @@ decode(encode(px)) roundtrip is bit-exact, which is what lets the
 against the same pixel-arithmetic DuckDB oracle as the BMP/PNG catalogs
 (plans/extensions.py). Images with more than 256 distinct colors are the
 caller's problem (``encode_gif`` raises rather than silently quantizing —
-deterministic engines must not invent a palette).
+deterministic engines must not invent a palette); the documented pre-step
+is ``quantize_median_cut``, a deterministic Heckbert median-cut reducer,
+so truecolor→GIF is the two-step ``encode_gif(quantize_median_cut(px))``.
 
 Mirrors the role of the reference's opaque-media handling
 (/root/reference/ stores payloads as bytes; decode never happens
@@ -28,6 +30,73 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# Quantizer (the documented pre-step for truecolor sources)
+# --------------------------------------------------------------------------- #
+
+
+def quantize_median_cut(pixels: np.ndarray, max_colors: int = 256) -> np.ndarray:
+    """Deterministic median-cut palette quantization: reduce an (h, w, 3)
+    uint8 RGB array to at most ``max_colors`` distinct colors, so
+    truecolor images compose into the GIF path as
+    ``encode_gif(quantize_median_cut(px))`` instead of dead-ending on
+    ``encode_gif``'s no-silent-quantization ValueError.
+
+    Classic Heckbert median cut over the DISTINCT colors weighted by
+    pixel counts: repeatedly split the box with the widest channel range
+    (ties broken by pixel weight, then box age) at the weighted median of
+    that channel, then replace each box with its weighted-mean color.
+    Images already within budget come back unchanged (bit-exact), so the
+    helper is safe to apply unconditionally upstream of the encoder.
+    Everything is keyed on sorted distinct colors — no RNG, no dict
+    ordering — so the output is replayable across runs and engines, the
+    same determinism contract the codecs themselves carry."""
+    if max_colors < 1 or max_colors > 256:
+        raise ValueError("max_colors must be in 1..256")
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    if len(colors) <= max_colors:
+        return pixels.copy()
+
+    def _box(idx: np.ndarray) -> tuple:
+        c = colors[idx]
+        spread = c.max(axis=0).astype(np.int64) - c.min(axis=0)
+        return (idx, int(spread.max()), int(counts[idx].sum()))
+
+    boxes = [_box(np.arange(len(colors)))]
+    while len(boxes) < max_colors:
+        # Widest box first (weight, then insertion order, break ties) —
+        # only boxes with ≥2 distinct colors are splittable.
+        best = max(
+            (i for i, b in enumerate(boxes) if len(b[0]) > 1),
+            key=lambda i: (boxes[i][1], boxes[i][2], -i),
+            default=None,
+        )
+        if best is None:
+            break
+        idx, _, _ = boxes.pop(best)
+        c = colors[idx]
+        ch = int(np.argmax(c.max(axis=0).astype(np.int64) - c.min(axis=0)))
+        idx = idx[np.argsort(c[:, ch], kind="stable")]
+        cum = np.cumsum(counts[idx])
+        split = int(np.searchsorted(cum, cum[-1] / 2)) + 1
+        split = min(max(split, 1), len(idx) - 1)
+        boxes.append(_box(idx[:split]))
+        boxes.append(_box(idx[split:]))
+
+    mapping = np.empty(len(colors), dtype=np.int64)
+    palette = np.empty((len(boxes), 3), dtype=np.uint8)
+    for i, (idx, _, _) in enumerate(boxes):
+        weight = counts[idx].astype(np.float64)
+        mean = (colors[idx] * weight[:, None]).sum(axis=0) / weight.sum()
+        palette[i] = np.round(mean).astype(np.uint8)
+        mapping[idx] = i
+    return np.ascontiguousarray(palette[mapping[inverse]].reshape(h, w, 3))
 
 
 # --------------------------------------------------------------------------- #
@@ -102,7 +171,7 @@ def encode_gif(
     if len(colors) > 256:
         raise ValueError(
             f"GIF encode needs <=256 distinct colors, got {len(colors)}; "
-            "quantize upstream"
+            "quantize upstream (quantize_median_cut)"
         )
     # Palette size must be a power of two >= 2 entries.
     bits = max(1, int(len(colors) - 1).bit_length())

@@ -119,3 +119,72 @@ def test_image_dhash_identical_across_bmp_and_gif(spark):
     assert {(r["doc_id"], r["dhash"]) for r in bmp} == {
         (r["doc_id"], r["dhash"]) for r in gif
     }
+
+
+# --------------------------------------------------------------------------- #
+# Median-cut quantizer — the truecolor→GIF pre-step
+# --------------------------------------------------------------------------- #
+
+
+def _truecolor(seed: int, h: int = 32, w: int = 32) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # Smooth gradients + noise: >256 distinct colors, photo-like locality.
+    base = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    px = np.stack(
+        [base, base[::-1], np.linspace(0, 255, h)[:, None] * np.ones((1, w))],
+        axis=2,
+    )
+    px = px + rng.normal(0, 12, (h, w, 3))
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
+def test_quantize_enables_truecolor_gif_roundtrip():
+    """The two-step composition: a >256-color image raises in encode_gif,
+    but quantize_median_cut brings it in-domain and the quantized pixels
+    roundtrip bit-exactly (GIF stays lossless AFTER the lossy reduce)."""
+    from data_lake_medallion_architecture_project_spark.operators.gif import (
+        quantize_median_cut,
+    )
+
+    px = _truecolor(1)
+    n_distinct = len(np.unique(px.reshape(-1, 3), axis=0))
+    assert n_distinct > 256
+    with pytest.raises(ValueError, match="quantize upstream"):
+        encode_gif(px)
+    q = quantize_median_cut(px)
+    assert len(np.unique(q.reshape(-1, 3), axis=0)) <= 256
+    assert np.array_equal(decode_gif(encode_gif(q)), q)
+
+
+def test_quantize_is_identity_within_budget_and_deterministic():
+    from data_lake_medallion_architecture_project_spark.operators.gif import (
+        quantize_median_cut,
+    )
+
+    small = _gray_texture(7)  # ≤250 distinct grays — already in budget
+    assert np.array_equal(quantize_median_cut(small), small)
+    px = _truecolor(2)
+    assert np.array_equal(quantize_median_cut(px), quantize_median_cut(px))
+    tiny = quantize_median_cut(px, max_colors=8)
+    assert len(np.unique(tiny.reshape(-1, 3), axis=0)) <= 8
+    with pytest.raises(ValueError, match="max_colors"):
+        quantize_median_cut(px, max_colors=0)
+
+
+def test_quantize_preserves_dhash_within_bound():
+    """Quantization is lossy, but dHash reads 9×8 box-averaged gradient
+    SIGNS — a 256-color median-cut palette moves individual pixels by a
+    few levels, which rarely flips a sign. Honest bound: ≤8 of 64 bits
+    across a seed sweep (near-constant regions sit at the threshold and a
+    handful of flips is expected; 8 is also the catalog near-dup radius)."""
+    from data_lake_medallion_architecture_project_spark.operators.gif import (
+        quantize_median_cut,
+    )
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        dhash64,
+    )
+
+    for seed in range(10):
+        px = _truecolor(seed)
+        d = dhash64(px) ^ dhash64(quantize_median_cut(px))
+        assert bin(d).count("1") <= 8, seed
