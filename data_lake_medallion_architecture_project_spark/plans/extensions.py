@@ -1404,6 +1404,56 @@ def video_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup_pairs(hashes, max_hamming=3)
 
 
+@register("video_keyframe_dhash_avi", oracle=_video_dhash_oracle_sql(),
+          tags=("multimodal", "dedup", "bench"))
+def video_keyframe_dhash_avi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``video_keyframe_dhash`` through a REAL container: the same textured
+    frames packed as a spec-shaped RIFF/AVI (LIST hdrl/strl headers, movi
+    chunk walk, idx1 index, word alignment — operators/avi.py) with the
+    uncompressed DIB codec, then demuxed and hashed by the production
+    reader. DIB is lossless, so the oracle is IDENTICAL to the synthetic
+    container's full 64-bit pixel replay — a wrong chunk offset, stride
+    slip, row flip (DIB is bottom-up BGR), or alignment miss fails the
+    value hash on every sampled frame. The lossy MJPEG leg of the same
+    container is certified structurally by ``video_avi_mjpeg_structure``
+    (lossy codecs never get pixel-value oracles) and for fidelity in
+    pytest (dHash proximity to this lossless path)."""
+    from ..operators.avi import attach_fake_avi_payloads, avi_keyframe_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return avi_keyframe_dhash(
+        attach_fake_avi_payloads(docs, codec="DIB "), stride=2
+    )
+
+
+_AVI_MJPEG_STRUCT_ORACLE = """
+SELECT doc_id,
+       CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST(16 + doc_id % 13 AS BIGINT) AS img_width,
+       CAST(2 * (8 + doc_id % 11) AS BIGINT) AS img_height
+FROM documents
+"""
+
+
+@register("video_avi_mjpeg_structure", oracle=_AVI_MJPEG_STRUCT_ORACLE,
+          tags=("multimodal",))
+def video_avi_mjpeg_structure_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI certified end-to-end on its exact invariants: every
+    textured frame rides as a REAL baseline JPEG inside '00dc' chunks of
+    a real AVI, and the production demux + JPEG decode must recover the
+    exact frame count and geometry per video — both replayed by the
+    oracle from doc_id. Pixel VALUES are deliberately outside the oracle
+    (JPEG IDCT variance is spec-licensed; the image_jpeg_decode_dims
+    split): fidelity is asserted in pytest via dHash proximity to the
+    lossless DIB leg. One bad chunk size, a missed word-alignment pad on
+    an odd-length JPEG, or a truncated scan fails the decode loudly and
+    with it this row."""
+    from ..operators.avi import attach_fake_avi_payloads, avi_video_structure
+
+    docs = load_table(spark, sf_dir, "documents")
+    return avi_video_structure(attach_fake_avi_payloads(docs, codec="MJPG"))
+
+
 @register("image_near_dup_pairs", oracle=_IMAGE_NEAR_DUP_ORACLE,
           tags=("multimodal", "dedup"))
 def image_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
