@@ -634,6 +634,39 @@ def attach_fake_wav_payloads(
     )
 
 
+def attach_fake_g711_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    law: str = "mulaw",
+) -> DataFrame:
+    """Synthesize a real G.711 telephony WAV per row: the SAME integer
+    sample recurrence as ``attach_fake_wav_payloads``, companded to 8-bit
+    µ-law/A-law (fmt 7/6, 18-byte fmt + fact chunk — the spec shape for
+    non-PCM WAV). Compress → expand is pure integer arithmetic, so the
+    decoded samples — and every feature over them — stay SQL-replayable."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 400 + d % 37
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + 7 * i * i + 13 * i) % 4001) - 2000
+                payloads.append(
+                    encode_wav_g711(s.astype(np.int16), sample_rate, law)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
 IMAGE_STATS_SCHEMA = (
     "doc_id long, img_width long, img_height long, "
     "mean_r double, mean_g double, mean_b double"
@@ -784,24 +817,113 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
+# G.711 — the telephony companding codecs (µ-law fmt 7, A-law fmt 6).
+# Pure integer arithmetic both directions, so an SQL oracle can replay
+# compress → expand exactly (plans/extensions.py:audio_feature_catalog_g711).
+
+_G711_SEG_BOUNDS = 256 << np.arange(7)  # 256, 512, ..., 16384
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 → µ-law bytes (ITU-T G.711): clip at 32635, add bias 132,
+    segment by the magnitude's high bit, keep a 4-bit mantissa, invert."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    exp = np.searchsorted(_G711_SEG_BOUNDS, mag, side="right")
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def alaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 → A-law bytes (ITU-T G.711): 13-bit magnitude, segment +
+    4-bit mantissa, XOR 0x55; the sign bit marks POSITIVE (A-law's
+    inverted convention)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.searchsorted(_G711_SEG_BOUNDS, mag, side="right")
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int64)
+    u = ~b & 0xFF
+    exp, mant = (u >> 4) & 7, u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int64) ^ 0x55
+    exp, mant = (b >> 4) & 7, b & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(b & 0x80, mag, -mag).astype(np.int16)
+
+
+_MULAW_EXPAND = _mulaw_table()
+_ALAW_EXPAND = _alaw_table()
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "mulaw"
+) -> bytes:
+    """RIFF/WAVE with G.711-companded 8-bit samples — the format real
+    telephony/call-center corpora arrive in (fmt tag 7 = µ-law, 6 =
+    A-law). Writes the spec shape for non-PCM WAV: an 18-byte fmt chunk
+    (cbSize = 0) plus the required 'fact' chunk carrying the sample
+    count."""
+    if samples.dtype != np.int16:
+        samples = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        samples = np.round(samples * 32767.0).astype(np.int16)
+    if law == "mulaw":
+        fmt_tag, data = 7, mulaw_compress(samples).tobytes()
+    elif law == "alaw":
+        fmt_tag, data = 6, alaw_compress(samples).tobytes()
+    else:
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    fmt = struct.pack(
+        "<HHIIHHH", fmt_tag, 1, sample_rate, sample_rate, 1, 8, 0
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode PCM16 mono WAV → (int16 samples, sample_rate). Walks RIFF
-    chunks (a real-world WAV may carry LIST/fact chunks before data)."""
+    """Decode mono WAV → (int16 samples, sample_rate): linear PCM16
+    (fmt 1), G.711 A-law (fmt 6) and µ-law (fmt 7) are built in — the
+    formats speech corpora actually carry. Walks RIFF chunks (a
+    real-world WAV may carry LIST/fact chunks before data)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, bits, channels = 12, None, None, None
+    pos, rate, fmt = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if (fmt, channels, bits) != (1, 1, 16):
+            if (fmt, channels, bits) not in ((1, 1, 16), (6, 1, 8), (7, 1, 8)):
                 raise NotImplementedError(
-                    "only PCM16 mono is built in; compressed/multichannel "
-                    "audio requires an external codec at this dispatch point"
+                    "PCM16/A-law/µ-law mono are built in; other codecs or "
+                    "multichannel audio require an external decoder at "
+                    "this dispatch point"
                 )
         elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before the fmt chunk")
+            if fmt == 6:
+                return _ALAW_EXPAND[np.frombuffer(body, dtype=np.uint8)], int(rate)
+            if fmt == 7:
+                return _MULAW_EXPAND[np.frombuffer(body, dtype=np.uint8)], int(rate)
             return np.frombuffer(body, dtype="<i2"), int(rate)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk")

@@ -1500,6 +1500,72 @@ FROM w GROUP BY doc_id
 """
 
 
+_AUDIO_G711_ORACLE = """
+WITH d AS (SELECT doc_id, 400 + doc_id % 37 AS n FROM documents),
+s0 AS (
+  SELECT d.doc_id, d.n, ii.i AS i,
+         ((d.doc_id * 31 + 7 * ii.i * ii.i + 13 * ii.i) % 4001) - 2000 AS v0
+  FROM d, (SELECT unnest(range(437)) AS i) ii
+  WHERE ii.i < d.n
+),
+g AS (  -- ITU-T G.711 mu-law compress -> expand, replayed as integers
+  SELECT doc_id, n, i,
+         CASE WHEN v0 < 0 THEN -1 ELSE 1 END AS sgn,
+         least(abs(v0), 32635) + 132 AS mag
+  FROM s0
+),
+e AS (
+  SELECT doc_id, n, i, sgn, mag,
+         CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+              WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+              WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+              WHEN mag < 16384 THEN 6 ELSE 7 END AS ex
+  FROM g
+),
+s AS (
+  SELECT doc_id, n, i,
+         sgn * (((((mag >> (ex + 3)) & 15) * 8 + 132) << ex) - 132) AS v
+  FROM e
+),
+w AS (
+  SELECT doc_id, n, i, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST((MAX(n) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak,
+       CAST(COUNT(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                       THEN 1 END) AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id
+"""
+
+
+@register("audio_feature_catalog_g711", oracle=_AUDIO_G711_ORACLE,
+          tags=("multimodal",))
+def audio_feature_catalog_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audio_feature_catalog`` through the TELEPHONY codec path: the same
+    integer sample recurrence companded to 8-bit G.711 µ-law (fmt tag 7,
+    18-byte fmt + fact chunk — what call-center/speech corpora actually
+    carry), then expanded back by the production decoder and featurized.
+    Compress → expand is pure integer arithmetic (segment ladder + 4-bit
+    mantissa), so the oracle replays the ENTIRE companding pipeline in
+    SQL — a wrong bias, segment boundary, mantissa shift, or sign
+    convention shifts decoded samples and fails RMS/peak/zero-crossing
+    bit-exactly. The A-law twin and the ±0-codeword identification are
+    pytest-covered (tests/test_audio.py)."""
+    from ..operators.multimodal import (
+        attach_fake_g711_payloads,
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_fake_g711_payloads(docs, law="mulaw"))
+
+
 @register("audio_feature_catalog", oracle=_AUDIO_FEATURES_ORACLE,
           tags=("multimodal",))
 def audio_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:

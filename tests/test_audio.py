@@ -99,3 +99,96 @@ def test_decode_audio_dispatch_and_soundfile_backend():
     sf.write(buf, np.stack([x, x], axis=1), 8000, format="FLAC")
     mono, r2 = decode_audio(buf.getvalue())
     assert r2 == 8000 and len(mono) == len(x)
+
+
+# --------------------------------------------------------------------------- #
+# G.711 telephony codecs (µ-law fmt 7 / A-law fmt 6)
+# --------------------------------------------------------------------------- #
+
+
+def test_g711_codeword_idempotence_over_full_int16_domain():
+    """compress(expand(compress(x))) == compress(x) for every int16 —
+    except µ-law's ±0: codewords 0x7F and 0xFF both decode to 0 (a real
+    G.711 property), so x ∈ {-1,-2,-3} requantizes from negative zero to
+    positive zero. A-law has no ±0 collision and is exactly stable."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        _ALAW_EXPAND,
+        _MULAW_EXPAND,
+        alaw_compress,
+        mulaw_compress,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    cm = mulaw_compress(x)
+    cm2 = mulaw_compress(_MULAW_EXPAND[cm])
+    unstable = np.nonzero(cm2 != cm)[0]
+    assert set(cm[unstable]) <= {0x7F} and set(cm2[unstable]) <= {0xFF}
+    ca = alaw_compress(x)
+    assert np.array_equal(alaw_compress(_ALAW_EXPAND[ca]), ca)
+
+
+def test_g711_anchor_values_and_error_bounds():
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        _ALAW_EXPAND,
+        _MULAW_EXPAND,
+        mulaw_compress,
+    )
+
+    # Spec anchors: silence is 0xFF, full-scale positive is 0x80 (µ-law).
+    assert mulaw_compress(np.array([0], dtype=np.int16))[0] == 0xFF
+    assert mulaw_compress(np.array([32124], dtype=np.int16))[0] == 0x80
+    assert _MULAW_EXPAND[0x80] == 32124 and _MULAW_EXPAND[0xFF] == 0
+    # Companding is ~constant RELATIVE error: ≤ ~3.4% above the first
+    # segment for both laws (absolute error grows with amplitude).
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        alaw_compress,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for comp, table in (
+        (mulaw_compress, _MULAW_EXPAND),
+        (alaw_compress, _ALAW_EXPAND),
+    ):
+        d = table[comp(x)].astype(np.int64)
+        rel = np.abs(d - x.astype(np.int64)) / np.maximum(
+            np.abs(x.astype(np.int64)), 1
+        )
+        assert rel[np.abs(x.astype(np.int64)) > 1000].max() < 0.04
+
+
+@pytest.mark.parametrize("law,fmt_tag", [("mulaw", 7), ("alaw", 6)])
+def test_g711_wav_roundtrip_and_spec_shape(law, fmt_tag):
+    """The WAV layer: fmt tag 6/7, 18-byte fmt chunk, required fact
+    chunk, decode dispatch through the expand tables."""
+    import struct
+
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        _ALAW_EXPAND,
+        _MULAW_EXPAND,
+        alaw_compress,
+        decode_wav,
+        encode_wav_g711,
+        mulaw_compress,
+    )
+
+    i = np.arange(501, dtype=np.int64)
+    s = (((i * 31 + 7 * i * i) % 4001) - 2000).astype(np.int16)
+    blob = encode_wav_g711(s, 8000, law)
+    assert blob[20:22] == struct.pack("<H", fmt_tag)
+    assert b"fact" in blob
+    assert len(blob) % 2 == 0  # odd data chunk is padded
+    out, rate = decode_wav(blob)
+    comp = mulaw_compress if law == "mulaw" else alaw_compress
+    table = _MULAW_EXPAND if law == "mulaw" else _ALAW_EXPAND
+    assert rate == 8000 and np.array_equal(out, table[comp(s)])
+    assert np.abs(out.astype(np.int64) - s.astype(np.int64)).max() <= 64
+
+
+def test_wav_data_before_fmt_raises():
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    bad = b"RIFF" + (12).to_bytes(4, "little") + b"WAVE" + b"data" + (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="before the fmt"):
+        decode_wav(bad)
