@@ -291,6 +291,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+        and not _HAS_PIL
+    ):
+        # Lossless WebP (VP8L) decodes through the pure-stdlib codec —
+        # bit-exact like PNG/GIF; lossy VP8 and the transform flavors our
+        # decoder doesn't carry fall through to the loud install hint.
+        from .webp import decode_webp
+
+        try:
+            return decode_webp(payload)
+        except NotImplementedError:
+            pass
     if payload[:2] == b"\xff\xd8" and not _HAS_PIL:
         # Baseline JPEG decodes through the pure-stdlib codec (the same
         # fallback role decode_png plays); progressive/arithmetic/12-bit
@@ -308,8 +322,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if not _HAS_PIL:
         raise NotImplementedError(
             "built-in decode covers BMP, 8-bit truecolor PNG, baseline "
-            "JPEG, and GIF; WebP/progressive-JPEG/other PNG flavors need "
-            "pillow (pip install pillow) wired in at this dispatch point"
+            "JPEG, GIF, and lossless WebP (VP8L); lossy-WebP/"
+            "progressive-JPEG/other flavors need pillow (pip install "
+            "pillow) wired in at this dispatch point"
         )
     import io
 
@@ -532,6 +547,38 @@ def attach_fake_textured_gif_payloads(
         for pdf in batches:
             payloads = [
                 encode_gif(_textured_pixels(int(doc_id), group), interlace)
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def attach_fake_textured_webp_payloads(
+    df: DataFrame, id_col: str = "doc_id", group: int = 1,
+    cache_bits: int = 6,
+) -> DataFrame:
+    """The WebP twin of ``attach_fake_textured_bmp_payloads`` — identical
+    textured pixels through the pure-stdlib VP8L codec
+    (``operators/webp.py``: canonical prefix codes, subtract-green
+    transform, color cache, left-run LZ77). VP8L is lossless, so the same
+    pixel-arithmetic SQL oracle certifies the whole encode → decode
+    roundtrip bit-for-bit — the web-native fourth member of the
+    compressed-catalog family (PNG/GIF/JPEG)."""
+    from .webp import encode_webp
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_webp(
+                    _textured_pixels(int(doc_id), group),
+                    cache_bits=cache_bits,
+                )
                 for doc_id in pdf[id_col]
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})

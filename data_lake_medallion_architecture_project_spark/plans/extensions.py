@@ -1257,6 +1257,30 @@ def image_dhash_catalog_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("image_dhash_catalog_webp", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_dhash_catalog`` through the web-native format path: the
+    same textured pixels encoded as real lossless WebP (VP8L — canonical
+    prefix codes, code-length code, subtract-green transform, color
+    cache, left-run LZ77; ``operators/webp.py``), decoded by the
+    pure-stdlib bitstream reader inside the same mapInArrow dHash stage.
+    VP8L is lossless, so the oracle is IDENTICAL to the BMP/PNG/GIF
+    catalogs' — a hash match certifies the whole entropy-coding stack
+    (Kraft-complete code construction, the 16/17/18 run grammar, cache
+    hashing, LZ77 distance mapping) bit-for-bit under the driver gate,
+    64 bits per image. Decode rides executor-side Arrow batches like
+    every codec in the family; at 100 TB the cost is scan-side per-core
+    milliseconds, never an exchange."""
+    from ..operators.multimodal import (
+        attach_fake_textured_webp_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(attach_fake_textured_webp_payloads(docs))
+
+
 _JPEG_DIMS_ORACLE = """
 SELECT doc_id,
        CAST(16 + doc_id % 13 AS BIGINT) AS img_width,

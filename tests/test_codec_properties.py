@@ -17,6 +17,7 @@ from data_lake_medallion_architecture_project_spark.operators.multimodal import 
     encode_bmp,
     encode_png,
 )
+from data_lake_medallion_architecture_project_spark.operators.webp import decode_webp, encode_webp
 from data_lake_medallion_architecture_project_spark.sources.warc import (
     build_warc_blob,
     parse_warc,
@@ -134,3 +135,31 @@ def test_warc_arbitrary_byte_bodies_ride_through(bodies):
     for i, (body, rec) in enumerate(zip(bodies, recs)):
         assert rec["body"] == body
         assert rec["uri"] == f"http://example.org/doc/{i}"
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(0, 2**31),
+    dims=_dims,
+    subtract_green=st.booleans(),
+    cache_bits=st.sampled_from([0, 3, 8]),
+    use_lz77=st.booleans(),
+)
+def test_webp_roundtrip_arbitrary_images(
+    seed, dims, subtract_green, cache_bits, use_lz77
+):
+    """VP8L is lossless for arbitrary truecolor input across the whole
+    encoder feature matrix (transform x cache x LZ77) — any palette-size
+    assumption, cache-hash slip, or run-boundary bug breaks byte
+    equality somewhere in this sweep."""
+    h, w = dims
+    px = _image(seed, h, w)
+    out = decode_webp(
+        encode_webp(
+            px,
+            subtract_green=subtract_green,
+            cache_bits=cache_bits,
+            use_lz77=use_lz77,
+        )
+    )
+    assert np.array_equal(out, px)

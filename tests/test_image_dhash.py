@@ -214,11 +214,13 @@ def test_image_dhash_is_format_agnostic_png_vs_bmp(spark):
 
 
 def test_non_builtin_format_dispatches_to_pillow_or_fails_loudly():
-    """Without pillow, a format outside the built-in codecs (WebP here —
-    baseline JPEG is built-in since r13) must raise NotImplementedError
-    naming pillow (fail loudly, never fake features); with pillow
-    installed, the same dispatch point must decode a real JPEG. Both
-    branches are real assertions — no skip either way."""
+    """Without pillow, a format outside the built-in codecs (LOSSY WebP
+    and TIFF here — lossless VP8L, like baseline JPEG, is built in now)
+    must raise NotImplementedError naming pillow (fail loudly, never fake
+    features); with pillow installed, the same dispatch point must decode
+    a real JPEG. Both branches are real assertions — no skip either way."""
+    import struct
+
     import pytest
 
     from data_lake_medallion_architecture_project_spark.operators.multimodal import decode_image
@@ -231,9 +233,14 @@ def test_non_builtin_format_dispatches_to_pillow_or_fails_loudly():
         have_pillow = False
 
     if not have_pillow:
-        webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"\x00" * 24
+        lossy = (
+            b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 0)
+        )
         with pytest.raises(NotImplementedError, match="pillow"):
-            decode_image(webp)
+            decode_image(lossy)
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(b"II*\x00" + b"\x00" * 24)  # TIFF magic
     else:  # pragma: no cover - sandbox has no pillow; runs on real clusters
         import io
 
