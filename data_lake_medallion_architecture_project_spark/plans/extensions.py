@@ -1478,6 +1478,80 @@ def video_avi_mjpeg_structure_query(spark: SparkSession, sf_dir: str) -> DataFra
     return avi_video_structure(attach_fake_avi_payloads(docs, codec="MJPG"))
 
 
+_MP4_META_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 600 + 300 * (doc_id % 5) AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(((2 + doc_id % 7) * ts + doc_id % 13) * 1000 // ts
+            AS BIGINT) AS duration_ms,
+       CAST(ts AS BIGINT) AS timescale,
+       CAST(1 AS BIGINT) AS n_tracks,
+       'vide' AS handler,
+       CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+            ELSE 'vp09' END AS codec,
+       CAST(320 + 16 * (doc_id % 8) AS BIGINT) AS img_width,
+       CAST(240 + 16 * (doc_id % 5) AS BIGINT) AS img_height,
+       CAST(24 + doc_id % 40 AS BIGINT) AS n_samples
+FROM p
+"""
+
+
+@register("mp4_metadata_catalog", oracle=_MP4_META_ORACLE,
+          tags=("multimodal", "source"))
+def mp4_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-corpus triage through real ISO-BMFF: every row synthesizes a
+    structurally real MP4 (ftyp + full moov tree: mvhd/trak/tkhd/mdia/
+    mdhd/hdlr/minf/stbl with stsd sample entry + stsz, then mdat), and
+    the production box walker extracts duration/timescale/track/codec/
+    dimensions/sample-count WITHOUT touching sample data — the pass a
+    100-TB pipeline runs before any decoder, so cost is per-blob
+    microseconds regardless of media size. The oracle replays every
+    field from doc_id integer arithmetic, so a box-size slip, version
+    mishandling, wrong fixed-point width read, or stsd offset error
+    fails the value hash on every row."""
+    from ..operators.mp4 import attach_fake_mp4_payloads, mp4_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mp4_metadata(attach_fake_mp4_payloads(docs))
+
+
+_MP3_META_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         40 + doc_id % 80 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 96 WHEN 1 THEN 128 ELSE 192 END AS br,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(br AS BIGINT) AS bitrate_kbps,
+       CAST(nf * (144 * br * 1000 // sr) AS BIGINT) AS total_audio_bytes
+FROM p
+"""
+
+
+@register("mp3_metadata_catalog", oracle=_MP3_META_ORACLE,
+          tags=("multimodal", "source"))
+def mp3_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus triage through real MPEG-1 Layer III framing: each row
+    synthesizes a structurally real CBR MP3 (ID3v2 tag with syncsafe
+    size, correct frame headers, computed frame lengths) and the
+    production walker hops headers to recover frame count, duration,
+    sample rate, bitrate, and audio byte total — no audio decode. The
+    oracle replays the bitrate/sample-rate tables and the
+    144·br/sr frame-length formula from doc_id, so a sync slip, table
+    index error, padding mishandling, or ID3 skip bug fails every row."""
+    from ..operators.mp3 import attach_fake_mp3_payloads, mp3_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mp3_metadata(attach_fake_mp3_payloads(docs))
+
+
 @register("image_near_dup_pairs", oracle=_IMAGE_NEAR_DUP_ORACLE,
           tags=("multimodal", "dedup"))
 def image_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
