@@ -561,7 +561,7 @@ def attach_fake_textured_gif_payloads(
 
 def attach_fake_textured_webp_payloads(
     df: DataFrame, id_col: str = "doc_id", group: int = 1,
-    cache_bits: int = 6,
+    cache_bits: int = 6, palette: bool = False,
 ) -> DataFrame:
     """The WebP twin of ``attach_fake_textured_bmp_payloads`` — identical
     textured pixels through the pure-stdlib VP8L codec
@@ -578,6 +578,7 @@ def attach_fake_textured_webp_payloads(
                 encode_webp(
                     _textured_pixels(int(doc_id), group),
                     cache_bits=cache_bits,
+                    palette=palette,
                 )
                 for doc_id in pdf[id_col]
             ]

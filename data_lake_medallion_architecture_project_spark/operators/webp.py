@@ -424,38 +424,18 @@ def _cache_key(argb: int, cache_bits: int) -> int:
 # --------------------------------------------------------------------------- #
 
 
-def encode_webp(
-    pixels: np.ndarray,
-    subtract_green: bool = True,
-    cache_bits: int = 0,
-    use_lz77: bool = True,
-) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as lossless WebP (VP8L in a
-    RIFF/WEBP container). Alpha is written opaque. ``cache_bits`` > 0
-    enables the color cache; ``use_lz77`` emits left-run copies (the
-    cheap, always-correct subset of LZ77 — full windowed matching is an
-    optimizer, not a correctness feature)."""
-    h, w, _ = pixels.shape
-    if not (1 <= w <= 16384 and 1 <= h <= 16384):
-        raise ValueError("VP8L dimensions must be 1..16384")
-    if not 0 <= cache_bits <= 11:
-        raise ValueError("cache_bits must be 0..11")
-    px = pixels.astype(np.int64)
-    g = px[:, :, 1]
-    if subtract_green:
-        r = (px[:, :, 0] - g) & 0xFF
-        b = (px[:, :, 2] - g) & 0xFF
-    else:
-        r, b = px[:, :, 0], px[:, :, 2]
-    argb = ((0xFF << 24) | (r << 16) | (g << 8) | b).reshape(-1)
-
-    # Tokenize: literals, left-run copies, cache hits.
+def _emit_image(
+    bw: _BitWriter, vals: list[int], cache_bits: int, use_lz77: bool
+) -> None:
+    """Emit one entropy-coded ARGB image stream (cache-info bit,
+    meta-prefix-off bit, the 5 prefix codes, then the pixel data) — the
+    unit both the main image and transform sub-images (e.g. the palette
+    table) are stored as."""
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [-1] * cache_size
     green_base = 256 + 24
     tokens: list[tuple] = []  # ("lit",a,r,g,b) ("copy",len,dist) ("cache",idx)
-    n = argb.shape[0]
-    vals = argb.tolist()
+    n = len(vals)
     i = 0
     while i < n:
         v = vals[i]
@@ -508,16 +488,6 @@ def encode_webp(
     ]
     codes = [_canonical_codes(l) for l in lengths]
 
-    bw = _BitWriter()
-    bw.write(0x2F, 8)  # VP8L signature byte
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha-is-used hint
-    bw.write(0, 3)  # version
-    if subtract_green:
-        bw.write(1, 1)  # a transform follows
-        bw.write(2, 2)  # SUBTRACT_GREEN
-    bw.write(0, 1)  # no more transforms
     if cache_size:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -550,6 +520,107 @@ def encode_webp(
         else:
             emit(codes[0], green_base + t[1])
 
+
+def _palette_width_bits(table_size: int) -> int:
+    """Pixel bundling (RFC 9649 §4.2.4): tiny palettes pack several
+    indices into one green byte — ≤2 colors: 8/px-byte, ≤4: 4, ≤16: 2."""
+    if table_size <= 2:
+        return 3
+    if table_size <= 4:
+        return 2
+    if table_size <= 16:
+        return 1
+    return 0
+
+
+def encode_webp(
+    pixels: np.ndarray,
+    subtract_green: bool = True,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    palette: bool = False,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as lossless WebP (VP8L in a
+    RIFF/WEBP container). Alpha is written opaque. ``cache_bits`` > 0
+    enables the color cache; ``use_lz77`` emits left-run copies (the
+    cheap, always-correct subset of LZ77 — full windowed matching is an
+    optimizer, not a correctness feature). ``palette`` writes the
+    color-indexing transform instead — the layout cwebp picks for
+    screenshots/charts, including pixel bundling for ≤16-color images;
+    requires ≤256 distinct colors (quantize upstream, same contract as
+    GIF) and supersedes ``subtract_green``."""
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions must be 1..16384")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be 0..11")
+    px = pixels.astype(np.int64)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)  # VP8L signature byte
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha-is-used hint
+    bw.write(0, 3)  # version
+
+    if palette:
+        argb_img = (
+            (0xFF << 24) | (px[:, :, 0] << 16) | (px[:, :, 1] << 8)
+            | px[:, :, 2]
+        )
+        table = np.unique(argb_img.reshape(-1))
+        if len(table) > 256:
+            raise ValueError(
+                f"VP8L color-indexing needs <=256 distinct colors, got "
+                f"{len(table)}; quantize upstream (quantize_median_cut)"
+            )
+        bw.write(1, 1)  # a transform follows
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(table) - 1, 8)
+        # The table rides INSIDE the transform data (before the
+        # no-more-transforms bit) as a 1×N entropy image, component-wise
+        # subtraction-coded against the previous entry.
+        tl = table.tolist()
+        deltas = [tl[0]] + [
+            (
+                ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+                | (((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16)
+                | (((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8)
+                | (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+            )
+            for a, b in zip(tl[1:], tl[:-1])
+        ]
+        _emit_image(bw, deltas, 0, False)
+        bw.write(0, 1)  # no more transforms
+        # Pack indices: width_bits indices per green byte, LSB-first.
+        wb = _palette_width_bits(len(table))
+        xs = 1 << wb
+        bits_per = 8 >> wb
+        lookup = {v: i for i, v in enumerate(tl)}
+        idx = np.vectorize(lookup.__getitem__)(argb_img)
+        sub_w = (w + xs - 1) // xs
+        vals = []
+        for y in range(h):
+            for k in range(sub_w):
+                byte = 0
+                for j in range(min(xs, w - k * xs)):
+                    byte |= int(idx[y, k * xs + j]) << (j * bits_per)
+                vals.append((0xFF << 24) | (byte << 8))
+        _emit_image(bw, vals, cache_bits, use_lz77)
+    else:
+        g = px[:, :, 1]
+        if subtract_green:
+            r = (px[:, :, 0] - g) & 0xFF
+            b = (px[:, :, 2] - g) & 0xFF
+        else:
+            r, b = px[:, :, 0], px[:, :, 2]
+        argb = ((0xFF << 24) | (r << 16) | (g << 8) | b).reshape(-1)
+        if subtract_green:
+            bw.write(1, 1)  # a transform follows
+            bw.write(2, 2)  # SUBTRACT_GREEN
+        bw.write(0, 1)  # no more transforms
+        _emit_image(bw, argb.tolist(), cache_bits, use_lz77)
+
     payload = bw.bytes()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload + (
         b"\x00" if len(payload) & 1 else b""
@@ -565,9 +636,10 @@ def encode_webp(
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a lossless-WebP payload to an (h, w, 3) uint8 RGB array.
     Supports the VP8L feature set our encoder emits plus plain LZ77
-    distances and the full 2D distance table; predictor / cross-color /
-    color-indexing transforms and lossy VP8 raise NotImplementedError
-    (the pillow dispatch point)."""
+    distances, the full 2D distance table, subtract-green, and the
+    color-indexing transform (delta-coded palette sub-image + pixel
+    bundling); predictor / cross-color transforms and lossy VP8 raise
+    NotImplementedError (the pillow dispatch point)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
     pos = 12
@@ -597,16 +669,66 @@ def decode_webp(payload: bytes) -> np.ndarray:
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
 
-    subtract_green = False
+    transforms: list[tuple] = []  # in read order
+    active_w = w
     while br.read(1):  # transforms, in stream order
         ttype = br.read(2)
         if ttype == 2:
-            subtract_green = True
+            transforms.append(("sg",))
+        elif ttype == 3:
+            table_size = br.read(8) + 1
+            deltas = _read_image(br, table_size, 1)
+            table = [deltas[0] & 0xFFFFFFFF]
+            for d in deltas[1:]:
+                p = table[-1]
+                table.append(
+                    ((((d >> 24) + (p >> 24)) & 0xFF) << 24)
+                    | (((((d >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF) << 16)
+                    | (((((d >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 8)
+                    | (((d & 0xFF) + (p & 0xFF)) & 0xFF)
+                )
+            wb = _palette_width_bits(table_size)
+            transforms.append(("pal", table, wb))
+            active_w = (w + (1 << wb) - 1) >> wb
         else:
             raise NotImplementedError(
-                "VP8L predictor/cross-color/palette transforms need pillow"
+                "VP8L predictor/cross-color transforms need pillow"
             )
 
+    out = _read_image(br, active_w, h)
+    argb = np.array(out, dtype=np.int64).reshape(h, active_w)
+    # Inverse transforms run in REVERSE read order (RFC 9649 §4).
+    for t in reversed(transforms):
+        if t[0] == "pal":
+            _, table, wb = t
+            xs, bits_per = 1 << wb, 8 >> wb
+            packed_green = (argb >> 8) & 0xFF
+            cols = np.arange(w)
+            idx = (
+                packed_green[:, cols >> wb]
+                >> ((cols & (xs - 1)) * bits_per)
+            ) & ((1 << bits_per) - 1)
+            if int(idx.max()) >= len(table):
+                raise ValueError("VP8L palette index outside the color table")
+            argb = np.array(table, dtype=np.int64)[idx]
+        else:  # subtract-green inverse
+            g = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) + g) & 0xFF
+            b = ((argb & 0xFF) + g) & 0xFF
+            argb = (argb & ~0xFFFFFF) | (r << 16) | (g << 8) | b
+    if argb.shape != (h, w):
+        raise ValueError("VP8L transform stack left a mis-sized image")
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    return np.ascontiguousarray(
+        np.stack([r, g, b], axis=2).astype(np.uint8)
+    )
+
+
+def _read_image(br: _BitReader, w: int, h: int) -> list[int]:
+    """Read one entropy-coded ARGB image stream (the unit both the main
+    image and transform sub-images are stored as) → row-major ARGB ints."""
     cache_bits = br.read(4) if br.read(1) else 0
     cache_size = (1 << cache_bits) if cache_bits else 0
     if br.read(1):
@@ -650,14 +772,4 @@ def decode_webp(payload: bytes) -> np.ndarray:
         else:
             out[i] = cache[sym - green_base]
             i += 1
-
-    argb = np.array(out, dtype=np.int64).reshape(h, w)
-    r = (argb >> 16) & 0xFF
-    g = (argb >> 8) & 0xFF
-    b = argb & 0xFF
-    if subtract_green:
-        r = (r + g) & 0xFF
-        b = (b + g) & 0xFF
-    return np.ascontiguousarray(
-        np.stack([r, g, b], axis=2).astype(np.uint8)
-    )
+    return out

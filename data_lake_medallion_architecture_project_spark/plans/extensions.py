@@ -1281,6 +1281,28 @@ def image_dhash_catalog_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(attach_fake_textured_webp_payloads(docs))
 
 
+@register("image_dhash_catalog_webp_palette", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog_webp_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_dhash_catalog_webp`` through the COLOR-INDEXING transform —
+    the VP8L layout cwebp actually picks for screenshot/chart corpora:
+    the textured pixels (grayscale mod-250, within the 256-color budget)
+    ride as a delta-coded palette sub-image plus an index-packed main
+    image, decoded by the same pure-stdlib bitstream reader. Lossless, so
+    the identical pixel-replay oracle certifies the palette build, the
+    delta accumulation, pixel bundling, and the transform-stack inverse
+    order bit-for-bit — 64 bits per image under the driver gate."""
+    from ..operators.multimodal import (
+        attach_fake_textured_webp_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(
+        attach_fake_textured_webp_payloads(docs, palette=True)
+    )
+
+
 _JPEG_DIMS_ORACLE = """
 SELECT doc_id,
        CAST(16 + doc_id % 13 AS BIGINT) AS img_width,

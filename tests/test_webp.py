@@ -161,3 +161,44 @@ def test_spark_dhash_identical_across_bmp_and_webp(spark):
         ).collect()
     }
     assert bmp == webp and len(bmp) == 40
+
+
+@pytest.mark.parametrize("n_colors", [1, 2, 4, 5, 16, 17, 256])
+@pytest.mark.parametrize("cache_bits", [0, 6])
+def test_palette_transform_roundtrip_across_bundling_tiers(n_colors, cache_bits):
+    """Color-indexing (the layout cwebp picks for screenshots): every
+    pixel-bundling tier — 8/4/2 indices per byte for ≤2/≤4/≤16 colors,
+    unbundled above — plus the delta-coded table sub-image must roundtrip
+    bit-exactly, with and without the color cache on the packed stream."""
+    rng = np.random.default_rng(n_colors * 31 + cache_bits)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, (23, 31))]
+    out = decode_webp(encode_webp(img, palette=True, cache_bits=cache_bits))
+    assert np.array_equal(out, img)
+
+
+def test_palette_transform_rejects_truecolor_and_compresses_palettes():
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="quantize upstream"):
+        encode_webp(
+            rng.integers(0, 256, (30, 30, 3), dtype=np.uint8), palette=True
+        )
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 4, (40, 40))]
+    indexed = encode_webp(img, palette=True)
+    plain = encode_webp(img, palette=False)
+    assert np.array_equal(decode_webp(indexed), img)
+    # 4 colors bundle 4 px/byte: the indexed stream must be much smaller
+    assert len(indexed) < len(plain)
+
+
+def test_palette_non_multiple_widths_pad_correctly():
+    """Widths that don't divide the bundling factor exercise the padded
+    final packed byte of every row."""
+    rng = np.random.default_rng(7)
+    for n_colors, w in ((2, 9), (4, 5), (16, 3)):
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, n_colors, (5, w))]
+        assert np.array_equal(
+            decode_webp(encode_webp(img, palette=True)), img
+        )
