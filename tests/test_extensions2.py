@@ -115,11 +115,14 @@ def test_decode_image_dispatch():
     # fails loudly at the parse site (never silent, never fake pixels).
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(b"\xff\xd8\xff\xe0....")
-    # Formats with no built-in codec (WebP) still dispatch to pillow or
-    # fail loudly naming it.
+    # Lossless WebP has a built-in codec since r14 — a malformed VP8L
+    # stream fails loudly in it; formats with NO built-in codec (TIFF)
+    # still dispatch to pillow or fail loudly naming it.
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
     if not _has_pillow():
         with pytest.raises(NotImplementedError, match="pillow"):
-            decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
+            decode_image(b"II*\x00" + b"\x00" * 16)
 
 
 def test_decode_image_png_backend_matches_bmp():
