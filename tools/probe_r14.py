@@ -127,9 +127,24 @@ def probe_quantizer() -> None:
     _timeit("quantize 256x256 truecolor (1 img)", lambda: quantize_median_cut(big))
 
 
+def probe_media_meta() -> None:
+    from data_lake_medallion_architecture_project_spark.operators.mp3 import build_mp3, parse_mp3_metadata
+    from data_lake_medallion_architecture_project_spark.operators.mp4 import build_mp4, parse_mp4_metadata
+
+    for scale, n in (("1x", 500), ("10x", 5000)):
+        mp4s = [
+            build_mp4((2 + d % 7) * 600, 600, 320, 240, 24 + d % 40)
+            for d in range(n)
+        ]
+        _timeit(f"mp4-meta {scale} ({n} blobs)", lambda b=mp4s: [parse_mp4_metadata(x) for x in b])
+        mp3s = [build_mp3(40 + d % 80, 128, 44100, d % 50) for d in range(n)]
+        _timeit(f"mp3-meta {scale} ({n} blobs)", lambda b=mp3s: [parse_mp3_metadata(x) for x in b])
+
+
 if __name__ == "__main__":
     probe_warc_lf_only()
     probe_avi()
     probe_g711()
     probe_webp()
     probe_quantizer()
+    probe_media_meta()
