@@ -1252,8 +1252,18 @@ def image_dhash_catalog_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # GIF's pure-Python LZW is ~10× the other codecs' per-image cost, and
+    # the small-SF documents parquet is 1-2 row groups → 1-2 tasks, so
+    # without a spread the encode stage runs near-single-core on a 32-way
+    # local session (measured 6.9 s at sf0.1). The repartition exchanges
+    # ONLY doc_id (the attach helper selects it first); at 100 TB the
+    # scan has ample splits and the id-only exchange stays negligible
+    # next to the codec work it parallelizes.
+    spread = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return image_dhash(
-        attach_fake_textured_gif_payloads(docs, interlace=True)
+        attach_fake_textured_gif_payloads(spread, interlace=True)
     )
 
 
