@@ -430,8 +430,15 @@ def test_compact_zorder_clusters_for_file_skipping(spark, tmp_path):
 
     files = [os.path.join(t.path, r) for r in t.snapshot().files]
     assert len(files) == 8
-    # Footer-stats pruning on each dimension: a 1/8-range filter must skip
-    # at least half the files on BOTH columns (the point of z vs single-sort).
+    # Footer-stats pruning on each dimension. Bound math: x <= 127 pins the
+    # top two interleaved x-bits, i.e. exactly 2 of the 8 equal z-octants —
+    # two CONTIGUOUS z-intervals. File cuts come from repartitionByRange's
+    # SAMPLED boundaries (per-partition seeds follow file-listing order, so
+    # they wobble run-to-run): each interval covers at most 1 interior file
+    # plus 2 boundary straddles, so worst case 6 of 8 files hit per column.
+    # A single-sort layout hits 8/8 on the non-sorted column — any bound
+    # < 8 on BOTH columns is the z-vs-single-sort claim. (A previous
+    # `<= 4` assert sat exactly at the straddle limit and flaked at 5.)
     for col in ("x", "y"):
         hit = 0
         for f in files:
@@ -442,7 +449,7 @@ def test_compact_zorder_clusters_for_file_skipping(spark, tmp_path):
             fmin, fmax = min(s.min for s in st), max(s.max for s in st)
             if fmax >= 0 and fmin <= 127:
                 hit += 1
-        assert hit <= len(files) // 2, (col, hit, len(files))
+        assert hit <= 6, (col, hit, len(files))
 
 
 def test_history_and_restore_round_trip(spark, tmp_path):
