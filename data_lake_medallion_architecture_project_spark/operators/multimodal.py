@@ -561,7 +561,7 @@ def attach_fake_textured_gif_payloads(
 
 def attach_fake_textured_webp_payloads(
     df: DataFrame, id_col: str = "doc_id", group: int = 1,
-    cache_bits: int = 6, palette: bool = False,
+    cache_bits: int = 6, palette: bool = False, predictor: bool = False,
 ) -> DataFrame:
     """The WebP twin of ``attach_fake_textured_bmp_payloads`` — identical
     textured pixels through the pure-stdlib VP8L codec
@@ -579,6 +579,7 @@ def attach_fake_textured_webp_payloads(
                     _textured_pixels(int(doc_id), group),
                     cache_bits=cache_bits,
                     palette=palette,
+                    predictor=predictor,
                 )
                 for doc_id in pdf[id_col]
             ]

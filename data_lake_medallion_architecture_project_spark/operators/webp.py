@@ -11,10 +11,13 @@ left-run LZ77 copies through the 2D distance-code mapping. Any WebP
 reader opens its output. ``decode_webp`` walks the container and the
 VP8L bitstream back: simple and normal prefix codes, meta-prefix OFF
 streams, LZ77 with both 2D-mapped and plain distances, color cache,
-and the subtract-green inverse. Remaining transform types (predictor /
-cross-color / color-indexing) raise NotImplementedError so real
-cwebp-encoded files route to the pillow dispatch rather than decoding
-wrong — the same loud-fallback contract as progressive JPEG.
+the subtract-green inverse, the color-indexing transform (delta-coded
+palette sub-image + pixel bundling), and the 14-mode PREDICTOR
+transform (the one real ``cwebp -lossless`` output carries on
+virtually every non-palette image). The remaining transform type
+(cross-color) and meta-prefix-ON streams raise NotImplementedError so
+such files route to the pillow dispatch rather than decoding wrong —
+the same loud-fallback contract as progressive JPEG.
 
 VP8L is LOSSLESS, so decode(encode(px)) is bit-exact and the
 ``image_dhash_catalog_webp`` registry query certifies the whole codec
@@ -100,9 +103,10 @@ class _BitReader:
 def _huffman_lengths(freqs: list[int], max_len: int) -> list[int]:
     """Code lengths from frequencies — Huffman, then depth-limited with a
     Kraft-sum repair that keeps the code COMPLETE (sum 2^-l == 1), which
-    strict decoders require. A single used symbol gets length 1 (VP8L has
-    the 1-2-symbol 'simple code' for that, but a complete 1-bit code is
-    also legal and keeps one writer path)."""
+    strict decoders require. A single used symbol gets DECLARED length 1
+    (how simple codes transmit it), but decoders assign it a 0-bit code
+    (libwebp's single-value special case), so emission must write no
+    bits per occurrence — _emit_image zeroes those codebook entries."""
     used = [s for s, f in enumerate(freqs) if f > 0]
     n = len(freqs)
     if not used:
@@ -182,6 +186,15 @@ class _Tree:
 
 
 def _build_tree(lengths: list[int]) -> _Tree:
+    used = [s for s, l in enumerate(lengths) if l > 0]
+    if len(used) == 1:
+        # Single-symbol codes consume ZERO bits per symbol (libwebp's
+        # BuildHuffmanTable special case: the lone entry gets bits=0
+        # regardless of its declared length) — a root-leaf tree makes
+        # _read_symbol return without touching the bit reader.
+        root = _Tree()
+        root.leaf = used[0]
+        return root
     root = _Tree()
     for sym, (code, nbits) in _canonical_codes(lengths).items():
         node = root
@@ -292,6 +305,8 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
         bw.write(cl_lengths[_CL_ORDER[k]], 3)
     bw.write(0, 1)  # no explicit max_symbol
     cl_codes = _canonical_codes(cl_lengths)
+    if len(cl_codes) == 1:  # single-symbol codes are read with 0 bits
+        cl_codes[next(iter(cl_codes))] = (0, 0)
     for sym, extra, extra_bits in tokens:
         code, nb = cl_codes[sym]
         bw.write_code(code, nb)
@@ -306,16 +321,24 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
             first = br.read(8)
         else:
             first = br.read(1)
-        lengths = [0] * alphabet_size
+        if first >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol outside the alphabet")
         if num_symbols == 1:
-            lengths[first] = 1
-        else:
-            second = br.read(8)
-            if first == second:
-                raise ValueError("VP8L simple code repeats a symbol")
-            lengths[first] = 1
-            lengths[second] = 1
-        return _build_tree(lengths)
+            root = _Tree()  # 0-bit single-symbol code
+            root.leaf = first
+            return root
+        second = br.read(8)
+        if first == second:
+            raise ValueError("VP8L simple code repeats a symbol")
+        if second >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol outside the alphabet")
+        # Codes are assigned by TRANSMISSION order (first symbol -> 0,
+        # second -> 1), NOT canonically by symbol value: an external
+        # stream may list them in descending order.
+        root = _Tree()
+        root.left, root.right = _Tree(), _Tree()
+        root.left.leaf, root.right.leaf = first, second
+        return root
     num = br.read(4) + 4
     cl_lengths = [0] * 19
     for k in range(num):
@@ -420,17 +443,122 @@ def _cache_key(argb: int, cache_bits: int) -> int:
 
 
 # --------------------------------------------------------------------------- #
+# Predictor transform (RFC 9649 §4.2.1) — 14 modes over packed ARGB.
+# The decoder-side arithmetic below is deliberately written against packed
+# ints (SWAR per-byte tricks), INDEPENDENTLY of the encoder's vectorized
+# per-plane numpy forward pass: the same two-independent-encodings test
+# discipline the distance table uses — a mode-arithmetic slip on either
+# side fails the bit-exact roundtrip.
+# --------------------------------------------------------------------------- #
+
+
+def _swar_avg2(a: int, b: int) -> int:
+    """Per-byte (x + y) >> 1 on packed ARGB without unpacking."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _swar_add(a: int, b: int) -> int:
+    """Per-byte (x + y) & 0xFF on packed ARGB (residual + prediction)."""
+    return (
+        (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+        | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF)
+    )
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """One predicted packed-ARGB value from the three/four neighbors."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _swar_avg2(_swar_avg2(L, TR), T)
+    if mode == 6:
+        return _swar_avg2(L, TL)
+    if mode == 7:
+        return _swar_avg2(L, T)
+    if mode == 8:
+        return _swar_avg2(TL, T)
+    if mode == 9:
+        return _swar_avg2(T, TR)
+    if mode == 10:
+        return _swar_avg2(_swar_avg2(L, TL), _swar_avg2(T, TR))
+    if mode == 11:
+        # Select: Manhattan distance of L and T to the gradient estimate
+        # L + T - TL; |est - L| telescopes to |T - TL| (and vice versa).
+        p_l = p_t = 0
+        for sh in (24, 16, 8, 0):
+            tl = (TL >> sh) & 0xFF
+            p_l += abs(((T >> sh) & 0xFF) - tl)
+            p_t += abs(((L >> sh) & 0xFF) - tl)
+        return L if p_l < p_t else T
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for sh in (24, 16, 8, 0):
+            c = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+            out |= (0 if c < 0 else 255 if c > 255 else c) << sh
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _swar_avg2(L, T)
+        out = 0
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            d = a - ((TL >> sh) & 0xFF)
+            # C-style truncation toward zero, NOT floor: (a - b) / 2
+            c = a + (d // 2 if d >= 0 else -((-d) // 2))
+            out |= (0 if c < 0 else 255 if c > 255 else c) << sh
+        return out
+    raise ValueError(f"VP8L predictor mode {mode} out of range 0..13")
+
+
+def _apply_inverse_predictor(
+    resid: list[int], modes: list[int], size_bits: int, w: int, h: int
+) -> list[int]:
+    """Reconstruct actual pixels from residuals, scan order (pixel (0,0)
+    is black-predicted, the rest of row 0 L-predicted, the rest of
+    column 0 T-predicted regardless of tile mode; the TR neighbor of a
+    rightmost-column pixel is the LEFTMOST pixel of the current row —
+    all per RFC 9649 §4.2.1)."""
+    tiles_w = (w + (1 << size_bits) - 1) >> size_bits
+    out = [0] * (w * h)
+    i = 0
+    for y in range(h):
+        mode_row = (y >> size_bits) * tiles_w
+        for x in range(w):
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else out[i - 1]
+            elif x == 0:
+                pred = out[i - w]
+            else:
+                mode = modes[mode_row + (x >> size_bits)]
+                tr = out[i - w + 1] if x + 1 < w else out[i - x]
+                pred = _predict(mode, out[i - 1], out[i - w], out[i - w - 1], tr)
+            out[i] = _swar_add(resid[i], pred)
+            i += 1
+    return out
+
+
+# --------------------------------------------------------------------------- #
 # Encoder
 # --------------------------------------------------------------------------- #
 
 
 def _emit_image(
-    bw: _BitWriter, vals: list[int], cache_bits: int, use_lz77: bool
+    bw: _BitWriter, vals: list[int], cache_bits: int, use_lz77: bool,
+    level0: bool,
 ) -> None:
-    """Emit one entropy-coded ARGB image stream (cache-info bit,
-    meta-prefix-off bit, the 5 prefix codes, then the pixel data) — the
-    unit both the main image and transform sub-images (e.g. the palette
-    table) are stored as."""
+    """Emit one entropy-coded ARGB image stream (cache-info bit, the 5
+    prefix codes, then the pixel data) — the unit both the main image
+    and transform sub-images (e.g. the palette table) are stored as.
+    The meta-prefix bit exists ONLY for the level-0 spatially-coded
+    image (libwebp gates it on allow_recursion): sub-images go straight
+    from cache info to the prefix codes."""
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [-1] * cache_size
     green_base = 256 + 24
@@ -487,13 +615,17 @@ def _emit_image(
         _huffman_lengths(freq_d, 15),
     ]
     codes = [_canonical_codes(l) for l in lengths]
+    for cb in codes:
+        if len(cb) == 1:  # single-symbol codes are read with 0 bits
+            cb[next(iter(cb))] = (0, 0)
 
     if cache_size:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)  # no meta-prefix image
+    if level0:
+        bw.write(0, 1)  # no meta-prefix image
     for l in lengths:
         _write_prefix_code(bw, l)
 
@@ -521,6 +653,107 @@ def _emit_image(
             emit(codes[0], green_base + t[1])
 
 
+def _forward_predictor(
+    planes: list[np.ndarray], size_bits: int, force_mode: int | None
+) -> tuple[list[int], list[int]]:
+    """Forward predictor pass over component planes [A, R, G, B] (int64
+    h×w): pick a mode per tile (argmin of a wraparound-residual cost,
+    or ``force_mode``), return (tile modes row-major, packed-ARGB
+    residuals row-major). Fully vectorized — prediction at ENCODE time
+    uses actual pixel values, so there is no sequential dependency;
+    only the decoder's inverse is a scan-order recurrence. Implemented
+    against per-plane numpy shifts, independently of the decoder's
+    packed-int SWAR arithmetic."""
+    h, w = planes[0].shape
+    bs = 1 << size_bits
+
+    def shifts(p: np.ndarray) -> tuple[np.ndarray, ...]:
+        left = np.zeros_like(p)
+        left[:, 1:] = p[:, :-1]
+        top = np.zeros_like(p)
+        top[1:, :] = p[:-1, :]
+        tl = np.zeros_like(p)
+        tl[1:, 1:] = p[:-1, :-1]
+        tr = np.zeros_like(p)
+        if w > 1:
+            tr[1:, :-1] = p[:-1, 1:]
+        tr[1:, w - 1] = p[1:, 0]  # rightmost column: leftmost of CURRENT row
+        return left, top, tl, tr
+
+    nb = [shifts(p) for p in planes]  # per component: (L, T, TL, TR)
+
+    def avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (a + b) >> 1
+
+    # preds[mode][comp] -> (h, w) plane
+    preds: list[list[np.ndarray]] = []
+    black = [np.full((h, w), v, dtype=np.int64) for v in (255, 0, 0, 0)]
+    preds.append(black)  # 0
+    for pick in (0, 1, 3, 2):  # 1: L, 2: T, 3: TR, 4: TL
+        preds.append([nb[c][pick] for c in range(4)])
+    preds.append([avg2(avg2(nb[c][0], nb[c][3]), nb[c][1]) for c in range(4)])  # 5
+    preds.append([avg2(nb[c][0], nb[c][2]) for c in range(4)])  # 6
+    preds.append([avg2(nb[c][0], nb[c][1]) for c in range(4)])  # 7
+    preds.append([avg2(nb[c][2], nb[c][1]) for c in range(4)])  # 8
+    preds.append([avg2(nb[c][1], nb[c][3]) for c in range(4)])  # 9
+    preds.append(
+        [avg2(avg2(nb[c][0], nb[c][2]), avg2(nb[c][1], nb[c][3]))
+         for c in range(4)]
+    )  # 10
+    p_l = sum(np.abs(nb[c][1] - nb[c][2]) for c in range(4))
+    p_t = sum(np.abs(nb[c][0] - nb[c][2]) for c in range(4))
+    sel = p_l < p_t
+    preds.append([np.where(sel, nb[c][0], nb[c][1]) for c in range(4)])  # 11
+    preds.append(
+        [np.clip(nb[c][0] + nb[c][1] - nb[c][2], 0, 255) for c in range(4)]
+    )  # 12
+    half = []
+    for c in range(4):
+        ave = avg2(nb[c][0], nb[c][1])
+        d = ave - nb[c][2]
+        half.append(np.clip(ave + np.sign(d) * (np.abs(d) >> 1), 0, 255))
+    preds.append(half)  # 13
+
+    # Border overrides (identical across modes, so they never skew the
+    # per-tile argmin): (0,0) black, rest of row 0 -> L, column 0 -> T.
+    for mode_planes in preds:
+        for c in range(4):
+            if w > 1:
+                mode_planes[c][0, 1:] = nb[c][0][0, 1:]
+            if h > 1:
+                mode_planes[c][1:, 0] = nb[c][1][1:, 0]
+            mode_planes[c][0, 0] = 255 if c == 0 else 0
+
+    resid_cube = np.empty((14, 4, h, w), dtype=np.int64)
+    for m in range(14):
+        for c in range(4):
+            resid_cube[m, c] = (planes[c] - preds[m][c]) & 0xFF
+    cost_cube = np.minimum(resid_cube, 256 - resid_cube).sum(axis=1)
+
+    tiles_h = (h + bs - 1) >> size_bits
+    tiles_w = (w + bs - 1) >> size_bits
+    modes: list[int] = []
+    chosen = np.empty((h, w), dtype=np.int64)
+    for ty in range(tiles_h):
+        ys = slice(ty << size_bits, min((ty + 1) << size_bits, h))
+        for tx in range(tiles_w):
+            xs = slice(tx << size_bits, min((tx + 1) << size_bits, w))
+            if force_mode is not None:
+                m = force_mode
+            else:
+                m = int(cost_cube[:, ys, xs].sum(axis=(1, 2)).argmin())
+            modes.append(m)
+            chosen[ys, xs] = m
+    rows = np.arange(h)[:, None]
+    cols = np.arange(w)[None, :]
+    picked = resid_cube[chosen, :, rows, cols]  # (h, w, 4)
+    packed = (
+        (picked[:, :, 0] << 24) | (picked[:, :, 1] << 16)
+        | (picked[:, :, 2] << 8) | picked[:, :, 3]
+    )
+    return modes, packed.reshape(-1).tolist()
+
+
 def _palette_width_bits(table_size: int) -> int:
     """Pixel bundling (RFC 9649 §4.2.4): tiny palettes pack several
     indices into one green byte — ≤2 colors: 8/px-byte, ≤4: 4, ≤16: 2."""
@@ -539,6 +772,9 @@ def encode_webp(
     cache_bits: int = 0,
     use_lz77: bool = True,
     palette: bool = False,
+    predictor: bool = False,
+    predictor_block_bits: int = 4,
+    _force_predictor_mode: int | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as lossless WebP (VP8L in a
     RIFF/WEBP container). Alpha is written opaque. ``cache_bits`` > 0
@@ -548,12 +784,22 @@ def encode_webp(
     color-indexing transform instead — the layout cwebp picks for
     screenshots/charts, including pixel bundling for ≤16-color images;
     requires ≤256 distinct colors (quantize upstream, same contract as
-    GIF) and supersedes ``subtract_green``."""
+    GIF) and supersedes ``subtract_green``. ``predictor`` writes the
+    14-mode predictor transform (the layout cwebp picks for photo/
+    texture content), per-tile argmin mode selection over
+    ``1 << predictor_block_bits``-pixel tiles, composable with
+    ``subtract_green`` in the same stream order cwebp uses;
+    ``_force_predictor_mode`` pins every tile to one mode (conformance
+    tests exercise each of the 14 this way)."""
     h, w, _ = pixels.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dimensions must be 1..16384")
     if not 0 <= cache_bits <= 11:
         raise ValueError("cache_bits must be 0..11")
+    if predictor and palette:
+        raise ValueError("predictor and palette transforms don't compose")
+    if predictor and not 2 <= predictor_block_bits <= 9:
+        raise ValueError("predictor_block_bits must be 2..9")
     px = pixels.astype(np.int64)
 
     bw = _BitWriter()
@@ -590,7 +836,7 @@ def encode_webp(
             )
             for a, b in zip(tl[1:], tl[:-1])
         ]
-        _emit_image(bw, deltas, 0, False)
+        _emit_image(bw, deltas, 0, False, level0=False)
         bw.write(0, 1)  # no more transforms
         # Pack indices: width_bits indices per green byte, LSB-first.
         wb = _palette_width_bits(len(table))
@@ -606,7 +852,7 @@ def encode_webp(
                 for j in range(min(xs, w - k * xs)):
                     byte |= int(idx[y, k * xs + j]) << (j * bits_per)
                 vals.append((0xFF << 24) | (byte << 8))
-        _emit_image(bw, vals, cache_bits, use_lz77)
+        _emit_image(bw, vals, cache_bits, use_lz77, level0=True)
     else:
         g = px[:, :, 1]
         if subtract_green:
@@ -614,12 +860,31 @@ def encode_webp(
             b = (px[:, :, 2] - g) & 0xFF
         else:
             r, b = px[:, :, 0], px[:, :, 2]
-        argb = ((0xFF << 24) | (r << 16) | (g << 8) | b).reshape(-1)
         if subtract_green:
             bw.write(1, 1)  # a transform follows
             bw.write(2, 2)  # SUBTRACT_GREEN
+        if predictor:
+            # Stream order matches cwebp: subtract-green header first,
+            # then predictor — inverses run in reverse read order, so
+            # the decoder undoes prediction before re-adding green.
+            bw.write(1, 1)  # a transform follows
+            bw.write(0, 2)  # PREDICTOR
+            bw.write(predictor_block_bits - 2, 3)
+            planes = [np.full((h, w), 255, dtype=np.int64), r, g, b]
+            modes, vals = _forward_predictor(
+                planes, predictor_block_bits, _force_predictor_mode
+            )
+            _emit_image(
+                bw,
+                [0xFF000000 | (m << 8) for m in modes],
+                0,
+                True,
+                level0=False,
+            )
+        else:
+            vals = ((0xFF << 24) | (r << 16) | (g << 8) | b).reshape(-1).tolist()
         bw.write(0, 1)  # no more transforms
-        _emit_image(bw, argb.tolist(), cache_bits, use_lz77)
+        _emit_image(bw, vals, cache_bits, use_lz77, level0=True)
 
     payload = bw.bytes()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload + (
@@ -636,9 +901,10 @@ def encode_webp(
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a lossless-WebP payload to an (h, w, 3) uint8 RGB array.
     Supports the VP8L feature set our encoder emits plus plain LZ77
-    distances, the full 2D distance table, subtract-green, and the
+    distances, the full 2D distance table, subtract-green, the
     color-indexing transform (delta-coded palette sub-image + pixel
-    bundling); predictor / cross-color transforms and lossy VP8 raise
+    bundling), and the 14-mode predictor transform; the cross-color
+    transform, meta-prefix streams, and lossy VP8 raise
     NotImplementedError (the pillow dispatch point)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
@@ -675,9 +941,19 @@ def decode_webp(payload: bytes) -> np.ndarray:
         ttype = br.read(2)
         if ttype == 2:
             transforms.append(("sg",))
+        elif ttype == 0:  # PREDICTOR
+            size_bits = br.read(3) + 2
+            tiles_w = (active_w + (1 << size_bits) - 1) >> size_bits
+            tiles_h = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _read_image(br, tiles_w, tiles_h, level0=False)
+            modes = [(v >> 8) & 0xFF for v in sub]
+            bad = max(modes)
+            if bad > 13:
+                raise ValueError(f"VP8L predictor mode {bad} out of range")
+            transforms.append(("pred", size_bits, modes))
         elif ttype == 3:
             table_size = br.read(8) + 1
-            deltas = _read_image(br, table_size, 1)
+            deltas = _read_image(br, table_size, 1, level0=False)
             table = [deltas[0] & 0xFFFFFFFF]
             for d in deltas[1:]:
                 p = table[-1]
@@ -692,10 +968,10 @@ def decode_webp(payload: bytes) -> np.ndarray:
             active_w = (w + (1 << wb) - 1) >> wb
         else:
             raise NotImplementedError(
-                "VP8L predictor/cross-color transforms need pillow"
+                "the VP8L cross-color transform needs pillow"
             )
 
-    out = _read_image(br, active_w, h)
+    out = _read_image(br, active_w, h, level0=True)
     argb = np.array(out, dtype=np.int64).reshape(h, active_w)
     # Inverse transforms run in REVERSE read order (RFC 9649 §4).
     for t in reversed(transforms):
@@ -711,6 +987,13 @@ def decode_webp(payload: bytes) -> np.ndarray:
             if int(idx.max()) >= len(table):
                 raise ValueError("VP8L palette index outside the color table")
             argb = np.array(table, dtype=np.int64)[idx]
+        elif t[0] == "pred":
+            _, size_bits, modes = t
+            cur_h, cur_w = argb.shape
+            actual = _apply_inverse_predictor(
+                argb.reshape(-1).tolist(), modes, size_bits, cur_w, cur_h
+            )
+            argb = np.array(actual, dtype=np.int64).reshape(cur_h, cur_w)
         else:  # subtract-green inverse
             g = (argb >> 8) & 0xFF
             r = (((argb >> 16) & 0xFF) + g) & 0xFF
@@ -726,12 +1009,15 @@ def decode_webp(payload: bytes) -> np.ndarray:
     )
 
 
-def _read_image(br: _BitReader, w: int, h: int) -> list[int]:
+def _read_image(br: _BitReader, w: int, h: int, level0: bool) -> list[int]:
     """Read one entropy-coded ARGB image stream (the unit both the main
-    image and transform sub-images are stored as) → row-major ARGB ints."""
+    image and transform sub-images are stored as) → row-major ARGB ints.
+    Only the level-0 spatially-coded image carries the meta-prefix bit
+    (libwebp gates it on allow_recursion); transform sub-images go
+    straight from cache info to the prefix codes."""
     cache_bits = br.read(4) if br.read(1) else 0
     cache_size = (1 << cache_bits) if cache_bits else 0
-    if br.read(1):
+    if level0 and br.read(1):
         raise NotImplementedError("VP8L meta-prefix streams need pillow")
     green_base = 256 + 24
     tree_g = _read_prefix_code(br, green_base + cache_size)

@@ -1313,6 +1313,33 @@ def image_dhash_catalog_webp_palette(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register("image_dhash_catalog_webp_predictor", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog_webp_predictor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``image_dhash_catalog_webp`` through the PREDICTOR transform — the
+    VP8L layout real ``cwebp -lossless`` output carries on virtually
+    every photographic/non-palette image: per-tile argmin mode selection
+    over the 14 RFC 9649 §4.2.1 modes (encoder side: vectorized
+    per-plane forward pass), residuals entropy-coded, decoded by the
+    independent packed-int scan-order inverse — composed with
+    subtract-green in the stream order cwebp uses. Lossless, so the
+    identical pixel-replay oracle certifies the whole mode arithmetic
+    (average floors, Select distances, clamp-add-subtract variants, the
+    rightmost-column TR rule) bit-for-bit — 64 bits per image under the
+    driver gate."""
+    from ..operators.multimodal import (
+        attach_fake_textured_webp_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(
+        attach_fake_textured_webp_payloads(docs, predictor=True)
+    )
+
+
 _JPEG_DIMS_ORACLE = """
 SELECT doc_id,
        CAST(16 + doc_id % 13 AS BIGINT) AS img_width,

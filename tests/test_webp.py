@@ -202,3 +202,230 @@ def test_palette_non_multiple_widths_pad_correctly():
         assert np.array_equal(
             decode_webp(encode_webp(img, palette=True)), img
         )
+
+
+# --------------------------------------------------------------------------- #
+# Round 15: predictor transform + real-reader bitstream conventions
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_predictor_all_14_modes_roundtrip(mode):
+    """Every predictor mode, forced on every tile: the encoder's
+    vectorized per-plane forward pass and the decoder's packed-int SWAR
+    inverse are independent implementations of the same RFC 9649 §4.2.1
+    arithmetic, so a slip in either (average floor, Select distance,
+    clamp bounds, trunc-toward-zero halving) breaks the bit-exact
+    roundtrip for that mode."""
+    img = _texture(mode + 100)
+    out = decode_webp(
+        encode_webp(img, predictor=True, _force_predictor_mode=mode)
+    )
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("block_bits", [2, 3, 4, 5, 9])
+@pytest.mark.parametrize("cache_bits", [0, 6])
+def test_predictor_roundtrip_block_and_cache_matrix(block_bits, cache_bits):
+    img = _texture(block_bits * 7 + cache_bits, h=21, w=37)
+    out = decode_webp(
+        encode_webp(
+            img,
+            predictor=True,
+            predictor_block_bits=block_bits,
+            cache_bits=cache_bits,
+        )
+    )
+    assert np.array_equal(out, img)
+
+
+def test_predictor_composes_with_subtract_green_in_cwebp_order():
+    """cwebp writes subtract-green then predictor; inverses must run in
+    reverse read order (prediction undone before green is re-added)."""
+    img = _texture(55)
+    for sg in (False, True):
+        out = decode_webp(encode_webp(img, predictor=True, subtract_green=sg))
+        assert np.array_equal(out, img)
+
+
+def test_predictor_edge_shapes_and_rightmost_tr_rule():
+    """1×1 / 1×N / N×1 exercise the black/L/T border overrides; forcing
+    mode 3 (TR) on wider images exercises the exceptional rightmost-
+    column rule (TR = the LEFTMOST pixel of the CURRENT row)."""
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1, 3), (1, 9, 3), (9, 1, 3), (2, 2, 3)):
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        for mode in (None, 0, 3, 5, 9, 11, 12, 13):
+            out = decode_webp(
+                encode_webp(x, predictor=True, _force_predictor_mode=mode)
+            )
+            assert np.array_equal(out, x), (shape, mode)
+    wide = rng.integers(0, 256, (11, 19, 3), dtype=np.uint8)
+    for mode in (3, 5, 9, 10):  # every TR-consuming mode
+        out = decode_webp(
+            encode_webp(wide, predictor=True, _force_predictor_mode=mode)
+        )
+        assert np.array_equal(out, wide), mode
+
+
+def test_predictor_shrinks_gradients():
+    """The whole point of the transform: smooth content should compress
+    far better through prediction than through plain entropy coding."""
+    grad = (
+        (np.arange(48)[:, None, None] * 3 + np.arange(64)[None, :, None] * 2)
+        % 256
+    ).astype(np.uint8).repeat(3, axis=2)[:, :, :3]
+    assert len(encode_webp(grad, predictor=True)) < len(encode_webp(grad)) / 4
+
+
+def test_predictor_rejects_bad_params():
+    img = _texture(1, h=4, w=4)
+    with pytest.raises(ValueError, match="compose"):
+        encode_webp(
+            np.zeros((4, 4, 3), dtype=np.uint8), predictor=True, palette=True
+        )
+    with pytest.raises(ValueError, match="predictor_block_bits"):
+        encode_webp(img, predictor=True, predictor_block_bits=1)
+
+
+def test_predict_matches_independent_per_component_reference():
+    """Third encoding of the mode arithmetic: a plain per-component
+    reference implementation written here, compared against the
+    decoder's packed-int SWAR _predict over random neighbor values —
+    pins the SWAR average trick, Select's telescoped distances, and
+    both clamp-add-subtract variants."""
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _predict,
+    )
+
+    def comps(v):
+        return [(v >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+    def pack(cs):
+        return (cs[0] << 24) | (cs[1] << 16) | (cs[2] << 8) | cs[3]
+
+    def avg2(a, b):
+        return (a + b) // 2
+
+    def ref(mode, L, T, TL, TR):
+        l, t, tl, tr = comps(L), comps(T), comps(TL), comps(TR)
+        if mode == 0:
+            return 0xFF000000
+        if mode == 1:
+            return L
+        if mode == 2:
+            return T
+        if mode == 3:
+            return TR
+        if mode == 4:
+            return TL
+        if mode == 5:
+            return pack([avg2(avg2(l[c], tr[c]), t[c]) for c in range(4)])
+        if mode == 6:
+            return pack([avg2(l[c], tl[c]) for c in range(4)])
+        if mode == 7:
+            return pack([avg2(l[c], t[c]) for c in range(4)])
+        if mode == 8:
+            return pack([avg2(tl[c], t[c]) for c in range(4)])
+        if mode == 9:
+            return pack([avg2(t[c], tr[c]) for c in range(4)])
+        if mode == 10:
+            return pack(
+                [avg2(avg2(l[c], tl[c]), avg2(t[c], tr[c])) for c in range(4)]
+            )
+        if mode == 11:
+            p = [l[c] + t[c] - tl[c] for c in range(4)]
+            pL = sum(abs(p[c] - l[c]) for c in range(4))
+            pT = sum(abs(p[c] - t[c]) for c in range(4))
+            return L if pL < pT else T
+        if mode == 12:
+            return pack(
+                [min(255, max(0, l[c] + t[c] - tl[c])) for c in range(4)]
+            )
+        a = [avg2(l[c], t[c]) for c in range(4)]
+        return pack(
+            [min(255, max(0, a[c] + int((a[c] - tl[c]) / 2)))
+             for c in range(4)]
+        )
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        L, T, TL, TR = (
+            int(v) for v in rng.integers(0, 1 << 32, 4, dtype=np.uint64)
+        )
+        for mode in range(14):
+            assert _predict(mode, L, T, TL, TR) == ref(mode, L, T, TL, TR), mode
+
+
+def test_simple_code_assigns_codes_by_transmission_order():
+    """RFC 9649: in the 1/2-symbol simple form, code 0 belongs to the
+    FIRST symbol transmitted — not the numerically smaller one. A stream
+    listing symbols in descending order must decode them unswapped."""
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _BitReader,
+        _BitWriter,
+        _read_prefix_code,
+        _read_symbol,
+    )
+
+    bw = _BitWriter()
+    bw.write(1, 1)  # simple code
+    bw.write(1, 1)  # two symbols
+    bw.write(1, 1)  # first symbol in 8 bits
+    bw.write(200, 8)  # DESCENDING transmission order
+    bw.write(10, 8)
+    bw.write(0b10, 2)  # data: code 0 then code 1
+    br = _BitReader(bw.bytes())
+    tree = _read_prefix_code(br, 256)
+    assert _read_symbol(br, tree) == 200  # code 0 -> first transmitted
+    assert _read_symbol(br, tree) == 10
+
+
+def test_single_symbol_codes_consume_zero_bits():
+    """libwebp's BuildHuffmanTable gives a lone symbol a 0-bit code, so
+    a conforming reader consumes NO data bits for it — and our writer
+    must emit none (the alpha channel is a single-symbol code in nearly
+    every opaque image, so a 1-bit convention would desync every real
+    reader on every image)."""
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _BitReader,
+        _BitWriter,
+        _read_prefix_code,
+        _read_symbol,
+    )
+
+    bw = _BitWriter()
+    bw.write(1, 1)  # simple code
+    bw.write(0, 1)  # one symbol
+    bw.write(1, 1)  # in 8 bits
+    bw.write(77, 8)
+    br = _BitReader(bw.bytes())
+    tree = _read_prefix_code(br, 256)
+    before = (br._pos, br._n)
+    for _ in range(50):
+        assert _read_symbol(br, tree) == 77
+    assert (br._pos, br._n) == before  # zero bits consumed
+
+
+def test_sub_images_carry_no_meta_prefix_bit():
+    """Per RFC 9649 / libwebp (ReadHuffmanCodes gates on
+    allow_recursion), only the level-0 image has the meta-prefix bit;
+    transform sub-images go straight from cache info to prefix codes.
+    _emit_image/_read_image must agree at BOTH levels, and the two
+    levels must differ by exactly that one bit."""
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _BitReader,
+        _BitWriter,
+        _emit_image,
+        _read_image,
+    )
+
+    vals = [0xFF000000 | (v << 8) for v in (3, 1, 4, 1, 5, 9, 2, 6)]
+    for level0 in (False, True):
+        bw = _BitWriter()
+        _emit_image(bw, vals, 0, False, level0=level0)
+        assert _read_image(_BitReader(bw.bytes()), 4, 2, level0=level0) == vals
+    lo, hi = _BitWriter(), _BitWriter()
+    _emit_image(lo, vals, 0, False, level0=False)
+    _emit_image(hi, vals, 0, False, level0=True)
+    assert len(lo.bytes()) * 8 <= len(hi.bytes()) * 8  # one bit shorter
