@@ -213,6 +213,11 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
                     "<I", payload, body_start + 16
                 )
             elif in_movi and cid[2:4] == b"dc":
+                if compression is None:
+                    # Mirror the '00db' branch: a frame before strf is a
+                    # MALFORMED file (quarantine class), not a foreign
+                    # codec (external-decoder class).
+                    raise ValueError("AVI frame before the strf header")
                 if compression != struct.unpack("<I", b"MJPG")[0]:
                     raise NotImplementedError(
                         "only MJPG compressed AVI streams are built in; "

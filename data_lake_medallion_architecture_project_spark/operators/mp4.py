@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -51,11 +51,20 @@ def build_mp4(
     n_samples: int,
     codec: str = "avc1",
     payload: bytes = b"",
+    audio_first: bool = False,
+    edit_entries: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """A structurally real minimal MP4: ftyp + moov (mvhd, one video trak
     with the full mdia/minf/stbl tree) + mdat. Times are version-0
     (32-bit); width/height ride both tkhd (16.16 fixed) and the stsd
-    visual sample entry, as real muxers write them."""
+    visual sample entry, as real muxers write them. ``audio_first``
+    prepends a complete 'soun' trak (mp4a sample entry, its OWN sample
+    count) BEFORE the video trak — the common real-muxer layout whose
+    stsd bytes at the visual width/height offsets are the audio
+    sample-rate field, so a parser that doesn't gate on hdlr reports
+    garbage. ``edit_entries`` writes an edts/elst (version 0) in the
+    video trak: (segment_duration in movie timescale, media_time) pairs,
+    media_time −1 being an empty (leader-trim) edit."""
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mvhd = _full(
         b"mvhd", 0, 0,
@@ -115,7 +124,48 @@ def build_mp4(
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if edit_entries:
+        elst = _full(
+            b"elst", 0, 0,
+            struct.pack(">I", len(edit_entries))
+            + b"".join(
+                struct.pack(">IiHH", seg_dur, media_time, 1, 0)
+                for seg_dur, media_time in edit_entries
+            ),
+        )
+        edts = _box(b"edts", elst)
+    trak = _box(b"trak", tkhd + edts + mdia)
+    if audio_first:
+        # A complete 'soun' trak FIRST: mp4a sample entry (whose bytes at
+        # the visual width/height offsets are the 16.16 sample rate) and
+        # its own stsz count — none of which may leak into video fields.
+        a_hdlr = _full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"soun" + b"\x00" * 12
+            + b"SoundHandler\x00",
+        )
+        a_entry = (
+            struct.pack(">I", 36) + b"mp4a"
+            + b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 2, 16, 0, 0)  # channels, bits, pre, rsv
+            + struct.pack(">I", 44100 << 16)
+        )
+        a_stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + a_entry)
+        a_n = n_samples + 7
+        a_stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, a_n) + struct.pack(f">{a_n}I", *([1] * a_n)),
+        )
+        a_stts = _full(b"stts", 0, 0, struct.pack(">III", 1, a_n, 1))
+        a_stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, a_n, 1))
+        a_stco = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
+        smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        a_stbl = _box(b"stbl", a_stsd + a_stts + a_stsc + a_stsz + a_stco)
+        a_minf = _box(b"minf", smhd + _box(b"dinf", dref) + a_stbl)
+        a_mdia = _box(b"mdia", mdhd + a_hdlr + a_minf)
+        trak = _box(b"trak", tkhd + a_mdia) + trak
     moov = _box(b"moov", mvhd + trak)
     mdat = _box(b"mdat", payload)
     return ftyp + moov + mdat
@@ -146,13 +196,76 @@ def _full_header(data: bytes, start: int) -> tuple[int, int]:
     return data[start], start + 4
 
 
+def _parse_trak(payload: bytes, start: int, end: int) -> dict:
+    """One trak subtree → its handler type, sample-entry fields, sample
+    count, and edit list (elst v0/v1 (segment_duration, media_time)
+    pairs) — per-track so the caller can gate on hdlr before trusting
+    any stsd/stsz field."""
+    info: dict = {
+        "handler": None, "codec": None, "width": None, "height": None,
+        "n_samples": None, "elst": None,
+    }
+
+    def walk(s: int, e: int) -> None:
+        for btype, bs, be in _walk_boxes(payload, s, e):
+            if btype == b"hdlr":
+                _, off = _full_header(payload, bs)
+                info["handler"] = payload[off + 4 : off + 8].decode(
+                    "ascii", "replace"
+                )
+            elif btype == b"elst":
+                ver, off = _full_header(payload, bs)
+                (n_entries,) = struct.unpack_from(">I", payload, off)
+                p = off + 4
+                entries = []
+                for _ in range(n_entries):
+                    if ver == 1:
+                        seg_dur, media_time = struct.unpack_from(
+                            ">Qq", payload, p
+                        )
+                        p += 16 + 4
+                    else:
+                        seg_dur, media_time = struct.unpack_from(
+                            ">Ii", payload, p
+                        )
+                        p += 8 + 4
+                    if p > be:
+                        raise ValueError("MP4 elst overruns its box")
+                    entries.append((seg_dur, media_time))
+                info["elst"] = entries
+            elif btype == b"stsd" and info["codec"] is None:
+                _, off = _full_header(payload, bs)
+                (n_entries,) = struct.unpack_from(">I", payload, off)
+                if n_entries >= 1:
+                    entry_start = off + 4
+                    info["codec"] = payload[
+                        entry_start + 4 : entry_start + 8
+                    ].decode("ascii", "replace")
+                    w, h = struct.unpack_from(">HH", payload, entry_start + 32)
+                    info["width"], info["height"] = w, h
+            elif btype == b"stsz" and info["n_samples"] is None:
+                _, off = _full_header(payload, bs)
+                _fixed, count = struct.unpack_from(">II", payload, off)
+                info["n_samples"] = count
+            elif btype in _CONTAINERS:
+                walk(bs, be)
+
+    walk(start, end)
+    return info
+
+
 def parse_mp4_metadata(payload: bytes) -> dict:
     """Triage metadata from an MP4 blob: movie duration/timescale, track
-    count, and for the FIRST video track its handler, codec fourcc,
-    pixel dimensions (from the sample entry) and sample count. Handles
-    version-0 and version-1 time boxes and 64-bit box sizes. Raises
-    ValueError on grammar violations — corrupt blobs must be quarantined
-    loudly, not averaged into corpus stats."""
+    count, and — gated on each trak's hdlr handler_type, so an
+    audio-first layout can't leak mp4a fields into video columns — the
+    FIRST VIDEO track's handler, codec fourcc, pixel dimensions (from
+    the sample entry), sample count, and edit list: ``has_edit_list``
+    plus ``presentation_ms`` (sum of elst segment durations in movie
+    timescale — the duration a player actually presents, vs the
+    container duration; equal when no elst). Handles version-0 and
+    version-1 time boxes and 64-bit box sizes. Raises ValueError on
+    grammar violations — corrupt blobs must be quarantined loudly, not
+    averaged into corpus stats."""
     meta = {
         "timescale": None, "duration_units": None, "n_tracks": 0,
         "handler": None, "codec": None, "width": None, "height": None,
@@ -160,75 +273,69 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     }
     saw_ftyp = False
     saw_moov = False
+    traks: list[dict] = []
 
-    def walk(start: int, end: int, in_video_track: bool) -> None:
-        nonlocal saw_ftyp, saw_moov
-        for btype, bs, be in _walk_boxes(payload, start, end):
-            if btype == b"ftyp":
-                saw_ftyp = True
-            elif btype == b"moov":
-                saw_moov = True
-                walk(bs, be, False)
-            elif btype == b"mvhd":
-                ver, off = _full_header(payload, bs)
-                if ver == 1:
-                    ts, dur = struct.unpack_from(">IQ", payload, off + 16)
-                else:
-                    ts, dur = struct.unpack_from(">II", payload, off + 8)
-                meta["timescale"], meta["duration_units"] = ts, dur
-            elif btype == b"trak":
-                meta["n_tracks"] += 1
-                walk(bs, be, False)
-            elif btype == b"hdlr":
-                _, off = _full_header(payload, bs)
-                handler = payload[off + 4 : off + 8].decode("ascii", "replace")
-                if meta["handler"] is None or handler == "vide":
-                    meta["handler"] = handler
-            elif btype in _CONTAINERS:
-                walk(bs, be, in_video_track)
-            elif btype == b"stsd" and meta["codec"] is None:
-                _, off = _full_header(payload, bs)
-                (n_entries,) = struct.unpack_from(">I", payload, off)
-                if n_entries >= 1:
-                    entry_start = off + 4
-                    meta["codec"] = payload[
-                        entry_start + 4 : entry_start + 8
-                    ].decode("ascii", "replace")
-                    w, h = struct.unpack_from(">HH", payload, entry_start + 32)
-                    meta["width"], meta["height"] = w, h
-            elif btype == b"stsz" and meta["n_samples"] is None:
-                _, off = _full_header(payload, bs)
-                _fixed, count = struct.unpack_from(">II", payload, off)
-                meta["n_samples"] = count
+    for btype, bs, be in _walk_boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            saw_ftyp = True
+        elif btype == b"moov":
+            saw_moov = True
+            for t2, b2, e2 in _walk_boxes(payload, bs, be):
+                if t2 == b"mvhd":
+                    ver, off = _full_header(payload, b2)
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", payload, off + 16)
+                    else:
+                        ts, dur = struct.unpack_from(">II", payload, off + 8)
+                    meta["timescale"], meta["duration_units"] = ts, dur
+                elif t2 == b"trak":
+                    traks.append(_parse_trak(payload, b2, e2))
 
-    walk(0, len(payload), False)
     if not saw_ftyp or not saw_moov:
         raise ValueError("not an ISO-BMFF payload (ftyp/moov missing)")
     if not meta["timescale"]:
         raise ValueError("MP4 moov carries no mvhd timescale")
+    meta["n_tracks"] = len(traks)
+    video = next((t for t in traks if t["handler"] == "vide"), None)
+    if video is not None:
+        meta["handler"] = video["handler"]
+        meta["codec"] = video["codec"]
+        meta["width"], meta["height"] = video["width"], video["height"]
+        meta["n_samples"] = video["n_samples"]
+    elif traks:
+        meta["handler"] = traks[0]["handler"]
     meta["duration_ms"] = meta["duration_units"] * 1000 // meta["timescale"]
+    elst = video["elst"] if video is not None else None
+    meta["has_edit_list"] = bool(elst)
+    pres_units = (
+        sum(seg for seg, _ in elst) if elst else meta["duration_units"]
+    )
+    meta["presentation_ms"] = pres_units * 1000 // meta["timescale"]
     return meta
 
 
 MP4_META_SCHEMA = (
     "doc_id long, duration_ms long, timescale long, n_tracks long, "
     "handler string, codec string, img_width long, img_height long, "
-    "n_samples long"
+    "n_samples long, has_edit_list boolean, presentation_ms long"
 )
 
 
 def mp4_metadata(payloads: DataFrame) -> DataFrame:
     """(doc_id, duration_ms, timescale, n_tracks, handler, codec, width,
-    height, n_samples) per MP4 blob — Arrow-batched, metadata-only (no
-    sample data is ever decoded, so the per-blob cost is microseconds
-    regardless of media size: the triage property that matters at
-    100 TB)."""
+    height, n_samples, has_edit_list, presentation_ms) per MP4 blob —
+    Arrow-batched, metadata-only (no sample data is ever decoded, so the
+    per-blob cost is microseconds regardless of media size: the triage
+    property that matters at 100 TB). Video fields come from the first
+    hdlr=='vide' track only; presentation_ms replays the edit list so
+    leader-trimmed files gate on what a player presents."""
 
     def _parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             rows = {k: [] for k in (
                 "doc_id", "duration_ms", "timescale", "n_tracks",
                 "handler", "codec", "img_width", "img_height", "n_samples",
+                "has_edit_list", "presentation_ms",
             )}
             for doc_id, payload in zip(
                 batch.column("doc_id").to_pylist(), batch.column("payload")
@@ -243,6 +350,8 @@ def mp4_metadata(payloads: DataFrame) -> DataFrame:
                 rows["img_width"].append(m["width"])
                 rows["img_height"].append(m["height"])
                 rows["n_samples"].append(m["n_samples"])
+                rows["has_edit_list"].append(m["has_edit_list"])
+                rows["presentation_ms"].append(m["presentation_ms"])
             yield pa.RecordBatch.from_pydict({
                 "doc_id": pa.array(rows["doc_id"], pa.int64()),
                 "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
@@ -253,6 +362,10 @@ def mp4_metadata(payloads: DataFrame) -> DataFrame:
                 "img_width": pa.array(rows["img_width"], pa.int64()),
                 "img_height": pa.array(rows["img_height"], pa.int64()),
                 "n_samples": pa.array(rows["n_samples"], pa.int64()),
+                "has_edit_list": pa.array(rows["has_edit_list"], pa.bool_()),
+                "presentation_ms": pa.array(
+                    rows["presentation_ms"], pa.int64()
+                ),
             })
 
     return payloads.mapInArrow(_parse, schema=MP4_META_SCHEMA)
@@ -263,7 +376,10 @@ def attach_fake_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     arithmetic (all fields SQL-replayable): timescale 600 + 300·(id%5),
     duration (2 + id%7)·timescale + id%13 units, 320+16·(id%8) ×
     240+16·(id%5) px, 24 + id%40 samples, codec cycling a real fourcc
-    triple."""
+    triple. id%4==1 rows get an AUDIO TRACK FIRST (mp4a, its own sample
+    count — the layout that exposes un-gated stsd walks); id%5==2 rows
+    get an edit list (an empty leader edit of 10 + id%50 units plus one
+    full-duration media edit), so presentation > container duration."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
@@ -275,15 +391,21 @@ def attach_fake_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 ts = 600 + 300 * (d % 5)
+                dur = (2 + d % 7) * ts + d % 13
+                edits = (
+                    [(10 + d % 50, -1), (dur, 0)] if d % 5 == 2 else None
+                )
                 payloads.append(
                     build_mp4(
-                        duration_units=(2 + d % 7) * ts + d % 13,
+                        duration_units=dur,
                         timescale=ts,
                         width=320 + 16 * (d % 8),
                         height=240 + 16 * (d % 5),
                         n_samples=24 + d % 40,
                         codec=codecs[d % 3],
                         payload=b"\x00" * (d % 97),
+                        audio_first=d % 4 == 1,
+                        edit_entries=edits,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})

@@ -1539,19 +1539,26 @@ def video_avi_mjpeg_structure_query(spark: SparkSession, sf_dir: str) -> DataFra
 
 _MP4_META_ORACLE = """
 WITH p AS (
-  SELECT doc_id, 600 + 300 * (doc_id % 5) AS ts FROM documents
+  SELECT doc_id,
+         600 + 300 * (doc_id % 5) AS ts,
+         (2 + doc_id % 7) * (600 + 300 * (doc_id % 5)) + doc_id % 13 AS dur
+  FROM documents
 )
 SELECT doc_id,
-       CAST(((2 + doc_id % 7) * ts + doc_id % 13) * 1000 // ts
-            AS BIGINT) AS duration_ms,
+       CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
        CAST(ts AS BIGINT) AS timescale,
-       CAST(1 AS BIGINT) AS n_tracks,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_tracks,
        'vide' AS handler,
        CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
             ELSE 'vp09' END AS codec,
        CAST(320 + 16 * (doc_id % 8) AS BIGINT) AS img_width,
        CAST(240 + 16 * (doc_id % 5) AS BIGINT) AS img_height,
-       CAST(24 + doc_id % 40 AS BIGINT) AS n_samples
+       CAST(24 + doc_id % 40 AS BIGINT) AS n_samples,
+       doc_id % 5 = 2 AS has_edit_list,
+       CAST(CASE WHEN doc_id % 5 = 2
+                 THEN (dur + 10 + doc_id % 50) * 1000 // ts
+                 ELSE dur * 1000 // ts END AS BIGINT) AS presentation_ms
 FROM p
 """
 
@@ -1565,10 +1572,14 @@ def mp4_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production box walker extracts duration/timescale/track/codec/
     dimensions/sample-count WITHOUT touching sample data — the pass a
     100-TB pipeline runs before any decoder, so cost is per-blob
-    microseconds regardless of media size. The oracle replays every
-    field from doc_id integer arithmetic, so a box-size slip, version
-    mishandling, wrong fixed-point width read, or stsd offset error
-    fails the value hash on every row."""
+    microseconds regardless of media size. A quarter of the corpus
+    carries an AUDIO TRACK FIRST (real-muxer layout: video fields must
+    come from the hdlr=='vide' trak, not file order) and a fifth an
+    edts/elst edit list (presentation_ms must replay the segment sum,
+    not the container duration). The oracle replays every field from
+    doc_id integer arithmetic, so a box-size slip, version mishandling,
+    wrong fixed-point width read, stsd offset error, un-gated track
+    walk, or elst miscount fails the value hash on every row."""
     from ..operators.mp4 import attach_fake_mp4_payloads, mp4_metadata
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1579,32 +1590,56 @@ _MP3_META_ORACLE = """
 WITH p AS (
   SELECT doc_id,
          40 + doc_id % 80 AS nf,
-         CASE doc_id % 3 WHEN 0 THEN 96 WHEN 1 THEN 128 ELSE 192 END AS br,
-         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-              ELSE 32000 END AS sr
+         doc_id % 7 AS vsel,
+         doc_id % 3 AS c
   FROM documents
+), q AS (
+  SELECT doc_id, nf,
+         CASE WHEN vsel < 5 THEN '1' WHEN vsel = 5 THEN '2'
+              ELSE '2.5' END AS ver,
+         CASE WHEN vsel < 5
+              THEN CASE c WHEN 0 THEN 96 WHEN 1 THEN 128 ELSE 192 END
+              ELSE CASE c WHEN 0 THEN 48 WHEN 1 THEN 64 ELSE 80 END
+         END AS br,
+         CASE WHEN vsel < 5
+              THEN CASE c WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 32000 END
+              WHEN vsel = 5
+              THEN CASE c WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                   ELSE 16000 END
+              ELSE CASE c WHEN 0 THEN 11025 WHEN 1 THEN 12000
+                   ELSE 8000 END
+         END AS sr,
+         CASE WHEN vsel < 5 THEN 1152 ELSE 576 END AS spf
+  FROM p
 )
 SELECT doc_id,
+       ver AS mpeg_version,
        CAST(nf AS BIGINT) AS n_frames,
-       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms,
        CAST(sr AS BIGINT) AS sample_rate,
        CAST(br AS BIGINT) AS bitrate_kbps,
-       CAST(nf * (144 * br * 1000 // sr) AS BIGINT) AS total_audio_bytes
-FROM p
+       CAST(nf * ((spf // 8) * br * 1000 // sr) AS BIGINT)
+         AS total_audio_bytes
+FROM q
 """
 
 
 @register("mp3_metadata_catalog", oracle=_MP3_META_ORACLE,
           tags=("multimodal", "source"))
 def mp3_metadata_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-corpus triage through real MPEG-1 Layer III framing: each row
-    synthesizes a structurally real CBR MP3 (ID3v2 tag with syncsafe
-    size, correct frame headers, computed frame lengths) and the
-    production walker hops headers to recover frame count, duration,
-    sample rate, bitrate, and audio byte total — no audio decode. The
-    oracle replays the bitrate/sample-rate tables and the
-    144·br/sr frame-length formula from doc_id, so a sync slip, table
-    index error, padding mishandling, or ID3 skip bug fails every row."""
+    """Audio-corpus triage through real Layer III framing across ALL
+    THREE MPEG versions: each row synthesizes a structurally real CBR
+    MP3 (ID3v2 tag with syncsafe size, correct frame headers, computed
+    frame lengths) and the production walker hops headers to recover
+    version, frame count, duration, sample rate, bitrate, and audio
+    byte total — no audio decode. Two sevenths of the corpus is
+    MPEG-2 / MPEG-2.5 (576-sample frames, the halved/quartered
+    sample-rate tables, the low-rate bitrate table — what voice and
+    podcast corpora actually carry). The oracle replays the per-version
+    tables and the (spf/8)·br/sr frame-length formula from doc_id, so a
+    sync slip, version-bit misread, table index error, padding
+    mishandling, or ID3 skip bug fails every row."""
     from ..operators.mp3 import attach_fake_mp3_payloads, mp3_metadata
 
     docs = load_table(spark, sf_dir, "documents")

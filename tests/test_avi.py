@@ -145,6 +145,31 @@ def test_unknown_compression_needs_external_decoder():
         decode_avi(bytes(blob))
 
 
+def test_frame_before_strf_is_malformed_for_both_codecs():
+    """A frame chunk arriving before the strf header is a MALFORMED file
+    and must raise ValueError (quarantine class) for '00dc' exactly like
+    '00db' — not NotImplementedError (external-decoder class), which
+    would mis-route corrupt blobs past a quarantine split keyed on
+    error type."""
+    for codec, tag in ((b"MJPG", b"00dc"), (b"DIB ", b"00db")):
+        frame = _chunk(tag, b"\x00" * 16)
+        movi = _list(b"movi", frame)
+        body = b"AVI " + movi
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="before the strf"):
+            decode_avi(blob)
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+
 def test_spark_avi_dib_matches_synthetic_container(spark):
     """The real-container path must produce EXACTLY the hash rows of the
     synthetic container over the same ids — same frames, same stride, only

@@ -100,10 +100,46 @@ def test_mp4_spark_stage_matches_formulas(spark):
         attach_fake_mp4_payloads(docs)).collect()}
     for d in range(25):
         ts = 600 + 300 * (d % 5)
+        dur = (2 + d % 7) * ts + d % 13
         r = out[d]
-        assert r["duration_ms"] == ((2 + d % 7) * ts + d % 13) * 1000 // ts
+        assert r["duration_ms"] == dur * 1000 // ts
         assert r["codec"] == ("avc1", "hvc1", "vp09")[d % 3]
         assert r["n_samples"] == 24 + d % 40
+        assert r["n_tracks"] == (2 if d % 4 == 1 else 1)
+        assert r["handler"] == "vide"  # even when the audio trak is first
+        assert r["has_edit_list"] == (d % 5 == 2)
+        expected_pres = (dur + 10 + d % 50) if d % 5 == 2 else dur
+        assert r["presentation_ms"] == expected_pres * 1000 // ts
+
+
+def test_mp4_audio_track_first_never_leaks_into_video_fields():
+    """ADVICE r14: an un-gated stsd walk on an audio-first MP4 reports
+    the mp4a fourcc and reads the 16.16 sample-rate bytes as
+    width/height. Fields must be gated on hdlr=='vide'."""
+    m = parse_mp4_metadata(
+        build_mp4(6000, 600, 352, 288, 8, codec="hvc1", audio_first=True)
+    )
+    assert m["n_tracks"] == 2
+    assert m["handler"] == "vide"
+    assert m["codec"] == "hvc1"
+    assert (m["width"], m["height"]) == (352, 288)
+    assert m["n_samples"] == 8  # not the audio trak's 15
+
+
+def test_mp4_edit_list_presentation_duration():
+    """A leader-trim edit list makes presentation ≠ container duration;
+    both must be reported (the metadata-quality gate real MP4s hit)."""
+    plain = parse_mp4_metadata(build_mp4(6000, 600, 320, 240, 8))
+    assert not plain["has_edit_list"]
+    assert plain["presentation_ms"] == plain["duration_ms"] == 10000
+    m = parse_mp4_metadata(
+        build_mp4(
+            6000, 600, 320, 240, 8, edit_entries=[(90, -1), (6000, 0)]
+        )
+    )
+    assert m["has_edit_list"]
+    assert m["duration_ms"] == 10000
+    assert m["presentation_ms"] == 6090 * 1000 // 600
 
 
 # ---------------------------------------------------------------------------
@@ -142,21 +178,61 @@ def test_mp3_malformed_and_unsupported_fail_loudly():
         parse_mp3_metadata(build_mp3(3)[:-20])
     with pytest.raises(ValueError, match="syncsafe"):
         parse_mp3_metadata(b"ID3\x04\x00\x00\x80\x00\x00\x00")
-    mpeg2 = bytearray(build_mp3(1))
-    mpeg2[1] = 0b11110011  # version bits 10 = MPEG-2
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
-        parse_mp3_metadata(bytes(mpeg2))
+    layer2 = bytearray(build_mp3(1))
+    layer2[1] = 0b11111101  # layer bits 10 = Layer II
+    with pytest.raises(NotImplementedError, match="Layer"):
+        parse_mp3_metadata(bytes(layer2))
+    reserved_ver = bytearray(build_mp3(1))
+    reserved_ver[1] = 0b11101011  # version bits 01 = reserved
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        parse_mp3_metadata(bytes(reserved_ver))
     with pytest.raises(ValueError, match="sample rate changes"):
         parse_mp3_metadata(build_mp3(2, 128, 44100) + build_mp3(2, 128, 48000))
+    with pytest.raises(ValueError, match="version changes"):
+        parse_mp3_metadata(
+            build_mp3(2, 128, 44100)
+            + build_mp3(2, 64, 22050, version="2")
+        )
+
+
+def test_mp3_mpeg2_and_25_roundtrip():
+    """The low-sample-rate framings voice/podcast corpora carry: 576
+    samples/frame, the 72·br/sr slot formula, the halved/quartered
+    sample-rate tables, the low-rate bitrate table."""
+    for version, rates in (("2", (22050, 24000, 16000)),
+                           ("2.5", (11025, 12000, 8000))):
+        for d in range(12):
+            nf = 30 + d
+            br = (48, 64, 80)[d % 3]
+            sr = rates[d % 3]
+            m = parse_mp3_metadata(
+                build_mp3(nf, br, sr, id3_size=d % 20, version=version)
+            )
+            assert m["mpeg_version"] == version
+            assert m["n_frames"] == nf and m["sample_rate"] == sr
+            assert m["duration_ms"] == nf * 576 * 1000 // sr
+            assert m["bitrate_kbps"] == br
+            assert m["total_audio_bytes"] == nf * (72 * br * 1000 // sr)
 
 
 def test_mp3_spark_stage_matches_formulas(spark):
+    from data_lake_medallion_architecture_project_spark.operators.mp3 import (
+        _SAMPLE_RATE_TABLES,
+    )
+
     docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
     out = {r["doc_id"]: r for r in mp3_metadata(
         attach_fake_mp3_payloads(docs)).collect()}
     for d in range(25):
-        sr = _SAMPLE_RATES[d % 3]
+        vsel = d % 7
+        version = "1" if vsel < 5 else ("2" if vsel == 5 else "2.5")
+        sr = _SAMPLE_RATE_TABLES[version][d % 3]
+        spf = 1152 if version == "1" else 576
         r = out[d]
+        assert r["mpeg_version"] == version
         assert r["n_frames"] == 40 + d % 80
-        assert r["duration_ms"] == (40 + d % 80) * 1152 * 1000 // sr
-        assert r["bitrate_kbps"] == (96, 128, 192)[d % 3]
+        assert r["duration_ms"] == (40 + d % 80) * spf * 1000 // sr
+        expected_br = (
+            (96, 128, 192)[d % 3] if vsel < 5 else (48, 64, 80)[d % 3]
+        )
+        assert r["bitrate_kbps"] == expected_br
