@@ -14,13 +14,18 @@ the stream or silently vanishing. Composition of trusted pieces:
    that raise ValueError/NotImplementedError become quarantine rows
    carrying the error string (corrupt data is a FACT about the corpus,
    not an operational failure).
-3. **Within-batch perceptual collapse** — one row per 64-bit dHash,
+3. **Within-batch exact collapse** — one row per 64-bit dHash,
    smallest id wins (deterministic under replay).
 4. **Near-dup screen against the corpus** — the batch probes a banded
    dHash index table (band, key, dhash — the same pigeonhole blocking
    ``image_near_dup_pairs`` uses, so only hash rows ever move) and rows
    within ``max_hamming`` bits of an already-ingested image are dropped.
-5. **Atomic commits with idempotency markers** — corpus rows, index
+5. **Within-batch NEAR-dup collapse** — the corpus survivors self-join
+   through the same banded pigeonhole; min-id-per-connected-component
+   keeps exactly one of each same-batch near-dup cluster
+   (``operators/components.py``). Running this AFTER the corpus screen
+   reproduces exactly what one-image-per-batch sequencing would commit.
+6. **Atomic commits with idempotency markers** — corpus rows, index
    rows, and quarantine rows each ``merge_upsert`` into their TxnTable
    keyed so a crash-replayed batch is a no-op.
 
@@ -114,9 +119,10 @@ def media_batch_against_table(
 ) -> None:
     """Apply one micro-batch: quarantine undecodables, collapse the batch
     to one row per dHash (min id wins), drop rows within ``max_hamming``
-    bits of the corpus via the banded index probe, then commit corpus
-    rows, index rows, and quarantine rows atomically under the
-    (app_id, batch_id) idempotency marker."""
+    bits of the corpus via the banded index probe, collapse same-batch
+    near-dup clusters to their min id (banded self-join + connected
+    components), then commit corpus rows, index rows, and quarantine
+    rows atomically under the (app_id, batch_id) idempotency marker."""
     hashed = media_dhash_with_quarantine(batch_df).localCheckpoint()
 
     bad = hashed.filter(F.col("dhash").isNull()).select(
@@ -132,7 +138,8 @@ def media_batch_against_table(
     )
 
     good = hashed.filter(F.col("dhash").isNotNull()).select("doc_id", "dhash")
-    # Within-batch perceptual collapse: exact-dHash first-write-wins.
+    # Within-batch EXACT collapse: one row per dHash, min id wins
+    # (catches bit-identical re-encodes across formats).
     collapsed = (
         good.groupBy("dhash")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -159,6 +166,42 @@ def media_batch_against_table(
             .distinct()
         )
         collapsed = collapsed.join(near, "doc_id", "left_anti")
+
+    # Within-batch NEAR-dup collapse (the corpus probe above only sees
+    # PRIOR batches): self-join the corpus survivors through the same
+    # banded pigeonhole, then keep the min doc_id of each connected
+    # near-dup component — exactly what one-image-per-batch sequencing
+    # would have committed. Exchanges carry (id, hash, band) only; the
+    # component pass is bounded by the batch's near-dup EDGES, not its
+    # size, and is skipped entirely when no same-batch pair exists.
+    banded_batch = _banded(collapsed, max_hamming)
+    batch_pairs = (
+        banded_batch.alias("x")
+        .join(
+            banded_batch.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("x.dhash").bitwiseXOR(F.col("y.dhash")))
+            <= max_hamming
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not batch_pairs.isEmpty():
+        from ..operators.components import connected_components
+
+        comp = connected_components(batch_pairs, "a", "b")
+        keep = comp.groupBy("comp").agg(F.min("id").alias("keep_id"))
+        losers = (
+            comp.join(keep, "comp")
+            .filter(F.col("id") != F.col("keep_id"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        collapsed = collapsed.join(losers, "doc_id", "left_anti")
 
     survivors = collapsed.withColumn(
         "hash_shard",

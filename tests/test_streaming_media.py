@@ -139,6 +139,70 @@ def test_crash_replay_is_idempotent(spark, tmp_path):
     assert quar.read(spark).count() == 1
 
 
+def test_within_batch_near_dups_collapse_to_one(spark, tmp_path):
+    """Round-15 (r14 verdict/ADVICE): two Hamming-≤3 variants arriving in
+    the SAME micro-batch must commit exactly one survivor (min id), the
+    same outcome one-image-per-batch sequencing would produce — the
+    exact-hash collapse alone cannot see them."""
+    tbl = TxnTable(str(tmp_path / "m"))
+    idx = TxnTable(str(tmp_path / "i"))
+    quar = TxnTable(str(tmp_path / "q"))
+    # group=4: ids 8..11 render the same base image up to a one-pixel
+    # perturbation (distinct dHashes at Hamming ≤ 1); one distinct image.
+    rows = _group_rows(8, 4) + [(50, bytearray(encode_bmp(_textured_pixels(50, 1))))]
+    media_batch_against_table(
+        spark, tbl, idx, quar, _payload_df(spark, rows), "wb", 0
+    )
+    out = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert out == [8, 50]  # min id of the near-dup cluster + the new image
+    # the index must hold only survivors: a later batch re-sending a
+    # dropped variant's pixels is still screened (by the kept rep)
+    replay = [(200, bytearray(encode_bmp(_textured_pixels(9, 4))))]
+    media_batch_against_table(
+        spark, tbl, idx, quar, _payload_df(spark, replay), "wb", 1
+    )
+    assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == [8, 50]
+
+
+def test_within_batch_collapse_is_transitive_via_components(spark, tmp_path):
+    """A chain A~B~C where A and C are farther apart than the radius must
+    still collapse to ONE survivor (connected components, not pairwise
+    greedy) — matching sequential-arrival semantics."""
+    tbl = TxnTable(str(tmp_path / "m"))
+    idx = TxnTable(str(tmp_path / "i"))
+    quar = TxnTable(str(tmp_path / "q"))
+
+    def image_with_bits(flip: int) -> np.ndarray:
+        """An 8×9 image (== the dHash thumbnail, no resampling) whose
+        first ``flip`` row-0 gradient signs are inverted vs the base —
+        exact control of the Hamming distance."""
+        px = np.zeros((8, 9), dtype=np.int64)
+        for r in range(8):
+            v = 128
+            px[r, 0] = v
+            for c in range(8):
+                bit = 1 if not (r == 0 and c < flip) else 0
+                v += 8 if bit else -8
+                px[r, c + 1] = v
+        return np.repeat(px[:, :, None], 3, axis=2).astype(np.uint8)
+
+    hs = [dhash64(image_with_bits(k)) for k in (0, 2, 4)]
+    # chain sanity: A~B and B~C within the radius, A..C beyond it
+    assert bin(hs[0] ^ hs[1]).count("1") == 2
+    assert bin(hs[1] ^ hs[2]).count("1") == 2
+    assert bin(hs[0] ^ hs[2]).count("1") == 4
+    rows = [
+        (31, bytearray(encode_bmp(image_with_bits(0)))),
+        (32, bytearray(encode_bmp(image_with_bits(2)))),
+        (33, bytearray(encode_bmp(image_with_bits(4)))),
+    ]
+    media_batch_against_table(
+        spark, tbl, idx, quar, _payload_df(spark, rows), "ch", 0
+    )
+    out = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert out == [31]
+
+
 def test_near_dup_screen_matches_batch_operator_recall(spark, tmp_path):
     """Pigeonhole recall: ingest a corpus batch, then probe with planted
     near-dups (group=4 population) — EVERY within-radius probe must be
