@@ -562,6 +562,7 @@ def attach_fake_textured_gif_payloads(
 def attach_fake_textured_webp_payloads(
     df: DataFrame, id_col: str = "doc_id", group: int = 1,
     cache_bits: int = 6, palette: bool = False, predictor: bool = False,
+    cross_color: bool = False, meta_prefix_bits: int | None = None,
 ) -> DataFrame:
     """The WebP twin of ``attach_fake_textured_bmp_payloads`` — identical
     textured pixels through the pure-stdlib VP8L codec
@@ -580,6 +581,8 @@ def attach_fake_textured_webp_payloads(
                     cache_bits=cache_bits,
                     palette=palette,
                     predictor=predictor,
+                    cross_color=cross_color,
+                    meta_prefix_bits=meta_prefix_bits,
                 )
                 for doc_id in pdf[id_col]
             ]

@@ -6,18 +6,20 @@ operators/multimodal.py, gif.py, jpeg.py).
 canonical prefix codes (DEFLATE-style code assignment, depth-limited,
 Kraft-complete — libwebp rejects incomplete codes), the code-length
 code with 16/17/18 run symbols, optional subtract-green transform,
-optional color cache (the ``0x1e35a7bd`` multiplicative hash), and
-left-run LZ77 copies through the 2D distance-code mapping. Any WebP
-reader opens its output. ``decode_webp`` walks the container and the
-VP8L bitstream back: simple and normal prefix codes, meta-prefix OFF
-streams, LZ77 with both 2D-mapped and plain distances, color cache,
-the subtract-green inverse, the color-indexing transform (delta-coded
-palette sub-image + pixel bundling), and the 14-mode PREDICTOR
-transform (the one real ``cwebp -lossless`` output carries on
-virtually every non-palette image). The remaining transform type
-(cross-color) and meta-prefix-ON streams raise NotImplementedError so
-such files route to the pillow dispatch rather than decoding wrong —
-the same loud-fallback contract as progressive JPEG.
+optional color cache (the ``0x1e35a7bd`` multiplicative hash),
+left-run LZ77 copies through the 2D distance-code mapping, ALL FOUR
+transforms (subtract-green, 14-mode predictor, cross-color,
+color-indexing with pixel bundling), and meta-prefix entropy images
+(multiple prefix-code groups in a tile map). Any WebP reader opens its
+output. ``decode_webp`` walks the container and the VP8L bitstream
+back: the complete lossless feature set — simple and normal prefix
+codes (transmission-order simple codes, 0-bit single-symbol codes),
+meta-prefix group dispatch, LZ77 with both 2D-mapped and plain
+distances, color cache, and all four transform inverses in reverse
+read order — so real ``cwebp -lossless`` output decodes natively.
+Lossy VP8 and extended (VP8X) containers raise NotImplementedError
+(the pillow dispatch point) — the same loud-fallback contract as
+progressive JPEG.
 
 VP8L is LOSSLESS, so decode(encode(px)) is bit-exact and the
 ``image_dhash_catalog_webp`` registry query certifies the whole codec
@@ -551,18 +553,25 @@ def _apply_inverse_predictor(
 
 def _emit_image(
     bw: _BitWriter, vals: list[int], cache_bits: int, use_lz77: bool,
-    level0: bool,
+    level0: bool, meta_bits: int | None = None, width: int | None = None,
 ) -> None:
-    """Emit one entropy-coded ARGB image stream (cache-info bit, the 5
+    """Emit one entropy-coded ARGB image stream (cache-info bit, the
     prefix codes, then the pixel data) — the unit both the main image
     and transform sub-images (e.g. the palette table) are stored as.
     The meta-prefix bit exists ONLY for the level-0 spatially-coded
     image (libwebp gates it on allow_recursion): sub-images go straight
-    from cache info to the prefix codes."""
+    from cache info to the prefix codes. ``meta_bits`` (level0 only,
+    needs ``width``) writes a meta-prefix ENTROPY IMAGE: pixels are
+    partitioned into ``1 << meta_bits`` tiles, tiles carry one of two
+    prefix-code groups in a checkerboard ((tx + ty) % 2 — deterministic
+    and guaranteed to switch groups mid-row, the case a reader must
+    handle), and every token is coded by the group of its STARTING
+    pixel; the color cache stays global across groups, per spec."""
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [-1] * cache_size
     green_base = 256 + 24
-    tokens: list[tuple] = []  # ("lit",a,r,g,b) ("copy",len,dist) ("cache",idx)
+    # (pos, token): ("lit",a,r,g,b) ("copy",len,dist) ("cache",idx)
+    tokens: list[tuple[int, tuple]] = []
     n = len(vals)
     i = 0
     while i < n:
@@ -571,7 +580,7 @@ def _emit_image(
             run = 1
             while i + run < n and vals[i + run] == v and run < 4096:
                 run += 1
-            tokens.append(("copy", run, 1))
+            tokens.append((i, ("copy", run, 1)))
             if cache_size:
                 cache[_cache_key(v, cache_bits)] = v
             i += run
@@ -579,45 +588,69 @@ def _emit_image(
         if cache_size:
             k = _cache_key(v, cache_bits)
             if cache[k] == v:
-                tokens.append(("cache", k))
+                tokens.append((i, ("cache", k)))
                 i += 1
                 continue
             cache[k] = v
         tokens.append(
-            ("lit", (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF,
-             v & 0xFF)
+            (i, ("lit", (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF,
+                 v & 0xFF))
         )
         i += 1
 
-    freq_g = [0] * (green_base + cache_size)
-    freq_r, freq_b, freq_a = [0] * 256, [0] * 256, [0] * 256
-    freq_d = [0] * 40
-    for t in tokens:
+    if meta_bits is not None:
+        if not level0 or width is None:
+            raise ValueError("meta-prefix needs level0 and an image width")
+        tiles_w = (width + (1 << meta_bits) - 1) >> meta_bits
+        tiles_h = ((n // width) + (1 << meta_bits) - 1) >> meta_bits
+        tile_groups = [
+            (tx + ty) % 2 for ty in range(tiles_h) for tx in range(tiles_w)
+        ]
+        n_groups = max(tile_groups) + 1
+
+        def group_of(pos: int) -> int:
+            ty = (pos // width) >> meta_bits
+            tx = (pos % width) >> meta_bits
+            return tile_groups[ty * tiles_w + tx]
+    else:
+        n_groups = 1
+
+        def group_of(pos: int) -> int:
+            return 0
+
+    freqs = [
+        [
+            [0] * (green_base + cache_size), [0] * 256, [0] * 256,
+            [0] * 256, [0] * 40,
+        ]
+        for _ in range(n_groups)
+    ]
+    for pos, t in tokens:
+        fq = freqs[group_of(pos)]
         if t[0] == "lit":
             _, a, rr, gg, bb = t
-            freq_g[gg] += 1
-            freq_r[rr] += 1
-            freq_b[bb] += 1
-            freq_a[a] += 1
+            fq[0][gg] += 1
+            fq[1][rr] += 1
+            fq[2][bb] += 1
+            fq[3][a] += 1
         elif t[0] == "copy":
             sym, _, _ = _lz_symbol(t[1])
-            freq_g[256 + sym] += 1
+            fq[0][256 + sym] += 1
             dsym, _, _ = _lz_symbol(_DIST_MAP_INDEX[(1, 0)])
-            freq_d[dsym] += 1
+            fq[4][dsym] += 1
         else:
-            freq_g[green_base + t[1]] += 1
+            fq[0][green_base + t[1]] += 1
 
-    lengths = [
-        _huffman_lengths(freq_g, 15),
-        _huffman_lengths(freq_r, 15),
-        _huffman_lengths(freq_b, 15),
-        _huffman_lengths(freq_a, 15),
-        _huffman_lengths(freq_d, 15),
+    group_lengths = [
+        [_huffman_lengths(f, 15) for f in fq] for fq in freqs
     ]
-    codes = [_canonical_codes(l) for l in lengths]
-    for cb in codes:
-        if len(cb) == 1:  # single-symbol codes are read with 0 bits
-            cb[next(iter(cb))] = (0, 0)
+    group_codes = []
+    for lengths in group_lengths:
+        codes = [_canonical_codes(l) for l in lengths]
+        for cb in codes:
+            if len(cb) == 1:  # single-symbol codes are read with 0 bits
+                cb[next(iter(cb))] = (0, 0)
+        group_codes.append(codes)
 
     if cache_size:
         bw.write(1, 1)
@@ -625,15 +658,29 @@ def _emit_image(
     else:
         bw.write(0, 1)
     if level0:
-        bw.write(0, 1)  # no meta-prefix image
-    for l in lengths:
-        _write_prefix_code(bw, l)
+        if meta_bits is not None:
+            bw.write(1, 1)  # meta-prefix image follows
+            bw.write(meta_bits - 2, 3)
+            # entropy image: meta index = (red << 8) | green
+            _emit_image(
+                bw,
+                [0xFF000000 | (g << 8) for g in tile_groups],
+                0,
+                True,
+                level0=False,
+            )
+        else:
+            bw.write(0, 1)  # no meta-prefix image
+    for lengths in group_lengths:
+        for l in lengths:
+            _write_prefix_code(bw, l)
 
     def emit(codebook: dict, sym: int) -> None:
         code, nb = codebook[sym]
         bw.write_code(code, nb)
 
-    for t in tokens:
+    for pos, t in tokens:
+        codes = group_codes[group_of(pos)]
         if t[0] == "lit":
             _, a, rr, gg, bb = t
             emit(codes[0], gg)
@@ -651,6 +698,103 @@ def _emit_image(
                 bw.write(dextra, dnb)
         else:
             emit(codes[0], green_base + t[1])
+
+
+def _s8(x):
+    """Reinterpret the low byte as signed int8 (works elementwise on
+    numpy arrays and plain ints — the cast both cross-color directions
+    apply to green/red before the 3.5 fixed-point multiply)."""
+    return ((x & 0xFF) ^ 0x80) - 0x80
+
+
+# Candidate 3.5-fixed-point multipliers the encoder scores per tile
+# (32 == subtract-green's exact effect: (32·g)>>5 == g).
+_CC_CANDIDATES = (-64, -32, -16, 0, 16, 32, 64)
+
+
+def _forward_cross_color(
+    r: np.ndarray,
+    g: np.ndarray,
+    b: np.ndarray,
+    size_bits: int,
+    force: tuple[int, int, int] | None,
+) -> tuple[list[int], np.ndarray, np.ndarray]:
+    """Forward cross-color pass over the CURRENT image channels (int64
+    h×w, possibly predictor residuals — cwebp applies cross-color after
+    prediction): per tile pick (green_to_red, green_to_blue,
+    red_to_blue) from the candidate grid by wraparound-residual cost
+    (red and blue scored independently — red depends only on g2r; blue
+    on the (g2b, r2b) pair, using the ORIGINAL red per spec), or use
+    ``force``. Returns (packed ct sub-image row-major, new_red,
+    new_blue). Vectorized; independent of the decoder's inverse."""
+    h, w = r.shape
+    g_s8, r_s8 = _s8(g), _s8(r)  # r_s8 from the ORIGINAL red (spec)
+    d_g = {t: (t * g_s8) >> 5 for t in _CC_CANDIDATES}
+    d_r = {t: (t * r_s8) >> 5 for t in _CC_CANDIDATES}
+
+    def cost(p: np.ndarray) -> np.ndarray:
+        return np.minimum(p, 256 - p)
+
+    tiles_h = (h + (1 << size_bits) - 1) >> size_bits
+    tiles_w = (w + (1 << size_bits) - 1) >> size_bits
+    cts: list[int] = []
+    new_red = np.empty_like(r)
+    new_blue = np.empty_like(b)
+    red_planes = {t: (r - d_g[t]) & 0xFF for t in _CC_CANDIDATES}
+    red_costs = {t: cost(p) for t, p in red_planes.items()}
+    for ty in range(tiles_h):
+        ys = slice(ty << size_bits, min((ty + 1) << size_bits, h))
+        for tx in range(tiles_w):
+            xs = slice(tx << size_bits, min((tx + 1) << size_bits, w))
+            if force is not None:
+                g2r, g2b, r2b = force
+            else:
+                g2r = min(
+                    _CC_CANDIDATES,
+                    key=lambda t: int(red_costs[t][ys, xs].sum()),
+                )
+                best = None
+                for tb in _CC_CANDIDATES:
+                    base = b[ys, xs] - d_g[tb][ys, xs]
+                    for trb in _CC_CANDIDATES:
+                        pb = (base - d_r[trb][ys, xs]) & 0xFF
+                        c = int(cost(pb).sum())
+                        if best is None or c < best[0]:
+                            best = (c, tb, trb)
+                g2b, r2b = best[1], best[2]
+            cts.append(
+                0xFF000000
+                | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+            )
+            new_red[ys, xs] = (r[ys, xs] - d_g[g2r][ys, xs]) & 0xFF
+            new_blue[ys, xs] = (
+                b[ys, xs] - d_g[g2b][ys, xs] - d_r[r2b][ys, xs]
+            ) & 0xFF
+    return cts, new_red, new_blue
+
+
+def _apply_inverse_cross_color(
+    argb: np.ndarray, cts: list[int], size_bits: int
+) -> np.ndarray:
+    """Inverse cross-color over a packed-ARGB (h, w) int64 image — pure
+    per-pixel (no scan-order recurrence), fully vectorized: recover red
+    from green, then blue from green and the RECOVERED red (int8 casts
+    and arithmetic >>5 per spec / libwebp VP8LTransformColorInverse)."""
+    h, w = argb.shape
+    tiles_w = (w + (1 << size_bits) - 1) >> size_bits
+    tiles_h = (h + (1 << size_bits) - 1) >> size_bits
+    tile_grid = np.asarray(cts, dtype=np.int64).reshape(tiles_h, tiles_w)
+    tmap = tile_grid[
+        (np.arange(h) >> size_bits)[:, None],
+        (np.arange(w) >> size_bits)[None, :],
+    ]
+    g2r, g2b, r2b = _s8(tmap), _s8(tmap >> 8), _s8(tmap >> 16)
+    g = _s8(argb >> 8)
+    new_red = (((argb >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+    new_blue = (
+        (argb & 0xFF) + ((g2b * g) >> 5) + ((r2b * _s8(new_red)) >> 5)
+    ) & 0xFF
+    return (argb & ~0xFF00FF) | (new_red << 16) | new_blue
 
 
 def _forward_predictor(
@@ -774,7 +918,11 @@ def encode_webp(
     palette: bool = False,
     predictor: bool = False,
     predictor_block_bits: int = 4,
+    cross_color: bool = False,
+    cc_block_bits: int = 4,
+    meta_prefix_bits: int | None = None,
     _force_predictor_mode: int | None = None,
+    _force_cross_color: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as lossless WebP (VP8L in a
     RIFF/WEBP container). Alpha is written opaque. ``cache_bits`` > 0
@@ -790,16 +938,30 @@ def encode_webp(
     ``1 << predictor_block_bits``-pixel tiles, composable with
     ``subtract_green`` in the same stream order cwebp uses;
     ``_force_predictor_mode`` pins every tile to one mode (conformance
-    tests exercise each of the 14 this way)."""
+    tests exercise each of the 14 this way). ``cross_color`` writes the
+    cross-color transform (per-tile 3.5-fixed-point green→red,
+    green→blue, red→blue multipliers scored from a candidate grid, or
+    pinned by ``_force_cross_color``), applied AFTER prediction exactly
+    as cwebp composes them. ``meta_prefix_bits`` (2..9) writes a
+    meta-prefix entropy image: two prefix-code GROUPS in a per-tile
+    checkerboard, every token coded by its starting pixel's group — the
+    multi-histogram layout cwebp emits on virtually every image above
+    thumbnail size."""
     h, w, _ = pixels.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dimensions must be 1..16384")
     if not 0 <= cache_bits <= 11:
         raise ValueError("cache_bits must be 0..11")
-    if predictor and palette:
-        raise ValueError("predictor and palette transforms don't compose")
+    if (predictor or cross_color) and palette:
+        raise ValueError(
+            "predictor/cross-color and palette transforms don't compose"
+        )
     if predictor and not 2 <= predictor_block_bits <= 9:
         raise ValueError("predictor_block_bits must be 2..9")
+    if cross_color and not 2 <= cc_block_bits <= 9:
+        raise ValueError("cc_block_bits must be 2..9")
+    if meta_prefix_bits is not None and not 2 <= meta_prefix_bits <= 9:
+        raise ValueError("meta_prefix_bits must be 2..9")
     px = pixels.astype(np.int64)
 
     bw = _BitWriter()
@@ -852,7 +1014,10 @@ def encode_webp(
                 for j in range(min(xs, w - k * xs)):
                     byte |= int(idx[y, k * xs + j]) << (j * bits_per)
                 vals.append((0xFF << 24) | (byte << 8))
-        _emit_image(bw, vals, cache_bits, use_lz77, level0=True)
+        _emit_image(
+            bw, vals, cache_bits, use_lz77, level0=True,
+            meta_bits=meta_prefix_bits, width=sub_w,
+        )
     else:
         g = px[:, :, 1]
         if subtract_green:
@@ -860,19 +1025,20 @@ def encode_webp(
             b = (px[:, :, 2] - g) & 0xFF
         else:
             r, b = px[:, :, 0], px[:, :, 2]
+        a = np.full((h, w), 255, dtype=np.int64)
         if subtract_green:
             bw.write(1, 1)  # a transform follows
             bw.write(2, 2)  # SUBTRACT_GREEN
         if predictor:
             # Stream order matches cwebp: subtract-green header first,
-            # then predictor — inverses run in reverse read order, so
-            # the decoder undoes prediction before re-adding green.
+            # then predictor, then cross-color — inverses run in
+            # reverse read order, so the decoder undoes cross-color,
+            # then prediction, then re-adds green.
             bw.write(1, 1)  # a transform follows
             bw.write(0, 2)  # PREDICTOR
             bw.write(predictor_block_bits - 2, 3)
-            planes = [np.full((h, w), 255, dtype=np.int64), r, g, b]
-            modes, vals = _forward_predictor(
-                planes, predictor_block_bits, _force_predictor_mode
+            modes, resid = _forward_predictor(
+                [a, r, g, b], predictor_block_bits, _force_predictor_mode
             )
             _emit_image(
                 bw,
@@ -881,10 +1047,25 @@ def encode_webp(
                 True,
                 level0=False,
             )
-        else:
-            vals = ((0xFF << 24) | (r << 16) | (g << 8) | b).reshape(-1).tolist()
+            packed = np.array(resid, dtype=np.int64).reshape(h, w)
+            a = (packed >> 24) & 0xFF
+            r = (packed >> 16) & 0xFF
+            g = (packed >> 8) & 0xFF
+            b = packed & 0xFF
+        if cross_color:
+            bw.write(1, 1)  # a transform follows
+            bw.write(1, 2)  # CROSS_COLOR
+            bw.write(cc_block_bits - 2, 3)
+            cts, r, b = _forward_cross_color(
+                r, g, b, cc_block_bits, _force_cross_color
+            )
+            _emit_image(bw, cts, 0, True, level0=False)
         bw.write(0, 1)  # no more transforms
-        _emit_image(bw, vals, cache_bits, use_lz77, level0=True)
+        vals = ((a << 24) | (r << 16) | (g << 8) | b).reshape(-1).tolist()
+        _emit_image(
+            bw, vals, cache_bits, use_lz77, level0=True,
+            meta_bits=meta_prefix_bits, width=w,
+        )
 
     payload = bw.bytes()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload + (
@@ -900,11 +1081,12 @@ def encode_webp(
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a lossless-WebP payload to an (h, w, 3) uint8 RGB array.
-    Supports the VP8L feature set our encoder emits plus plain LZ77
-    distances, the full 2D distance table, subtract-green, the
-    color-indexing transform (delta-coded palette sub-image + pixel
-    bundling), and the 14-mode predictor transform; the cross-color
-    transform, meta-prefix streams, and lossy VP8 raise
+    Covers the complete VP8L lossless feature set: simple/normal prefix
+    codes, meta-prefix entropy images (per-tile prefix-code groups),
+    color cache, LZ77 with 2D-mapped and plain distances, and all four
+    transforms (subtract-green, 14-mode predictor, cross-color,
+    color-indexing with pixel bundling), inverted in reverse read
+    order. Lossy VP8 and extended VP8X containers raise
     NotImplementedError (the pillow dispatch point)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
@@ -951,6 +1133,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
             if bad > 13:
                 raise ValueError(f"VP8L predictor mode {bad} out of range")
             transforms.append(("pred", size_bits, modes))
+        elif ttype == 1:  # CROSS_COLOR
+            size_bits = br.read(3) + 2
+            tiles_w = (active_w + (1 << size_bits) - 1) >> size_bits
+            tiles_h = (h + (1 << size_bits) - 1) >> size_bits
+            cts = _read_image(br, tiles_w, tiles_h, level0=False)
+            transforms.append(("cc", size_bits, cts))
         elif ttype == 3:
             table_size = br.read(8) + 1
             deltas = _read_image(br, table_size, 1, level0=False)
@@ -966,11 +1154,6 @@ def decode_webp(payload: bytes) -> np.ndarray:
             wb = _palette_width_bits(table_size)
             transforms.append(("pal", table, wb))
             active_w = (w + (1 << wb) - 1) >> wb
-        else:
-            raise NotImplementedError(
-                "the VP8L cross-color transform needs pillow"
-            )
-
     out = _read_image(br, active_w, h, level0=True)
     argb = np.array(out, dtype=np.int64).reshape(h, active_w)
     # Inverse transforms run in REVERSE read order (RFC 9649 §4).
@@ -994,6 +1177,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
                 argb.reshape(-1).tolist(), modes, size_bits, cur_w, cur_h
             )
             argb = np.array(actual, dtype=np.int64).reshape(cur_h, cur_w)
+        elif t[0] == "cc":
+            _, size_bits, cts = t
+            argb = _apply_inverse_cross_color(argb, cts, size_bits)
         else:  # subtract-green inverse
             g = (argb >> 8) & 0xFF
             r = (((argb >> 16) & 0xFF) + g) & 0xFF
@@ -1014,28 +1200,54 @@ def _read_image(br: _BitReader, w: int, h: int, level0: bool) -> list[int]:
     image and transform sub-images are stored as) → row-major ARGB ints.
     Only the level-0 spatially-coded image carries the meta-prefix bit
     (libwebp gates it on allow_recursion); transform sub-images go
-    straight from cache info to the prefix codes."""
+    straight from cache info to the prefix codes. Meta-prefix ON reads
+    the entropy sub-image (meta index = (red << 8) | green per tile) and
+    one 5-code group per index; each token is decoded with the group of
+    its starting pixel, while the color cache stays global."""
     cache_bits = br.read(4) if br.read(1) else 0
     cache_size = (1 << cache_bits) if cache_bits else 0
-    if level0 and br.read(1):
-        raise NotImplementedError("VP8L meta-prefix streams need pillow")
+    meta = None
+    n_groups = 1
+    if level0 and br.read(1):  # meta-prefix image present
+        meta_bits = br.read(3) + 2
+        tiles_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        tiles_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        entropy = _read_image(br, tiles_w, tiles_h, level0=False)
+        meta_idx = [
+            (((v >> 16) & 0xFF) << 8) | ((v >> 8) & 0xFF) for v in entropy
+        ]
+        n_groups = max(meta_idx) + 1
+        meta = (meta_bits, tiles_w, meta_idx)
     green_base = 256 + 24
-    tree_g = _read_prefix_code(br, green_base + cache_size)
-    tree_r = _read_prefix_code(br, 256)
-    tree_b = _read_prefix_code(br, 256)
-    tree_a = _read_prefix_code(br, 256)
-    tree_d = _read_prefix_code(br, 40)
+    groups = [
+        (
+            _read_prefix_code(br, green_base + cache_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        )
+        for _ in range(n_groups)
+    ]
 
     n = w * h
     out = [0] * n
     cache = [0] * cache_size
     i = 0
+    trees = groups[0]
     while i < n:
-        sym = _read_symbol(br, tree_g)
+        if meta is not None:
+            meta_bits, tiles_w, meta_idx = meta
+            trees = groups[
+                meta_idx[
+                    ((i // w) >> meta_bits) * tiles_w + ((i % w) >> meta_bits)
+                ]
+            ]
+        sym = _read_symbol(br, trees[0])
         if sym < 256:
-            rr = _read_symbol(br, tree_r)
-            bb = _read_symbol(br, tree_b)
-            aa = _read_symbol(br, tree_a)
+            rr = _read_symbol(br, trees[1])
+            bb = _read_symbol(br, trees[2])
+            aa = _read_symbol(br, trees[3])
             v = (aa << 24) | (rr << 16) | (sym << 8) | bb
             out[i] = v
             if cache_size:
@@ -1043,7 +1255,7 @@ def _read_image(br: _BitReader, w: int, h: int, level0: bool) -> list[int]:
             i += 1
         elif sym < green_base:
             length = _lz_value(br, sym - 256)
-            dsym = _read_symbol(br, tree_d)
+            dsym = _read_symbol(br, trees[4])
             dist = _map_distance(_lz_value(br, dsym), w)
             if dist > i:
                 raise ValueError("VP8L backward reference before image start")

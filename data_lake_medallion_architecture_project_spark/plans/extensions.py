@@ -1340,6 +1340,34 @@ def image_dhash_catalog_webp_predictor(
     )
 
 
+@register("image_dhash_catalog_webp_full", oracle=_dhash_oracle_sql(False),
+          tags=("multimodal", "dedup"))
+def image_dhash_catalog_webp_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE real-cwebp VP8L layout in one certified stream:
+    subtract-green + 14-mode predictor + cross-color (per-tile
+    3.5-fixed-point multipliers) transforms composed in cwebp stream
+    order, color cache, AND a meta-prefix entropy image (two prefix-code
+    groups in a per-tile checkerboard, every token coded by its starting
+    pixel's group). Decoding inverts the whole stack in reverse read
+    order — with this row green, no lossless feature a real ``cwebp
+    -lossless`` file carries routes to pillow. Lossless, so the
+    identical pixel-replay oracle certifies group dispatch, the delta
+    arithmetic (int8 casts, arithmetic >>5), and the three-transform
+    inverse ordering bit-for-bit — 64 bits per image under the driver
+    gate."""
+    from ..operators.multimodal import (
+        attach_fake_textured_webp_payloads,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(
+        attach_fake_textured_webp_payloads(
+            docs, predictor=True, cross_color=True, meta_prefix_bits=2,
+        )
+    )
+
+
 _JPEG_DIMS_ORACLE = """
 SELECT doc_id,
        CAST(16 + doc_id % 13 AS BIGINT) AS img_width,

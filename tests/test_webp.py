@@ -429,3 +429,149 @@ def test_sub_images_carry_no_meta_prefix_bit():
     _emit_image(lo, vals, 0, False, level0=False)
     _emit_image(hi, vals, 0, False, level0=True)
     assert len(lo.bytes()) * 8 <= len(hi.bytes()) * 8  # one bit shorter
+
+
+# --------------------------------------------------------------------------- #
+# Round 15 (cont.): cross-color transform + meta-prefix entropy images
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize(
+    "force",
+    [(0, 0, 0), (32, 32, 0), (-64, 64, -32), (16, -16, 64), (-32, 0, 32)],
+)
+def test_cross_color_forced_multipliers_roundtrip(force):
+    """Cross-color with pinned per-tile multipliers across the candidate
+    grid corners: the encoder's vectorized per-plane forward subtract
+    and the decoder's recover-red-then-blue inverse are independent
+    implementations of the 3.5-fixed-point delta (int8 casts, arithmetic
+    >>5, blue depending on the RECOVERED red)."""
+    img = _texture(sum(abs(v) for v in force) + 1)
+    out = decode_webp(
+        encode_webp(
+            img, cross_color=True, subtract_green=False,
+            _force_cross_color=force,
+        )
+    )
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("cc_bits", [2, 3, 4, 9])
+def test_cross_color_auto_selection_roundtrip(cc_bits):
+    img = _texture(cc_bits * 13, h=21, w=34)
+    out = decode_webp(encode_webp(img, cross_color=True, cc_block_bits=cc_bits))
+    assert np.array_equal(out, img)
+
+
+def test_cross_color_composes_with_predictor_in_cwebp_order():
+    """cwebp stream order: [subtract-green,] predictor, cross-color —
+    the decoder must invert cross-color BEFORE prediction. Every stack
+    combination roundtrips."""
+    img = _texture(99)
+    for sg in (False, True):
+        for cache in (0, 6):
+            out = decode_webp(
+                encode_webp(
+                    img, subtract_green=sg, predictor=True,
+                    cross_color=True, cache_bits=cache,
+                )
+            )
+            assert np.array_equal(out, img), (sg, cache)
+
+
+def test_cross_color_shrinks_channel_correlated_content():
+    """The transform's purpose: when red/blue track green, the per-tile
+    multipliers should collapse the residuals."""
+    gg = (np.arange(40)[:, None] * 3 + np.arange(50)[None, :] * 2) % 200
+    img = np.stack(
+        [(gg + 30) % 256, gg, (gg + 60) % 256], axis=2
+    ).astype(np.uint8)
+    full = encode_webp(img, predictor=True, cross_color=True,
+                       subtract_green=False)
+    plain = encode_webp(img, subtract_green=False)
+    assert np.array_equal(decode_webp(full), img)
+    assert len(full) < len(plain) / 4
+
+
+def test_cross_color_inverse_matches_independent_reference():
+    """Third encoding of the delta arithmetic: plain per-pixel ints here
+    vs the decoder's vectorized inverse, over random tiles/pixels —
+    pins the int8 casts and the arithmetic shift on negatives."""
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _apply_inverse_cross_color,
+    )
+
+    rng = np.random.default_rng(21)
+    h, w, bits = 9, 13, 2
+    tiles_h, tiles_w = (h + 3) >> 2, (w + 3) >> 2
+    cts = [
+        0xFF000000 | (int(r2b) << 16) | (int(g2b) << 8) | int(g2r)
+        for r2b, g2b, g2r in rng.integers(0, 256, (tiles_h * tiles_w, 3))
+    ]
+    argb = rng.integers(0, 1 << 32, (h, w), dtype=np.uint64).astype(np.int64)
+    got = _apply_inverse_cross_color(argb, cts, bits)
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    for y in range(h):
+        for x in range(w):
+            ct = cts[(y >> bits) * tiles_w + (x >> bits)]
+            g2r, g2b, r2b = s8(ct & 0xFF), s8((ct >> 8) & 0xFF), s8(
+                (ct >> 16) & 0xFF
+            )
+            v = int(argb[y, x])
+            g = s8((v >> 8) & 0xFF)
+            red = (((v >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+            blue = (
+                (v & 0xFF) + ((g2b * g) >> 5) + ((r2b * s8(red)) >> 5)
+            ) & 0xFF
+            want = (v & ~0xFF00FF) | (red << 16) | blue
+            assert int(got[y, x]) == want, (y, x)
+
+
+@pytest.mark.parametrize("meta_bits", [2, 3, 4])
+@pytest.mark.parametrize("cache_bits", [0, 6])
+def test_meta_prefix_groups_roundtrip(meta_bits, cache_bits):
+    """Meta-prefix entropy image: two prefix-code groups in a per-tile
+    checkerboard (groups switch mid-row — the dispatch a reader must
+    get right), tokens coded by their starting pixel's group, the color
+    cache global across groups."""
+    img = _texture(meta_bits * 31 + cache_bits, h=37, w=45)
+    out = decode_webp(
+        encode_webp(img, meta_prefix_bits=meta_bits, cache_bits=cache_bits)
+    )
+    assert np.array_equal(out, img)
+
+
+def test_meta_prefix_composes_with_full_transform_stack():
+    img = _texture(7, h=33, w=41)
+    out = decode_webp(
+        encode_webp(
+            img, meta_prefix_bits=2, predictor=True, cross_color=True,
+            cache_bits=5,
+        )
+    )
+    assert np.array_equal(out, img)
+    pal_img = np.array([[10, 200, 30]], dtype=np.uint8)[
+        np.zeros((19, 23), dtype=np.int64)
+    ]
+    out = decode_webp(encode_webp(pal_img, palette=True, meta_prefix_bits=2))
+    assert np.array_equal(out, pal_img)
+
+
+def test_meta_prefix_single_tile_degenerates_to_one_group():
+    x = _texture(3, h=3, w=3)
+    blob = encode_webp(x, meta_prefix_bits=9)  # 512-px tiles: one tile
+    assert np.array_equal(decode_webp(blob), x)
+
+
+def test_vp8x_still_routes_to_pillow():
+    """The honest remaining boundary: extended containers (animation,
+    alpha chunk) and lossy VP8."""
+    blob = (
+        b"RIFF" + (14).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (2).to_bytes(4, "little") + b"\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_webp(blob)
