@@ -566,11 +566,14 @@ def attach_fake_textured_webp_payloads(
 ) -> DataFrame:
     """The WebP twin of ``attach_fake_textured_bmp_payloads`` — identical
     textured pixels through the pure-stdlib VP8L codec
-    (``operators/webp.py``: canonical prefix codes, subtract-green
-    transform, color cache, left-run LZ77). VP8L is lossless, so the same
-    pixel-arithmetic SQL oracle certifies the whole encode → decode
-    roundtrip bit-for-bit — the web-native fourth member of the
-    compressed-catalog family (PNG/GIF/JPEG)."""
+    (``operators/webp.py``: canonical prefix codes, color cache,
+    left-run LZ77, and the full transform family — ``palette`` for
+    color-indexing, ``predictor`` / ``cross_color`` for the
+    photographic stack, ``meta_prefix_bits`` for multi-group entropy
+    coding). VP8L is lossless, so the same pixel-arithmetic SQL oracle
+    certifies the whole encode → decode roundtrip bit-for-bit — the
+    web-native fourth member of the compressed-catalog family
+    (PNG/GIF/JPEG)."""
     from .webp import encode_webp
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -64,6 +64,24 @@ def probe_webp_predictor() -> None:
         )
 
 
+def probe_webp_full_stack() -> None:
+    """The complete real-cwebp layout: subtract-green + predictor +
+    cross-color + color cache + two-group meta-prefix."""
+    kw = dict(predictor=True, cross_color=True, meta_prefix_bits=2,
+              cache_bits=6)
+    for scale, n in (("1x", 100), ("10x", 1000)):
+        imgs = [_textured_pixels(d, 1) for d in range(n)]
+        blobs = [encode_webp(px, **kw) for px in imgs]
+        _timeit(
+            f"vp8l full-stack encode {scale} ({n} imgs)",
+            lambda imgs=imgs: [encode_webp(px, **kw) for px in imgs],
+        )
+        _timeit(
+            f"vp8l full-stack decode {scale} ({n} imgs)",
+            lambda blobs=blobs: [decode_webp(b) for b in blobs],
+        )
+
+
 def probe_mp4() -> None:
     for scale, n in (("1x", 500), ("10x", 5000)):
         blobs = []
@@ -104,5 +122,6 @@ def probe_mp3() -> None:
 
 if __name__ == "__main__":
     probe_webp_predictor()
+    probe_webp_full_stack()
     probe_mp4()
     probe_mp3()
