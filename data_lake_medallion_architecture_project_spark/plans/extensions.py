@@ -1341,7 +1341,7 @@ def image_dhash_catalog_webp_predictor(
 
 
 @register("image_dhash_catalog_webp_full", oracle=_dhash_oracle_sql(False),
-          tags=("multimodal", "dedup"))
+          tags=("multimodal", "dedup", "bench"))
 def image_dhash_catalog_webp_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE real-cwebp VP8L layout in one certified stream:
     subtract-green + 14-mode predictor + cross-color (per-tile
@@ -1365,6 +1365,89 @@ def image_dhash_catalog_webp_full(spark: SparkSession, sf_dir: str) -> DataFrame
         attach_fake_textured_webp_payloads(
             docs, predictor=True, cross_color=True, meta_prefix_bits=2,
         )
+    )
+
+
+_WARC_CURATION_ORACLE = """
+WITH r AS (
+  SELECT
+    'urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+      || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+      || substr(h, 21, 12) AS record_id,
+    'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+    CAST(octet_length(ENCODE(COALESCE(text, ''))) AS BIGINT)
+      AS content_length,
+    COALESCE(text, '') AS txt
+  FROM (
+    SELECT doc_id, text, md5('warc|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  )
+), q AS (
+  SELECT record_id, uri, content_length, txt,
+         CAST(len(string_split(lower(txt), ' ')) AS BIGINT) AS n_tokens,
+         len(list_distinct(string_split(lower(txt), ' ')))
+           / len(string_split(lower(txt), ' ')) AS ttr
+  FROM r
+), g AS (
+  SELECT *, (n_tokens BETWEEN 10 AND 1000) AND (ttr > 0.2) AS ok FROM q
+)
+SELECT record_id, uri, content_length, n_tokens,
+       ok AS passes_quality,
+       ok AND record_id = MIN(CASE WHEN ok THEN record_id END)
+         OVER (PARTITION BY txt) AS kept
+FROM g
+"""
+
+
+@register("warc_curation_pipeline", oracle=_WARC_CURATION_ORACLE,
+          tags=("source", "curation", "text"))
+def warc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl archive → training corpus in ONE certified plan — three
+    individually-certified operators COMPOSED (the
+    ``conversion_latency_ddsketch`` pattern): pack the documents table
+    into real multi-member-gzip WARC blobs, parse them back with the
+    production reader (``sources/warc.py``), run the cheap quality gate
+    (token length band + lexical diversity, the ``doc_quality_scores``
+    formulas), then exact-dedup the SURVIVORS by body text
+    (first-record-id wins). Output is the full curation report: every
+    crawl record with its quality verdict and final kept flag. The
+    oracle replays the whole chain from the documents table — container
+    framing, UTF-8 byte accounting, tokenizer arithmetic, and the
+    gate-then-dedup ordering — so a slip anywhere in the composition
+    fails the value hash. Scale shape: WARC bytes stay scan-side
+    (mapInPandas), the gate is JVM column arithmetic, and the dedup is
+    one window over a text-hash partition — the same shuffles the
+    standalone pieces pay, nothing quadratic."""
+    from pyspark.sql import Window
+
+    from ..functions.text import distinct_token_count, token_count, tokenize
+    from ..sources.warc import build_warc_payloads, warc_records_from_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    records = warc_records_from_payloads(
+        build_warc_payloads(docs), errors="strict"
+    )
+    toks = tokenize("text")
+    scored = records.select(
+        "record_id", "uri", "content_length", "text",
+        token_count(toks).alias("n_tokens"),
+        (distinct_token_count(toks) / token_count(toks)).alias("ttr"),
+    ).withColumn(
+        "passes_quality",
+        F.col("n_tokens").between(10, 1000) & (F.col("ttr") > 0.2),
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    return scored.select(
+        "record_id", "uri", "content_length", "n_tokens", "passes_quality",
+        (
+            F.col("passes_quality")
+            & (
+                F.col("record_id")
+                == F.min(
+                    F.when(F.col("passes_quality"), F.col("record_id"))
+                ).over(w)
+            )
+        ).alias("kept"),
     )
 
 
