@@ -1361,9 +1361,17 @@ def image_dhash_catalog_webp_full(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Same single-split trap the GIF catalog hit (commit 282d31d): the
+    # small-SF documents parquet is 1-2 row groups → 1-2 tasks, and the
+    # full-stack encode is ~6 ms/image of pure Python, so without a
+    # spread it runs near-single-core on a 32-way session. The exchange
+    # carries ONLY doc_id; at 100 TB the scan's own splits make it moot.
+    spread = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return image_dhash(
         attach_fake_textured_webp_payloads(
-            docs, predictor=True, cross_color=True, meta_prefix_bits=2,
+            spread, predictor=True, cross_color=True, meta_prefix_bits=2,
         )
     )
 
