@@ -16,10 +16,10 @@ back: the complete lossless feature set — simple and normal prefix
 codes (transmission-order simple codes, 0-bit single-symbol codes),
 meta-prefix group dispatch, LZ77 with both 2D-mapped and plain
 distances, color cache, and all four transform inverses in reverse
-read order — so real ``cwebp -lossless`` output decodes natively.
-Lossy VP8 and extended (VP8X) containers raise NotImplementedError
-(the pillow dispatch point) — the same loud-fallback contract as
-progressive JPEG.
+read order — so real ``cwebp -lossless`` output decodes natively,
+including VP8X-wrapped stills carrying EXIF/XMP/ICC metadata. Lossy
+VP8 and animated WebP raise NotImplementedError (the pillow dispatch
+point) — the same loud-fallback contract as progressive JPEG.
 
 VP8L is LOSSLESS, so decode(encode(px)) is bit-exact and the
 ``image_dhash_catalog_webp`` registry query certifies the whole codec
@@ -921,6 +921,7 @@ def encode_webp(
     cross_color: bool = False,
     cc_block_bits: int = 4,
     meta_prefix_bits: int | None = None,
+    extended: bool = False,
     _force_predictor_mode: int | None = None,
     _force_cross_color: tuple[int, int, int] | None = None,
 ) -> bytes:
@@ -946,7 +947,10 @@ def encode_webp(
     meta-prefix entropy image: two prefix-code GROUPS in a per-tile
     checkerboard, every token coded by its starting pixel's group — the
     multi-histogram layout cwebp emits on virtually every image above
-    thumbnail size."""
+    thumbnail size. ``extended`` wraps the stream in a VP8X container
+    with ICCP (before the image) and EXIF (after) metadata chunks — the
+    layout cwebp emits whenever ``-metadata`` rides along; readers must
+    hop both."""
     h, w, _ = pixels.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dimensions must be 1..16384")
@@ -1071,6 +1075,23 @@ def encode_webp(
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload + (
         b"\x00" if len(payload) & 1 else b""
     )
+    if extended:
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        # flags: ICC (0x20) + EXIF (0x08); canvas dims are minus-one,
+        # 24-bit little-endian (WebP container spec).
+        vp8x = chunk(
+            b"VP8X",
+            bytes([0x20 | 0x08]) + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"),
+        )
+        iccp = chunk(b"ICCP", b"fake-icc-profile")
+        exif = chunk(b"EXIF", b"Exif\x00\x00II*\x00\x08\x00\x00\x00")
+        body = vp8x + iccp + vp8l + exif
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
     return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
 
 
@@ -1086,7 +1107,8 @@ def decode_webp(payload: bytes) -> np.ndarray:
     color cache, LZ77 with 2D-mapped and plain distances, and all four
     transforms (subtract-green, 14-mode predictor, cross-color,
     color-indexing with pixel bundling), inverted in reverse read
-    order. Lossy VP8 and extended VP8X containers raise
+    order. Still VP8L inside an extended (VP8X) container decodes too
+    (metadata chunks hopped); lossy VP8 and ANIMATED WebP raise
     NotImplementedError (the pillow dispatch point)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP payload")
@@ -1101,10 +1123,20 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if cid == b"VP8L":
             vp8l = body
             break
-        if cid == b"VP8 " or cid == b"VP8X":
+        if cid == b"VP8 ":
             raise NotImplementedError(
-                "lossy/extended WebP needs pillow at this dispatch point"
+                "lossy WebP needs pillow at this dispatch point"
             )
+        if cid == b"VP8X":
+            # Extended container: real cwebp output wraps the image
+            # chunk in VP8X whenever metadata (EXIF/XMP/ICC) or alpha
+            # rides along. A still VP8L inside decodes natively — keep
+            # walking past the metadata chunks; only ANIMATION needs a
+            # frame compositor (pillow).
+            if size >= 1 and body[0] & 0x02:
+                raise NotImplementedError(
+                    "animated WebP needs pillow at this dispatch point"
+                )
         pos += 8 + size + (size & 1)
     if vp8l is None:
         raise ValueError("WebP contains no VP8L chunk")

@@ -566,12 +566,32 @@ def test_meta_prefix_single_tile_degenerates_to_one_group():
     assert np.array_equal(decode_webp(blob), x)
 
 
-def test_vp8x_still_routes_to_pillow():
-    """The honest remaining boundary: extended containers (animation,
-    alpha chunk) and lossy VP8."""
-    blob = (
-        b"RIFF" + (14).to_bytes(4, "little") + b"WEBP"
-        + b"VP8X" + (2).to_bytes(4, "little") + b"\x00\x00"
-    )
-    with pytest.raises(NotImplementedError, match="pillow"):
+def test_lossy_and_imageless_extended_boundaries():
+    """The honest remaining boundaries: lossy VP8 routes to pillow
+    (even inside a VP8X wrapper); a VP8X with no image chunk at all is
+    malformed, not a dispatch case."""
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    lossy = b"VP8 " + (2).to_bytes(4, "little") + b"\x00\x00"
+    blob = b"RIFF" + (4 + len(vp8x) + len(lossy)).to_bytes(4, "little") \
+        + b"WEBP" + vp8x + lossy
+    with pytest.raises(NotImplementedError, match="lossy"):
         decode_webp(blob)
+    empty = b"RIFF" + (4 + len(vp8x)).to_bytes(4, "little") + b"WEBP" + vp8x
+    with pytest.raises(ValueError, match="no VP8L chunk"):
+        decode_webp(empty)
+
+
+def test_vp8x_extended_container_with_metadata_roundtrips():
+    """Real cwebp output wraps VP8L in VP8X whenever metadata rides
+    along (ICCP before the image, EXIF after) — a still lossless image
+    inside an extended container must decode natively, hopping both
+    metadata chunks; only ANIMATION routes to pillow."""
+    img = _texture(42)
+    blob = encode_webp(img, predictor=True, extended=True)
+    assert blob[12:16] == b"VP8X" and b"ICCP" in blob and b"EXIF" in blob
+    assert np.array_equal(decode_webp(blob), img)
+    # flip the animation bit: frame compositing is the pillow boundary
+    animated = bytearray(blob)
+    animated[20] |= 0x02
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(bytes(animated))
