@@ -662,22 +662,31 @@ def image_decode_dims(payloads: DataFrame) -> DataFrame:
 
 
 def attach_fake_wav_payloads(
-    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000,
+    group: int = 1,
 ) -> DataFrame:
     """Synthesize a real PCM16 WAV payload per row: n = 400 + id % 37
     samples of s_i = ((id·31 + 7i² + 13i) mod 4001) − 2000. Pure integer
     recurrences, so every downstream feature (RMS included: the sum of
     squares stays < 2⁵³, hence bit-exact in any IEEE engine) is replayable
-    by an SQL oracle."""
+    by an SQL oracle. With ``group > 1``, ids sharing ``doc_id // group``
+    render the same base clip and the member index ``doc_id % group`` is
+    added ONLY to the samples of the LAST 64-frame energy window — so at
+    most fingerprint bit 62 moves and within-group pairs land at Hamming
+    0–1: a planted audio near-dup population an SQL oracle can replay
+    (the ``_textured_pixels`` group trick, audio edition)."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                n = 400 + d % 37
+                g, m = (d // group, d % group) if group > 1 else (d, 0)
+                n = 400 + g % 37
                 i = np.arange(n, dtype=np.int64)
-                s = ((d * 31 + 7 * i * i + 13 * i) % 4001) - 2000
+                s = ((g * 31 + 7 * i * i + 13 * i) % 4001) - 2000
+                if m:
+                    s = s + m * ((i * 64) // n == 63)
                 payloads.append(encode_wav(s.astype(np.int16), sample_rate))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
@@ -1046,6 +1055,56 @@ def audio_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInArrow(_feat, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def audio_fingerprint(payloads: DataFrame, n_frames: int = 64) -> DataFrame:
+    """63-bit perceptual audio fingerprint — the dHash idea on the time
+    axis: decode → split the clip into ``n_frames`` equal windows (frame
+    of sample i = i·n_frames // n) → integer frame energies Σv² → one
+    bit per successive-energy gradient sign (bit f set iff
+    E_{f+1} > E_f). Robust to re-encoding and small edits the way image
+    dHash is; integer-exact end to end, so an SQL oracle replays all 63
+    bits. Completes the image/video/audio near-dup symmetry (a spectral
+    fingerprint needs an FFT — the energy profile is the
+    codec-independent tier that stays SQL-certifiable)."""
+
+    def _fp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            fps = []
+            for payload in batch.column("payload"):
+                x, _ = decode_audio(payload.as_py())
+                v = x.astype(np.int64)
+                n = len(v)
+                frames = (np.arange(n) * n_frames) // max(n, 1)
+                e = np.zeros(n_frames, dtype=np.int64)
+                np.add.at(e, frames, v * v)
+                fp = 0
+                for f in range(n_frames - 1):
+                    if e[f + 1] > e[f]:
+                        fp |= 1 << f
+                fps.append(fp)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "fingerprint": pa.array(fps, pa.int64()),
+                }
+            )
+
+    return payloads.mapInArrow(_fp, schema="doc_id long, fingerprint long")
+
+
+def audio_near_dup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Audio pairs within ``max_hamming`` bits of fingerprint distance —
+    the banded pigeonhole join is hash-agnostic, so this IS
+    ``image_near_dup_pairs`` over the energy fingerprint (bits beyond
+    the last full band can only ADD candidates, never lose a pair, so
+    recall holds for the 63-bit hash too)."""
+    return image_near_dup_pairs(
+        fingerprints.withColumnRenamed("fingerprint", "dhash"), max_hamming
+    )
 
 
 # --------------------------------------------------------------------------- #

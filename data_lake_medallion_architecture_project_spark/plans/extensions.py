@@ -1892,6 +1892,95 @@ def audio_feature_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_fake_wav_payloads(docs))
 
 
+def _audio_fp_oracle_sql(group: int) -> str:
+    """Replay the 63-bit frame-energy fingerprint from the integer sample
+    recurrence. Bits pack with bit_or (NOT SUM: DuckDB SUM(BIGINT) is
+    HUGEINT — the dtype-class drift the round-9 lesson flagged)."""
+    base = (
+        f"SELECT doc_id, doc_id // {group} AS g, doc_id % {group} AS m "
+        "FROM documents"
+        if group > 1
+        else "SELECT doc_id, doc_id AS g, 0 AS m FROM documents"
+    )
+    return f"""
+WITH d AS ({base}),
+p AS (SELECT doc_id, g, m, 400 + g % 37 AS n FROM d),
+s AS (
+  SELECT p.doc_id, p.n, ii.i AS i,
+         ((p.g * 31 + 7 * ii.i * ii.i + 13 * ii.i) % 4001) - 2000
+         + CASE WHEN (ii.i * 64) // p.n = 63 THEN p.m ELSE 0 END AS v
+  FROM p, (SELECT unnest(range(437)) AS i) ii
+  WHERE ii.i < p.n
+),
+fr AS (
+  SELECT doc_id, (i * 64) // n AS f, SUM(v * v) AS e
+  FROM s GROUP BY doc_id, (i * 64) // n
+),
+del AS (
+  SELECT doc_id, f, e, LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) AS ne
+  FROM fr
+)
+SELECT doc_id,
+       bit_or(CASE WHEN ne > e THEN CAST(1 AS BIGINT) << f
+              ELSE CAST(0 AS BIGINT) END) AS fingerprint
+FROM del WHERE ne IS NOT NULL GROUP BY doc_id
+"""
+
+
+_AUDIO_NEAR_DUP_ORACLE = f"""
+WITH h AS ({_audio_fp_oracle_sql(4)})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+         AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+"""
+
+
+@register("audio_fingerprint_catalog", oracle=_audio_fp_oracle_sql(1),
+          tags=("multimodal", "dedup"))
+def audio_fingerprint_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit perceptual audio fingerprint per clip through the real
+    RIFF/WAVE path — the dHash idea on the time axis: PCM16 WAV encode
+    (mapInPandas) → chunk-walking decode + 64-window integer frame
+    energies + gradient-sign pack (mapInArrow). The oracle recomputes
+    all 63 bits from the sample recurrence (frame assignment i·64//n,
+    Σv² energies, LEAD comparison), so a frame-boundary slip, energy
+    overflow, or bit-order bug fails the hash on every clip — the audio
+    member of the image/video perceptual-hash family."""
+    from ..operators.multimodal import (
+        attach_fake_wav_payloads,
+        audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_fingerprint(attach_fake_wav_payloads(docs))
+
+
+@register("audio_near_dup_pairs", oracle=_AUDIO_NEAR_DUP_ORACLE,
+          tags=("multimodal", "dedup"))
+def audio_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (fingerprint Hamming ≤ 3) over a planted
+    population: clips sharing doc_id DIV 4 render the same waveform up
+    to a member offset added ONLY inside the last energy window, so
+    within-group pairs sit at distance 0–1 (only bit 62 can move). The
+    Spark side runs the banded pigeonhole LSH join (hash-agnostic —
+    literally ``image_near_dup_pairs`` over the fingerprint column,
+    never the n² pair space); the oracle brute-forces all pairs, so any
+    band-split recall loss fails the gate. Completes the
+    image/video/audio near-dup symmetry."""
+    from ..operators.multimodal import (
+        attach_fake_wav_payloads,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_near_dup_pairs(
+        audio_fingerprint(attach_fake_wav_payloads(docs, group=4))
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Python UDTF — the table-valued-function surface (SQL LATERAL), demonstrated
 # on bigram expansion. For hot paths the JVM explode/mapInArrow routes above

@@ -192,3 +192,88 @@ def test_wav_data_before_fmt_raises():
     bad = b"RIFF" + (12).to_bytes(4, "little") + b"WAVE" + b"data" + (0).to_bytes(4, "little")
     with pytest.raises(ValueError, match="before the fmt"):
         decode_wav(bad)
+
+
+# --------------------------------------------------------------------------- #
+# Round 15: frame-energy fingerprint + audio near-dup
+# --------------------------------------------------------------------------- #
+
+
+def test_audio_fingerprint_matches_independent_reference(spark):
+    """The mapInArrow fingerprint vs a plain-python reference computed
+    here from the same recurrence — frame assignment (i*64//n), integer
+    energies, gradient-sign bit order."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        attach_fake_wav_payloads,
+        audio_fingerprint,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    out = {
+        r["doc_id"]: r["fingerprint"]
+        for r in audio_fingerprint(attach_fake_wav_payloads(docs)).collect()
+    }
+    for d in range(30):
+        n = 400 + d % 37
+        e = [0] * 64
+        for i in range(n):
+            v = ((d * 31 + 7 * i * i + 13 * i) % 4001) - 2000
+            e[(i * 64) // n] += v * v
+        want = 0
+        for f in range(63):
+            if e[f + 1] > e[f]:
+                want |= 1 << f
+        assert out[d] == want, d
+
+
+def test_audio_group_population_perturbs_only_last_window_bit(spark):
+    """The planted population contract: group members differ from their
+    rep by Hamming ≤ 1, and only bit 62 may move."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        attach_fake_wav_payloads,
+        audio_fingerprint,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in audio_fingerprint(
+            attach_fake_wav_payloads(docs, group=4)
+        ).collect()
+    }
+    for g in range(6):
+        rep = fp[g * 4]
+        for m in (1, 2, 3):
+            diff = rep ^ fp[g * 4 + m]
+            assert diff & ~(1 << 62) == 0, (g, m)
+
+
+def test_audio_near_dup_pairs_pigeonhole_recall(spark):
+    """The banded join must find every within-radius pair the brute force
+    finds — on the planted group population that is all 6 within-group
+    pairs per group."""
+    from data_lake_medallion_architecture_project_spark.operators.multimodal import (
+        attach_fake_wav_payloads,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    hashes = audio_fingerprint(attach_fake_wav_payloads(docs, group=4))
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in audio_near_dup_pairs(hashes).collect()
+    }
+    rows = {r["doc_id"]: r["fingerprint"] for r in hashes.collect()}
+    want = {
+        (a, b)
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    assert got == want
+    # every group contributes all its within-group pairs
+    for g in range(6):
+        for m1 in range(4):
+            for m2 in range(m1 + 1, 4):
+                assert (g * 4 + m1, g * 4 + m2) in got
