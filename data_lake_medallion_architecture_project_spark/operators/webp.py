@@ -729,8 +729,14 @@ def _forward_cross_color(
     new_blue). Vectorized; independent of the decoder's inverse."""
     h, w = r.shape
     g_s8, r_s8 = _s8(g), _s8(r)  # r_s8 from the ORIGINAL red (spec)
-    d_g = {t: (t * g_s8) >> 5 for t in _CC_CANDIDATES}
-    d_r = {t: (t * r_s8) >> 5 for t in _CC_CANDIDATES}
+    cands = _CC_CANDIDATES
+    if force is not None:
+        for v in force:
+            if not -128 <= v <= 127:
+                raise ValueError("cross-color multipliers must be int8")
+        cands = tuple(sorted(set(_CC_CANDIDATES) | set(force)))
+    d_g = {t: (t * g_s8) >> 5 for t in cands}
+    d_r = {t: (t * r_s8) >> 5 for t in cands}
 
     def cost(p: np.ndarray) -> np.ndarray:
         return np.minimum(p, 256 - p)

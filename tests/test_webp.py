@@ -595,3 +595,20 @@ def test_vp8x_extended_container_with_metadata_roundtrips():
     animated[20] |= 0x02
     with pytest.raises(NotImplementedError, match="animated"):
         decode_webp(bytes(animated))
+
+
+def test_cross_color_forced_multipliers_off_the_candidate_grid():
+    """_force_cross_color accepts ANY int8 triple, not just the encoder's
+    scoring grid — off-grid values roundtrip and out-of-range raise."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (15, 17, 3), dtype=np.uint8)
+    for force in [(127, -128, 55), (1, 2, 3), (-1, 0, 99)]:
+        out = decode_webp(
+            encode_webp(
+                img, cross_color=True, subtract_green=False,
+                _force_cross_color=force,
+            )
+        )
+        assert np.array_equal(out, img), force
+    with pytest.raises(ValueError, match="int8"):
+        encode_webp(img, cross_color=True, _force_cross_color=(200, 0, 0))
