@@ -24,7 +24,6 @@ audio decode tiers.
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
