@@ -218,19 +218,22 @@ def _parse_trak(payload: bytes, start: int, end: int) -> dict:
                 (n_entries,) = struct.unpack_from(">I", payload, off)
                 p = off + 4
                 entries = []
+                step = 20 if ver == 1 else 12
                 for _ in range(n_entries):
+                    # Bounds-check BEFORE unpacking: a truncated elst must
+                    # raise the documented ValueError (quarantine class),
+                    # not struct.error.
+                    if p + step > be:
+                        raise ValueError("MP4 elst overruns its box")
                     if ver == 1:
                         seg_dur, media_time = struct.unpack_from(
                             ">Qq", payload, p
                         )
-                        p += 16 + 4
                     else:
                         seg_dur, media_time = struct.unpack_from(
                             ">Ii", payload, p
                         )
-                        p += 8 + 4
-                    if p > be:
-                        raise ValueError("MP4 elst overruns its box")
+                    p += step
                     entries.append((seg_dur, media_time))
                 info["elst"] = entries
             elif btype == b"stsd" and info["codec"] is None:

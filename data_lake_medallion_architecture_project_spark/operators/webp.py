@@ -729,25 +729,28 @@ def _forward_cross_color(
     new_blue). Vectorized; independent of the decoder's inverse."""
     h, w = r.shape
     g_s8, r_s8 = _s8(g), _s8(r)  # r_s8 from the ORIGINAL red (spec)
-    cands = _CC_CANDIDATES
+
+    def cost(p: np.ndarray) -> np.ndarray:
+        return np.minimum(p, 256 - p)
+
     if force is not None:
         for v in force:
             if not -128 <= v <= 127:
                 raise ValueError("cross-color multipliers must be int8")
-        cands = tuple(sorted(set(_CC_CANDIDATES) | set(force)))
-    d_g = {t: (t * g_s8) >> 5 for t in cands}
-    d_r = {t: (t * r_s8) >> 5 for t in cands}
-
-    def cost(p: np.ndarray) -> np.ndarray:
-        return np.minimum(p, 256 - p)
+        # Pinned multipliers: no scoring — build only the three deltas.
+        d_g = {t: (t * g_s8) >> 5 for t in set(force[:2])}
+        d_r = {force[2]: (force[2] * r_s8) >> 5}
+        red_costs: dict = {}
+    else:
+        d_g = {t: (t * g_s8) >> 5 for t in _CC_CANDIDATES}
+        d_r = {t: (t * r_s8) >> 5 for t in _CC_CANDIDATES}
+        red_costs = {t: cost((r - d_g[t]) & 0xFF) for t in _CC_CANDIDATES}
 
     tiles_h = (h + (1 << size_bits) - 1) >> size_bits
     tiles_w = (w + (1 << size_bits) - 1) >> size_bits
     cts: list[int] = []
     new_red = np.empty_like(r)
     new_blue = np.empty_like(b)
-    red_planes = {t: (r - d_g[t]) & 0xFF for t in _CC_CANDIDATES}
-    red_costs = {t: cost(p) for t, p in red_planes.items()}
     for ty in range(tiles_h):
         ys = slice(ty << size_bits, min((ty + 1) << size_bits, h))
         for tx in range(tiles_w):
@@ -1157,8 +1160,15 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
     transforms: list[tuple] = []  # in read order
     active_w = w
+    seen_ttypes: set[int] = set()
     while br.read(1):  # transforms, in stream order
         ttype = br.read(2)
+        if ttype in seen_ttypes:
+            # RFC 9649: each transform may be used only once — a repeat
+            # is a corrupt stream, and decoding it would silently apply
+            # the inverse twice (fail loudly, quarantine class).
+            raise ValueError(f"VP8L transform type {ttype} repeated")
+        seen_ttypes.add(ttype)
         if ttype == 2:
             transforms.append(("sg",))
         elif ttype == 0:  # PREDICTOR

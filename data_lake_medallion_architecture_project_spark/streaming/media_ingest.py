@@ -20,11 +20,13 @@ the stream or silently vanishing. Composition of trusted pieces:
    dHash index table (band, key, dhash — the same pigeonhole blocking
    ``image_near_dup_pairs`` uses, so only hash rows ever move) and rows
    within ``max_hamming`` bits of an already-ingested image are dropped.
-5. **Within-batch NEAR-dup collapse** — the corpus survivors self-join
-   through the same banded pigeonhole; min-id-per-connected-component
-   keeps exactly one of each same-batch near-dup cluster
-   (``operators/components.py``). Running this AFTER the corpus screen
-   reproduces exactly what one-image-per-batch sequencing would commit.
+5. **Within-batch NEAR-dup collapse** — the corpus survivors run the
+   canonical banded pigeonhole join (``image_near_dup_pairs``), then
+   ids are processed ascending and an id drops iff within radius of an
+   already-KEPT id. Running this AFTER the corpus screen reproduces
+   exactly what one-image-per-batch sequencing would commit — including
+   chains: A~B~C with the ends beyond the radius keeps A AND C (a
+   connected-component collapse would over-drop C).
 6. **Atomic commits with idempotency markers** — corpus rows, index
    rows, and quarantine rows each ``merge_upsert`` into their TxnTable
    keyed so a crash-replayed batch is a no-op.
@@ -120,9 +122,10 @@ def media_batch_against_table(
     """Apply one micro-batch: quarantine undecodables, collapse the batch
     to one row per dHash (min id wins), drop rows within ``max_hamming``
     bits of the corpus via the banded index probe, collapse same-batch
-    near-dup clusters to their min id (banded self-join + connected
-    components), then commit corpus rows, index rows, and quarantine
-    rows atomically under the (app_id, batch_id) idempotency marker."""
+    near-dups with sequential-arrival semantics (banded pair join, then
+    ids ascending: drop iff near an already-kept id), then commit corpus
+    rows, index rows, and quarantine rows atomically under the
+    (app_id, batch_id) idempotency marker."""
     hashed = media_dhash_with_quarantine(batch_df).localCheckpoint()
 
     bad = hashed.filter(F.col("dhash").isNull()).select(
@@ -168,40 +171,41 @@ def media_batch_against_table(
         collapsed = collapsed.join(near, "doc_id", "left_anti")
 
     # Within-batch NEAR-dup collapse (the corpus probe above only sees
-    # PRIOR batches): self-join the corpus survivors through the same
-    # banded pigeonhole, then keep the min doc_id of each connected
-    # near-dup component — exactly what one-image-per-batch sequencing
-    # would have committed. Exchanges carry (id, hash, band) only; the
-    # component pass is bounded by the batch's near-dup EDGES, not its
-    # size, and is skipped entirely when no same-batch pair exists.
-    banded_batch = _banded(collapsed, max_hamming)
+    # PRIOR batches): run the canonical banded pigeonhole join
+    # (operators/multimodal.py:image_near_dup_pairs — one blocking
+    # implementation, not a re-derivation) over the corpus survivors,
+    # then apply SEQUENTIAL-ARRIVAL semantics exactly: ids ascending, an
+    # id drops iff it is within radius of an already-KEPT id. (NOT
+    # connected components — in a chain A~B~C whose ends exceed the
+    # radius, sequencing keeps A and C; a component collapse would
+    # over-drop C.) The pair list is the batch's near-dup EDGES —
+    # micro-batch-sized by construction, so the greedy walk is driver
+    # traffic of the same class as the door's commit markers; nothing
+    # payload-sized ever leaves the executors.
+    from ..operators.multimodal import image_near_dup_pairs
+
     batch_pairs = (
-        banded_batch.alias("x")
-        .join(
-            banded_batch.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("x.dhash").bitwiseXOR(F.col("y.dhash")))
-            <= max_hamming
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        image_near_dup_pairs(collapsed, max_hamming)
+        .select("a_id", "b_id")
         .localCheckpoint()
     )
     if not batch_pairs.isEmpty():
-        from ..operators.components import connected_components
-
-        comp = connected_components(batch_pairs, "a", "b")
-        keep = comp.groupBy("comp").agg(F.min("id").alias("keep_id"))
-        losers = (
-            comp.join(keep, "comp")
-            .filter(F.col("id") != F.col("keep_id"))
-            .select(F.col("id").alias("doc_id"))
-        )
-        collapsed = collapsed.join(losers, "doc_id", "left_anti")
+        nbrs: dict[int, set[int]] = {}
+        for r in batch_pairs.collect():
+            nbrs.setdefault(r["a_id"], set()).add(r["b_id"])
+            nbrs.setdefault(r["b_id"], set()).add(r["a_id"])
+        kept: set[int] = set()
+        dropped = []
+        for node in sorted(nbrs):
+            if nbrs[node] & kept:
+                dropped.append(node)
+            else:
+                kept.add(node)
+        if dropped:
+            losers = spark.createDataFrame(
+                [(d,) for d in dropped], "doc_id long"
+            )
+            collapsed = collapsed.join(losers, "doc_id", "left_anti")
 
     survivors = collapsed.withColumn(
         "hash_shard",

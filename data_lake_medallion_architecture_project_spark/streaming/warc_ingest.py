@@ -54,10 +54,13 @@ def warc_records_with_quarantine(
 ) -> DataFrame:
     """Parse (blob_id, blob) rows into WARC records, tolerantly: good
     blobs yield one row per record (parse_error NULL); a blob whose
-    framing raises ValueError yields exactly ONE quarantine row
-    (parse_error set, record fields NULL). Body decode is the tolerant
-    production default (U+FFFD for miscoded bytes) — framing errors
-    quarantine, encoding warts survive."""
+    framing raises ValueError — or that parses to ZERO records (empty /
+    whitespace-only payloads, which ``parse_warc`` accepts) — yields
+    exactly ONE quarantine row (parse_error set, record fields NULL), so
+    every input blob_id is accounted for in exactly one output
+    disposition. Body decode is the tolerant production default (U+FFFD
+    for miscoded bytes) — framing errors quarantine, encoding warts
+    survive."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,6 +92,15 @@ def warc_records_with_quarantine(
                     records = parse_warc(bytes(blob))
                 except ValueError as exc:
                     push(blob_id, err=f"ValueError: {exc}")
+                    continue
+                if not records:
+                    # Zero-record blobs must not vanish from the
+                    # accounting: every blob_id lands in the corpus OR
+                    # the quarantine table, never neither.
+                    push(
+                        blob_id,
+                        err="ValueError: WARC blob parsed to zero records",
+                    )
                     continue
                 for rec in records:
                     push(blob_id, rec=rec)

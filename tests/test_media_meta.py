@@ -236,3 +236,18 @@ def test_mp3_spark_stage_matches_formulas(spark):
             (96, 128, 192)[d % 3] if vsel < 5 else (48, 64, 80)[d % 3]
         )
         assert r["bitrate_kbps"] == expected_br
+
+
+def test_mp4_truncated_elst_raises_valueerror_not_struct_error():
+    """Round-15 review finding: the elst bounds check ran AFTER
+    struct.unpack_from, so a truncated edit list escaped the documented
+    ValueError quarantine contract with struct.error."""
+    blob = build_mp4(6000, 600, 320, 240, 8, edit_entries=[(60, -1)])
+    i = blob.find(b"elst") - 4
+    (sz,) = struct.unpack_from(">I", blob, i)
+    # claim more entries than the box holds
+    n_off = i + 8 + 4  # size+fourcc + version/flags
+    forged = bytearray(blob)
+    forged[n_off : n_off + 4] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="elst overruns"):
+        parse_mp4_metadata(bytes(forged))

@@ -164,10 +164,15 @@ def test_within_batch_near_dups_collapse_to_one(spark, tmp_path):
     assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == [8, 50]
 
 
-def test_within_batch_collapse_is_transitive_via_components(spark, tmp_path):
-    """A chain A~B~C where A and C are farther apart than the radius must
-    still collapse to ONE survivor (connected components, not pairwise
-    greedy) — matching sequential-arrival semantics."""
+def test_within_batch_collapse_matches_sequential_arrival_on_chains(
+    spark, tmp_path
+):
+    """A chain A~B~C where A and C are farther apart than the radius:
+    one-image-per-batch sequencing commits A, drops B (near the kept A),
+    then commits C (not near A) — so the within-batch collapse must keep
+    BOTH ends, not collapse the component to one survivor (round-15
+    review finding: a connected-component pass over-drops C and makes
+    the corpus depend on batch boundaries)."""
     tbl = TxnTable(str(tmp_path / "m"))
     idx = TxnTable(str(tmp_path / "i"))
     quar = TxnTable(str(tmp_path / "q"))
@@ -200,7 +205,19 @@ def test_within_batch_collapse_is_transitive_via_components(spark, tmp_path):
         spark, tbl, idx, quar, _payload_df(spark, rows), "ch", 0
     )
     out = sorted(r["doc_id"] for r in tbl.read(spark).collect())
-    assert out == [31]
+    assert out == [31, 33]  # both chain ends survive; only B drops
+    # and the SAME images split across two batches commit the same set
+    tbl2 = TxnTable(str(tmp_path / "m2"))
+    idx2 = TxnTable(str(tmp_path / "i2"))
+    quar2 = TxnTable(str(tmp_path / "q2"))
+    media_batch_against_table(
+        spark, tbl2, idx2, quar2, _payload_df(spark, rows[:2]), "ch2", 0
+    )
+    media_batch_against_table(
+        spark, tbl2, idx2, quar2, _payload_df(spark, rows[2:]), "ch2", 1
+    )
+    out2 = sorted(r["doc_id"] for r in tbl2.read(spark).collect())
+    assert out2 == [31, 33]  # batch boundaries don't change the corpus
 
 
 def test_near_dup_screen_matches_batch_operator_recall(spark, tmp_path):

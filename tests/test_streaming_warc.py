@@ -99,3 +99,20 @@ def test_warc_crash_replay_is_idempotent(spark, tmp_path):
     assert quar.snapshot().version == v_q
     assert tbl.read(spark).count() == 1
     assert quar.read(spark).count() == 1
+
+
+def test_zero_record_blob_is_quarantined_not_lost(spark):
+    """Round-15 review finding: a blob parsing to ZERO records (empty /
+    whitespace-only) previously vanished from both tables; every
+    blob_id must land in exactly one disposition."""
+    rows = [(0, bytearray(b"")), (1, bytearray(b"\r\n\r\n")),
+            (2, bytearray(build_warc_blob([(9, "real")])))]
+    out = warc_records_with_quarantine(_blob_df(spark, rows)).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["blob_id"], []).append(r)
+    assert set(by_blob) == {0, 1, 2}
+    for empty_id in (0, 1):
+        (row,) = by_blob[empty_id]
+        assert "zero records" in row["parse_error"]
+    assert by_blob[2][0]["parse_error"] is None

@@ -428,7 +428,9 @@ def test_sub_images_carry_no_meta_prefix_bit():
     lo, hi = _BitWriter(), _BitWriter()
     _emit_image(lo, vals, 0, False, level0=False)
     _emit_image(hi, vals, 0, False, level0=True)
-    assert len(lo.bytes()) * 8 <= len(hi.bytes()) * 8  # one bit shorter
+    lo_bits = len(lo._out) * 8 + lo._n
+    hi_bits = len(hi._out) * 8 + hi._n
+    assert hi_bits == lo_bits + 1  # exactly the meta-prefix bit
 
 
 # --------------------------------------------------------------------------- #
@@ -612,3 +614,50 @@ def test_cross_color_forced_multipliers_off_the_candidate_grid():
         assert np.array_equal(out, img), force
     with pytest.raises(ValueError, match="int8"):
         encode_webp(img, cross_color=True, _force_cross_color=(200, 0, 0))
+
+
+def test_repeated_transform_type_is_rejected():
+    """RFC 9649: each transform at most once — a repeat is a corrupt
+    stream and must quarantine (ValueError), not decode garbage by
+    running an inverse twice."""
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _BitReader,
+    )
+
+    img = _texture(13)
+    blob = bytearray(encode_webp(img))  # subtract-green on by default
+    i = blob.find(b"VP8L") + 8
+    # VP8L header: sig(8) + w(14) + h(14) + alpha(1) + version(3) = 40
+    # bits, then transform bits. Craft a stream with SUBTRACT_GREEN
+    # twice by re-emitting the header with duplicated transform bits.
+    from data_lake_medallion_architecture_project_spark.operators.webp import (
+        _BitWriter,
+    )
+
+    br = _BitReader(bytes(blob[i:]))
+    bw = _BitWriter()
+    bw.write(br.read(8), 8)    # signature
+    bw.write(br.read(14), 14)  # w-1
+    bw.write(br.read(14), 14)  # h-1
+    bw.write(br.read(1), 1)    # alpha hint
+    bw.write(br.read(3), 3)    # version
+    assert br.read(1) == 1 and br.read(2) == 2  # original SUBTRACT_GREEN
+    for _ in range(2):         # duplicated transform header
+        bw.write(1, 1)
+        bw.write(2, 2)
+    # copy the remaining bits verbatim (no-more-transforms + image data)
+    rest = []
+    try:
+        while True:
+            rest.append(br.read(1))
+    except ValueError:
+        pass
+    for bit in rest:
+        bw.write(bit, 1)
+    body = bw.bytes()
+    forged = (
+        b"RIFF" + (12 + 8 + len(body)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + len(body).to_bytes(4, "little") + body
+    )
+    with pytest.raises(ValueError, match="repeated"):
+        decode_webp(forged)
