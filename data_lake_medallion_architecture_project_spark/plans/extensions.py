@@ -1049,6 +1049,29 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _id_spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """doc_id-only frame spread across the session's cores, feeding every
+    payload-synthesis catalog below (round 15, generalizing the round-14
+    GIF fix): the small-SF documents parquet is ONE row group → one scan
+    task, so without a spread the whole encode+decode codec stage runs
+    single-core on a 32-way session (measured: video_keyframe_dhash 4.4 s
+    noop at sf0.1, ~10× its spread cost). The repartition exchanges ONLY
+    doc_id — payload bytes are synthesized AFTER the exchange and never
+    cross one — and at 100 TB, where the scan has ample splits of its own,
+    the id-only exchange stays negligible next to the codec work it
+    load-balances (it also evens out per-blob decode-cost skew).
+
+    Applied ONLY where the per-blob codec cost clears the exchange's own
+    price (~0.1-0.2 s at sf0.1): PNG/GIF/WebP/JPEG image codecs and both
+    video container paths. Measured same-session A/B at sf0.1 (round 15):
+    png 1.42→0.77 s, video 4.4→1.5 s, avi 4.1→1.7 s noop; but the cheap
+    paths LOSE — bmp 0.67→0.75 s, wav fingerprint 0.55→0.73 s — so the
+    BMP/audio/MP4/MP3 catalogs (0.03-0.26 ms/blob) stay unspread."""
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Real image decode through mapInArrow: synthesize a two-tone BMP per doc,
 # decode it with the pure-stdlib BMP codec, emit per-image pixel statistics.
@@ -1186,7 +1209,7 @@ def image_dhash_catalog_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return image_dhash(attach_fake_textured_png_payloads(docs))
+    return image_dhash(attach_fake_textured_png_payloads(_id_spread(spark, docs)))
 
 
 _WARC_ORACLE = """
@@ -1252,18 +1275,10 @@ def image_dhash_catalog_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # GIF's pure-Python LZW is ~10× the other codecs' per-image cost, and
-    # the small-SF documents parquet is 1-2 row groups → 1-2 tasks, so
-    # without a spread the encode stage runs near-single-core on a 32-way
-    # local session (measured 6.9 s at sf0.1). The repartition exchanges
-    # ONLY doc_id (the attach helper selects it first); at 100 TB the
-    # scan has ample splits and the id-only exchange stays negligible
-    # next to the codec work it parallelizes.
-    spread = docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
     return image_dhash(
-        attach_fake_textured_gif_payloads(spread, interlace=True)
+        attach_fake_textured_gif_payloads(
+            _id_spread(spark, docs), interlace=True
+        )
     )
 
 
@@ -1288,7 +1303,7 @@ def image_dhash_catalog_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return image_dhash(attach_fake_textured_webp_payloads(docs))
+    return image_dhash(attach_fake_textured_webp_payloads(_id_spread(spark, docs)))
 
 
 @register("image_dhash_catalog_webp_palette", oracle=_dhash_oracle_sql(False),
@@ -1309,7 +1324,7 @@ def image_dhash_catalog_webp_palette(spark: SparkSession, sf_dir: str) -> DataFr
 
     docs = load_table(spark, sf_dir, "documents")
     return image_dhash(
-        attach_fake_textured_webp_payloads(docs, palette=True)
+        attach_fake_textured_webp_payloads(_id_spread(spark, docs), palette=True)
     )
 
 
@@ -1336,7 +1351,7 @@ def image_dhash_catalog_webp_predictor(
 
     docs = load_table(spark, sf_dir, "documents")
     return image_dhash(
-        attach_fake_textured_webp_payloads(docs, predictor=True)
+        attach_fake_textured_webp_payloads(_id_spread(spark, docs), predictor=True)
     )
 
 
@@ -1361,17 +1376,12 @@ def image_dhash_catalog_webp_full(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # Same single-split trap the GIF catalog hit (commit 282d31d): the
-    # small-SF documents parquet is 1-2 row groups → 1-2 tasks, and the
-    # full-stack encode is ~6 ms/image of pure Python, so without a
-    # spread it runs near-single-core on a 32-way session. The exchange
-    # carries ONLY doc_id; at 100 TB the scan's own splits make it moot.
-    spread = docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
     return image_dhash(
         attach_fake_textured_webp_payloads(
-            spread, predictor=True, cross_color=True, meta_prefix_bits=2,
+            _id_spread(spark, docs),
+            predictor=True,
+            cross_color=True,
+            meta_prefix_bits=2,
         )
     )
 
@@ -1489,7 +1499,7 @@ def image_jpeg_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return image_decode_dims(attach_fake_textured_jpeg_payloads(docs))
+    return image_decode_dims(attach_fake_textured_jpeg_payloads(_id_spread(spark, docs)))
 
 
 def _video_dhash_oracle_sql(stride: int = 2, grouped: bool = False) -> str:
@@ -1566,7 +1576,9 @@ def video_keyframe_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return video_keyframe_dhash(attach_fake_video_payloads(docs), stride=2)
+    return video_keyframe_dhash(
+        attach_fake_video_payloads(_id_spread(spark, docs)), stride=2
+    )
 
 
 def _video_near_dup_oracle() -> str:
@@ -1601,7 +1613,7 @@ def video_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     hashes = video_keyframe_dhash(
-        attach_fake_video_payloads(docs, group=4), stride=2
+        attach_fake_video_payloads(_id_spread(spark, docs), group=4), stride=2
     )
     return video_near_dup_pairs(hashes, max_hamming=3)
 
@@ -1624,7 +1636,7 @@ def video_keyframe_dhash_avi_query(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return avi_keyframe_dhash(
-        attach_fake_avi_payloads(docs, codec="DIB "), stride=2
+        attach_fake_avi_payloads(_id_spread(spark, docs), codec="DIB "), stride=2
     )
 
 
@@ -1653,7 +1665,9 @@ def video_avi_mjpeg_structure_query(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.avi import attach_fake_avi_payloads, avi_video_structure
 
     docs = load_table(spark, sf_dir, "documents")
-    return avi_video_structure(attach_fake_avi_payloads(docs, codec="MJPG"))
+    return avi_video_structure(
+        attach_fake_avi_payloads(_id_spread(spark, docs), codec="MJPG")
+    )
 
 
 _MP4_META_ORACLE = """
