@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- Joins: let the planner pick a shuffled-hash join when its size
+        #    conditions hold (one side small per partition) instead of
+        #    always sorting both sides (guide §3.1/§9). Not a local-only
+        #    tune: the planner stays size-gated, AQE skew-split still
+        #    applies, and SMJ remains for big⋈big joins that fail the hash
+        #    conditions. Measured at sf0.1 (noop, round 15):
+        #    orders_reconciliation_diff −32%, region_nation_revenue −18%,
+        #    semdedup_keep_list −29%; no query slower outside noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # -- IO: vectorized parquet reader is on by default; keep split sizes
         #    large enough that small SF test files do not over-partition.
         .config("spark.sql.files.maxPartitionBytes", "128m")
