@@ -1524,7 +1524,14 @@ def substring_excised_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — the unavoidable price of rewriting the corpus, linear
     throughout, no pair enumeration.""".replace("{n}", str(_XGRAM_N))
     from ..operators.dedup import excise_shared_ngrams
+    from ..sources.readers import spread_small_scan
 
+    # Conditional spread (no-op at scale): the per-position md5 occurrence
+    # build is the heavy stage and ran single-task on the one-row-group
+    # test file (round 15).
     return excise_shared_ngrams(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=_XGRAM_N
+        spread_small_scan(load_table(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        n=_XGRAM_N,
     )

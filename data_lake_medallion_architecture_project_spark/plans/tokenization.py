@@ -174,7 +174,12 @@ def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, equivalence-tested) is the scale path — the SemDeDup
     exact-vs-BLAS tiering applied to tokenization. The pandas-UDF
     encoder remains for consumers that need the piece ARRAYS themselves."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.readers import spread_small_scan
+
+    # ~0.3 ms/document of chain CPU on a one-row-group test file = a
+    # single-core stage; the conditional spread (no-op at scale) floors the
+    # parallelism. Measured 1.74 → 0.5-0.65 s noop at sf0.1 (round 15).
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
     )

@@ -54,6 +54,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Floor a TINY scan's parallelism at the session's core count (round 15,
+    guide §2 "make partitioning scale-adaptive").
+
+    A parquet row group is indivisible, so a small file (the sf0.001-0.1
+    test tables are ONE row group) yields one scan task and every scan-side
+    map stage — tokenize/explode/md5 partial-agg chains — runs single-core
+    however many cores the session has. The repartition fires ONLY when the
+    scan has fewer partitions than ``defaultParallelism``, i.e. when the
+    input is at most ~cores × maxPartitionBytes (a few GB); shuffling a
+    corpus that small is trivial on any cluster, and on a real 100 TB scan
+    the condition is false and the plan is UNCHANGED — this is an input-size
+    floor, not a local-mode constant. (Spark's own
+    ``spark.sql.files.minPartitionNum`` cannot do this: byte-range splits
+    of a single row group all map to the row group's midpoint task.)
+
+    Use on frames whose downstream map work is heavy per row AND consumed
+    by few branches — measured round 15: bpe_encoded_token_counts 1.74 →
+    0.5 s, substring_excised_documents 3.09 → 2.4 s, but every multi-branch
+    consumer regressed (doc_lm_perplexity +1.6 s, frequent_bigrams +1.2 s:
+    each branch re-pays the exchange and the extra stage boundaries beat
+    the parallelism win), so those stay unspread. For id-only
+    payload-synthesis catalogs use the unconditional id-spread in
+    plans/extensions.py instead."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def read_bronze_csv(
     spark: SparkSession,
     paths: list[str] | str,
