@@ -119,15 +119,20 @@ def jaccard_pairs_from_sets(
         wt = Window.partitionBy("token")
         # Prefix length |A| − ⌈t·|A|⌉ + 1 under rarest-first canonical order.
         w = Window.partitionBy("id").orderBy("df", "token")
+        # ``pos`` (the token's 1-based rank in the document under the global
+        # (df, token) order) rides into the candidate pairs for the PPJoin
+        # positional filter below — 4 extra bytes per posting through the
+        # token-keyed exchange buys a candidate cut ahead of the pair-keyed
+        # exchanges and the corpus-sized verify join.
         cand_src = (
             postings.withColumn("df", F.count(F.lit(1)).over(wt))
             .withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= F.col("set_size") - F.ceil(threshold * F.col("set_size")) + 1)
-            .select("id", "set_size", "token")
+            .select("id", "set_size", "pos", "token")
         )
     else:
-        cand_src = postings
-    ids = F.sort_array(F.collect_list(F.struct("id", "set_size")))
+        cand_src = postings.withColumn("pos", F.lit(None).cast("int"))
+    ids = F.sort_array(F.collect_list(F.struct("id", "set_size", "pos")))
     # Two-stage expansion keeps every materialized array O(df): the grouped
     # ids list is posexploded to (left element, ids) rows FIRST, and each row
     # then expands only its tail slice. A single flatten(transform(transform))
@@ -150,24 +155,58 @@ def jaccard_pairs_from_sets(
                         y["id"].alias("id_b"),
                         F.col("a.set_size").alias("size_a"),
                         y["set_size"].alias("size_b"),
+                        F.col("a.pos").alias("pos_a"),
+                        y["pos"].alias("pos_b"),
                     ),
                 )
             ).alias("p")
         )
     )
-    cand = (
-        # PPJoin length filter: J ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and
-        # |A∩B| ≤ min(|A|,|B|), so pairs with min < t·max can't qualify —
-        # pruned here, before the (distinct + verify-join) stages pay for
-        # them (cuts the candidate volume before the only pair-keyed
-        # exchanges in the plan).
-        pair.filter(
-            F.least("p.size_a", "p.size_b")
-            >= threshold * F.greatest("p.size_a", "p.size_b")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
+    # PPJoin length filter: J ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and
+    # |A∩B| ≤ min(|A|,|B|), so pairs with min < t·max can't qualify —
+    # pruned here, before the (distinct + verify-join) stages pay for
+    # them (cuts the candidate volume before the only pair-keyed
+    # exchanges in the plan).
+    sized = pair.filter(
+        F.least("p.size_a", "p.size_b")
+        >= threshold * F.greatest("p.size_a", "p.size_b")
     )
+    if prefix_filter:
+        # PPJoin positional filter (Xiao et al., WWW'08 §3.2), aggregated
+        # over the pair's candidate rows in the SAME exchange the plain
+        # distinct() would pay. Soundness: let w be the pair's largest
+        # common prefix token, at ranks (i*, j*) = (max pos_a, max pos_b)
+        # — ranks are monotone in the global (df, token) order, so both
+        # maxima land on w. Every common token < w sorts before w inside
+        # each document and is therefore also inside both prefixes, so
+        # c = count(candidate rows) counts ALL common tokens ≤ w; common
+        # tokens > w sit after rank i* in A and j* in B, at most
+        # min(|A|−i*, |B|−j*) of them. Hence
+        #   |A∩B| ≤ c + min(|A|−i*, |B|−j*),
+        # and J ≥ t needs |A∩B| ≥ t·(|A|+|B|)/(1+t); pairs whose bound
+        # can't reach that are dropped before the verify join ever sees
+        # them (1e-9 slack covers double rounding of the threshold — the
+        # filter must only ever be conservative). Exactness is unchanged:
+        # survivors still go through the full-set verification below.
+        cand = (
+            sized.groupBy("p.id_a", "p.id_b")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.max("p.pos_a").alias("ia"),
+                F.max("p.pos_b").alias("ib"),
+                F.first("p.size_a").alias("sa"),
+                F.first("p.size_b").alias("sb"),
+            )
+            .filter(
+                F.col("c")
+                + F.least(F.col("sa") - F.col("ia"), F.col("sb") - F.col("ib"))
+                >= threshold / (1.0 + threshold) * (F.col("sa") + F.col("sb"))
+                - 1e-9
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        cand = sized.select("p.id_a", "p.id_b").distinct()
     # Exact verification on the full token sets (same arithmetic as the naive
     # count-based formula: integer sizes divided in double). Candidates are
     # MELTED to (pair, side, id) so ``sets`` — a corpus-sized relation whose

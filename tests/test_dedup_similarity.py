@@ -78,6 +78,29 @@ def test_prefix_filter_identical_to_naive_join(spark):
     assert len(pruned) > 0
 
 
+def test_positional_filter_keeps_exact_boundary_pair(spark):
+    """PPJoin positional-filter boundary (round 15): a pair whose overlap
+    upper bound c + min(|A|−i*, |B|−j*) EQUALS the minimum required overlap
+    ⌈t·(|A|+|B|)/(1+t)⌉, with true Jaccard exactly t, must survive the
+    filter — the 1e-9 slack exists precisely so double rounding of
+    t/(1+t)·(|A|+|B|) can never prune a qualifying pair. Sets are built so
+    the shared rare tokens are split across prefix/suffix: A={x,u,v},
+    B={y,u,v} under rarest-first order gives prefixes {x,u}/{y,u}, one
+    common prefix token (c=1, i*=j*=2), bound 1+min(1,1)=2, alpha
+    0.5/1.5·6=2, J=2/4=0.5."""
+    from data_lake_medallion_architecture_project_spark.operators.dedup import (
+        jaccard_pairs_from_sets,
+    )
+
+    sets = spark.createDataFrame(
+        [(0, ["x", "u", "v"]), (1, ["y", "u", "v"])],
+        "id long, tokens array<string>",
+    )
+    rows = jaccard_pairs_from_sets(sets, 0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["jaccard"] == 0.5
+
+
 def test_minhash_matches_exact_jaccard_on_high_threshold(docs):
     exact = {
         (r["id_a"], r["id_b"])
