@@ -51,6 +51,17 @@ import numpy as np
 # --------------------------------------------------------------------------- #
 
 
+def _rev_bits(code: int, nbits: int) -> int:
+    """Reverse the low ``nbits`` bits of ``code`` — an MSB-first prefix
+    code becomes the value whose LSB-first emission produces the same
+    bit sequence on the wire."""
+    r = 0
+    for _ in range(nbits):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self._out = bytearray()
@@ -66,9 +77,13 @@ class _BitWriter:
             self._n -= 8
 
     def write_code(self, code: int, nbits: int) -> None:
-        """Emit a prefix code MSB-first (the tree-walk read order)."""
-        for i in range(nbits - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Emit a prefix code MSB-first (the tree-walk read order). The
+        stream is identical to writing the bits one at a time; packing
+        them as a single LSB-first write of the bit-reversed value avoids
+        nbits method calls per code (the encoder's measured hotspot —
+        hot paths precompute the reversal via :func:`_rev_bits` and call
+        :meth:`write` directly)."""
+        self.write(_rev_bits(code, nbits), nbits)
 
     def bytes(self) -> bytes:
         out = bytes(self._out)
@@ -187,16 +202,59 @@ class _Tree:
         self.leaf: int | None = None
 
 
-def _build_tree(lengths: list[int]) -> _Tree:
+class _Table:
+    """Flat one-shot decode table: index the next ``nbits`` stream bits
+    (LSB-first, zero-padded at EOF — padding can only influence bits past
+    the matched code's length, see :func:`_read_symbol`) and get the
+    symbol plus its true length in one lookup, instead of one method
+    call per bit walking a tree. Built only for Kraft-COMPLETE codes
+    (every index maps to exactly one symbol); ``leaf`` is the 0-bit
+    single-symbol special case."""
+
+    __slots__ = ("nbits", "mask", "syms", "lens", "leaf")
+
+    def __init__(self, nbits: int, syms: list, lens: list, leaf: int | None) -> None:
+        self.nbits = nbits
+        self.mask = (1 << nbits) - 1
+        self.syms = syms
+        self.lens = lens
+        self.leaf = leaf
+
+
+# LUTs above this code length pay more to build (2^max_len entries) than
+# the per-symbol walk saves on small images; longer codes keep the tree.
+_TABLE_MAX_BITS = 12
+
+
+def _build_tree(lengths: list[int]) -> "_Table | _Tree":
     used = [s for s, l in enumerate(lengths) if l > 0]
     if len(used) == 1:
         # Single-symbol codes consume ZERO bits per symbol (libwebp's
         # BuildHuffmanTable special case: the lone entry gets bits=0
-        # regardless of its declared length) — a root-leaf tree makes
+        # regardless of its declared length) — a root-leaf decoder makes
         # _read_symbol return without touching the bit reader.
-        root = _Tree()
-        root.leaf = used[0]
-        return root
+        return _Table(0, [], [], used[0])
+    max_len = max((lengths[s] for s in used), default=0)
+    if used and max_len <= _TABLE_MAX_BITS:
+        # Kraft-complete ⟺ the canonical codes exactly fill the bit
+        # space — exactly then every table index decodes unambiguously.
+        # Incomplete/over-subscribed length sets (possible in hostile
+        # external streams) keep the tree path so their error behavior
+        # is bit-for-bit what it was.
+        if sum(1 << (max_len - lengths[s]) for s in used) == 1 << max_len:
+            size = 1 << max_len
+            syms = [0] * size
+            lens = [0] * size
+            for sym, (code, nbits) in _canonical_codes(lengths).items():
+                # First stream bit is the code's MSB but lands in bit 0
+                # of the index, so the index pattern of this code is its
+                # bit-reversal, repeated every 2^nbits slots.
+                base = _rev_bits(code, nbits)
+                step = 1 << nbits
+                cnt = size >> nbits
+                syms[base::step] = [sym] * cnt
+                lens[base::step] = [nbits] * cnt
+            return _Table(max_len, syms, lens, None)
     root = _Tree()
     for sym, (code, nbits) in _canonical_codes(lengths).items():
         node = root
@@ -214,7 +272,29 @@ def _build_tree(lengths: list[int]) -> _Tree:
     return root
 
 
-def _read_symbol(br: _BitReader, tree: _Tree) -> int:
+def _read_symbol(br: _BitReader, tree: "_Table | _Tree") -> int:
+    if type(tree) is _Table:
+        if tree.leaf is not None:
+            return tree.leaf
+        # Inline peek: top up the accumulator, zero-padding past EOF.
+        # The lookup's answer depends only on the code's own (real) bits:
+        # a code that fits the remaining bits decodes identically to the
+        # tree walk, and one that would need a padded bit has true length
+        # > remaining, caught below — same "truncated" contract as the
+        # bit-at-a-time reader.
+        n = tree.nbits
+        data = br._data
+        while br._n < n and br._pos < len(data):
+            br._acc |= data[br._pos] << br._n
+            br._pos += 1
+            br._n += 8
+        idx = br._acc & tree.mask
+        nbits = tree.lens[idx]
+        if nbits > br._n:
+            raise ValueError("truncated VP8L bitstream")
+        br._acc >>= nbits
+        br._n -= nbits
+        return tree.syms[idx]
     node = tree
     while node.leaf is None:
         node = node.right if br.read(1) else node.left
@@ -309,9 +389,11 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
     cl_codes = _canonical_codes(cl_lengths)
     if len(cl_codes) == 1:  # single-symbol codes are read with 0 bits
         cl_codes[next(iter(cl_codes))] = (0, 0)
+    # Pre-reverse once (≤19 entries) so the token loop is one write/code.
+    cl_codes = {s: (_rev_bits(c, nb), nb) for s, (c, nb) in cl_codes.items()}
     for sym, extra, extra_bits in tokens:
         code, nb = cl_codes[sym]
-        bw.write_code(code, nb)
+        bw.write(code, nb)
         if extra_bits:
             bw.write(extra, extra_bits)
 
@@ -326,9 +408,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
         if first >= alphabet_size:
             raise ValueError("VP8L simple-code symbol outside the alphabet")
         if num_symbols == 1:
-            root = _Tree()  # 0-bit single-symbol code
-            root.leaf = first
-            return root
+            return _Table(0, [], [], first)  # 0-bit single-symbol code
         second = br.read(8)
         if first == second:
             raise ValueError("VP8L simple code repeats a symbol")
@@ -337,10 +417,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
         # Codes are assigned by TRANSMISSION order (first symbol -> 0,
         # second -> 1), NOT canonically by symbol value: an external
         # stream may list them in descending order.
-        root = _Tree()
-        root.left, root.right = _Tree(), _Tree()
-        root.left.leaf, root.right.leaf = first, second
-        return root
+        return _Table(1, [first, second], [1, 1], None)
     num = br.read(4) + 4
     cl_lengths = [0] * 19
     for k in range(num):
@@ -650,7 +727,15 @@ def _emit_image(
         for cb in codes:
             if len(cb) == 1:  # single-symbol codes are read with 0 bits
                 cb[next(iter(cb))] = (0, 0)
-        group_codes.append(codes)
+        # Store codes pre-reversed: the token loop below then emits each
+        # one as a single LSB-first write (same bits on the wire as the
+        # MSB-first tree-walk order, minus the per-bit call overhead).
+        group_codes.append(
+            [
+                {s: (_rev_bits(c, nb), nb) for s, (c, nb) in cb.items()}
+                for cb in codes
+            ]
+        )
 
     if cache_size:
         bw.write(1, 1)
@@ -676,8 +761,8 @@ def _emit_image(
             _write_prefix_code(bw, l)
 
     def emit(codebook: dict, sym: int) -> None:
-        code, nb = codebook[sym]
-        bw.write_code(code, nb)
+        code, nb = codebook[sym]  # pre-reversed above
+        bw.write(code, nb)
 
     for pos, t in tokens:
         codes = group_codes[group_of(pos)]
@@ -737,48 +822,59 @@ def _forward_cross_color(
         for v in force:
             if not -128 <= v <= 127:
                 raise ValueError("cross-color multipliers must be int8")
-        # Pinned multipliers: no scoring — build only the three deltas.
-        d_g = {t: (t * g_s8) >> 5 for t in set(force[:2])}
-        d_r = {force[2]: (force[2] * r_s8) >> 5}
-        red_costs: dict = {}
-    else:
-        d_g = {t: (t * g_s8) >> 5 for t in _CC_CANDIDATES}
-        d_r = {t: (t * r_s8) >> 5 for t in _CC_CANDIDATES}
-        red_costs = {t: cost((r - d_g[t]) & 0xFF) for t in _CC_CANDIDATES}
 
     tiles_h = (h + (1 << size_bits) - 1) >> size_bits
     tiles_w = (w + (1 << size_bits) - 1) >> size_bits
-    cts: list[int] = []
-    new_red = np.empty_like(r)
-    new_blue = np.empty_like(b)
-    for ty in range(tiles_h):
-        ys = slice(ty << size_bits, min((ty + 1) << size_bits, h))
-        for tx in range(tiles_w):
-            xs = slice(tx << size_bits, min((tx + 1) << size_bits, w))
-            if force is not None:
-                g2r, g2b, r2b = force
-            else:
-                g2r = min(
-                    _CC_CANDIDATES,
-                    key=lambda t: int(red_costs[t][ys, xs].sum()),
-                )
-                best = None
-                for tb in _CC_CANDIDATES:
-                    base = b[ys, xs] - d_g[tb][ys, xs]
-                    for trb in _CC_CANDIDATES:
-                        pb = (base - d_r[trb][ys, xs]) & 0xFF
-                        c = int(cost(pb).sum())
-                        if best is None or c < best[0]:
-                            best = (c, tb, trb)
-                g2b, r2b = best[1], best[2]
-            cts.append(
-                0xFF000000
-                | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
-            )
-            new_red[ys, xs] = (r[ys, xs] - d_g[g2r][ys, xs]) & 0xFF
-            new_blue[ys, xs] = (
-                b[ys, xs] - d_g[g2b][ys, xs] - d_r[r2b][ys, xs]
-            ) & 0xFF
+
+    def tile_sums(per_pixel: np.ndarray) -> np.ndarray:
+        """Sum the trailing (h, w) axes of ``per_pixel`` per tile →
+        (..., tiles_h, tiles_w), via one reduceat per axis — replaces
+        the per-tile Python slicing loop (identical integer sums)."""
+        row_starts = np.arange(tiles_h) << size_bits
+        col_starts = np.arange(tiles_w) << size_bits
+        s = np.add.reduceat(per_pixel, row_starts, axis=-2)
+        return np.add.reduceat(s, col_starts, axis=-1)
+
+    if force is not None:
+        g2r_t = np.full((tiles_h, tiles_w), force[0], dtype=np.int64)
+        g2b_t = np.full((tiles_h, tiles_w), force[1], dtype=np.int64)
+        r2b_t = np.full((tiles_h, tiles_w), force[2], dtype=np.int64)
+    else:
+        cand = np.asarray(_CC_CANDIDATES, dtype=np.int64)
+        d_g = (cand[:, None, None] * g_s8) >> 5  # (7, h, w)
+        d_r = (cand[:, None, None] * r_s8) >> 5
+        # Red: 7 candidate costs per tile; argmin keeps the FIRST minimum
+        # in candidate order, matching the scalar min(key=...) tie-break.
+        red_cube = tile_sums(cost((r - d_g) & 0xFF))  # (7, th, tw)
+        g2r_t = cand[np.argmin(red_cube, axis=0)]
+        # Blue: the (g2b, r2b) 49-combo grid as one cost cube, one g2b
+        # slab at a time (bounds live memory at 7·h·w). The flattened
+        # argmin's C order (tb-major, trb-minor) is exactly the old
+        # nested-loop visit order, so first-minimum ties break the same.
+        blue_cube = np.stack(
+            [
+                tile_sums(cost((b - dg_b[None, :, :] - d_r) & 0xFF))
+                for dg_b in d_g
+            ]
+        ).reshape(49, tiles_h, tiles_w)
+        flat = np.argmin(blue_cube, axis=0)
+        g2b_t = cand[flat // 7]
+        r2b_t = cand[flat % 7]
+
+    cts = [
+        int(0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF))
+        for g2r, g2b, r2b in zip(g2r_t.ravel(), g2b_t.ravel(), r2b_t.ravel())
+    ]
+    # Per-pixel multiplier maps from the chosen tile grids (the inverse
+    # transform's gather, run forward): same arithmetic as the per-tile
+    # slice assignments they replace.
+    ridx = np.arange(h) >> size_bits
+    cidx = np.arange(w) >> size_bits
+    g2r_m = g2r_t[ridx[:, None], cidx[None, :]]
+    g2b_m = g2b_t[ridx[:, None], cidx[None, :]]
+    r2b_m = r2b_t[ridx[:, None], cidx[None, :]]
+    new_red = (r - ((g2r_m * g_s8) >> 5)) & 0xFF
+    new_blue = (b - ((g2b_m * g_s8) >> 5) - ((r2b_m * r_s8) >> 5)) & 0xFF
     return cts, new_red, new_blue
 
 
