@@ -85,6 +85,40 @@ class _BitWriter:
         :meth:`write` directly)."""
         self.write(_rev_bits(code, nbits), nbits)
 
+    def write_many(self, values: "np.ndarray", nbits: "np.ndarray") -> None:
+        """Append many LSB-first fields at once — bit-identical to calling
+        :meth:`write` per element (zero-width fields are no-ops, exactly
+        like the skipped ``if nb:`` writes in the scalar emit loop).
+        Values must already fit their widths (codes/extras do by
+        construction). The pending accumulator is prepended as field 0 so
+        the vectorized packing needs no alignment special case; the
+        trailing partial byte goes back into the accumulator."""
+        values = np.concatenate([np.asarray([self._acc], dtype=np.int64), values])
+        nbits = np.concatenate([np.asarray([self._n], dtype=np.int64), nbits])
+        self._acc = 0
+        self._n = 0
+        end = np.cumsum(nbits)
+        off = end - nbits
+        total = int(end[-1])
+        nbytes = (total + 7) >> 3
+        # Each field spans ≤ 4 byte lanes (≤ 17-bit fields shifted ≤ 7).
+        # Distinct fields occupy DISJOINT bits, so the per-byte combine is
+        # an exact integer ADD (== OR), which np.bincount with weights
+        # computes in one C pass per lane — float64 sums stay exact (each
+        # byte total < 256 « 2^53).
+        shifted = values.astype(np.uint64) << (off & 7).astype(np.uint64)
+        b0 = (off >> 3).astype(np.int64)
+        buf = np.zeros(nbytes + 8, dtype=np.float64)
+        for k in range(4):
+            lane = ((shifted >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.float64)
+            buf += np.bincount(b0 + k, weights=lane, minlength=nbytes + 8)
+        buf = buf.astype(np.uint8)
+        full = total >> 3
+        self._out += buf[:full].tobytes()
+        if total & 7:
+            self._acc = int(buf[full])
+            self._n = total & 7
+
     def bytes(self) -> bytes:
         out = bytes(self._out)
         if self._n:
@@ -479,6 +513,17 @@ def _lz_value(br: _BitReader, sym: int) -> int:
     return offset + br.read(extra_bits) + 1
 
 
+# _lz_symbol tabulated over the encoder's whole run-length domain (1..4096,
+# the tokenizer's cap) so the vectorized emit path is a table take; built
+# FROM the scalar function, so the two can't drift.
+_LZ_SYM_TAB = np.zeros(4097, dtype=np.int64)
+_LZ_EXTRA_TAB = np.zeros(4097, dtype=np.int64)
+_LZ_EBITS_TAB = np.zeros(4097, dtype=np.int64)
+for _v in range(1, 4097):
+    _LZ_SYM_TAB[_v], _LZ_EXTRA_TAB[_v], _LZ_EBITS_TAB[_v] = _lz_symbol(_v)
+del _v
+
+
 # 2D distance mapping (RFC 9649 §4.2.2): distance codes 1..120 name a
 # (dx, dy) neighbor in an 8-row window; larger codes are plain distances
 # minus 120. Derived from libwebp's public plane_to_code_lut (the inverse
@@ -628,25 +673,21 @@ def _apply_inverse_predictor(
 # --------------------------------------------------------------------------- #
 
 
-def _emit_image(
-    bw: _BitWriter, vals: list[int], cache_bits: int, use_lz77: bool,
-    level0: bool, meta_bits: int | None = None, width: int | None = None,
+# Below this pixel count the scalar token loop beats the vectorized
+# pipeline's numpy constant factor (measured crossover ~48×48 at the full
+# transform stack); sub-images and small thumbnails take the scalar path.
+_VEC_MIN_PIXELS = 2048
+
+
+def _emit_image_scalar(
+    bw: _BitWriter, vals: list[int], cache_bits: int, cache_size: int,
+    green_base: int, use_lz77: bool, level0: bool,
+    meta_bits: int | None, width: int | None,
 ) -> None:
-    """Emit one entropy-coded ARGB image stream (cache-info bit, the
-    prefix codes, then the pixel data) — the unit both the main image
-    and transform sub-images (e.g. the palette table) are stored as.
-    The meta-prefix bit exists ONLY for the level-0 spatially-coded
-    image (libwebp gates it on allow_recursion): sub-images go straight
-    from cache info to the prefix codes. ``meta_bits`` (level0 only,
-    needs ``width``) writes a meta-prefix ENTROPY IMAGE: pixels are
-    partitioned into ``1 << meta_bits`` tiles, tiles carry one of two
-    prefix-code groups in a checkerboard ((tx + ty) % 2 — deterministic
-    and guaranteed to switch groups mid-row, the case a reader must
-    handle), and every token is coded by the group of its STARTING
-    pixel; the color cache stays global across groups, per spec."""
-    cache_size = (1 << cache_bits) if cache_bits else 0
+    """Scalar twin of :func:`_emit_image`'s vectorized pipeline — the
+    original token loop, kept for small inputs (see the caller's
+    docstring; byte identity between the two is test-pinned)."""
     cache = [-1] * cache_size
-    green_base = 256 + 24
     # (pos, token): ("lit",a,r,g,b) ("copy",len,dist) ("cache",idx)
     tokens: list[tuple[int, tuple]] = []
     n = len(vals)
@@ -783,6 +824,248 @@ def _emit_image(
                 bw.write(dextra, dnb)
         else:
             emit(codes[0], green_base + t[1])
+
+
+def _emit_image(
+    bw: _BitWriter, vals: list[int], cache_bits: int, use_lz77: bool,
+    level0: bool, meta_bits: int | None = None, width: int | None = None,
+) -> None:
+    """Emit one entropy-coded ARGB image stream (cache-info bit, the
+    prefix codes, then the pixel data) — the unit both the main image
+    and transform sub-images (e.g. the palette table) are stored as.
+    The meta-prefix bit exists ONLY for the level-0 spatially-coded
+    image (libwebp gates it on allow_recursion): sub-images go straight
+    from cache info to the prefix codes. ``meta_bits`` (level0 only,
+    needs ``width``) writes a meta-prefix ENTROPY IMAGE: pixels are
+    partitioned into ``1 << meta_bits`` tiles, tiles carry one of two
+    prefix-code groups in a checkerboard ((tx + ty) % 2 — deterministic
+    and guaranteed to switch groups mid-row, the case a reader must
+    handle), and every token is coded by the group of its STARTING
+    pixel; the color cache stays global across groups, per spec.
+
+    For inputs of ``_VEC_MIN_PIXELS`` or more the token pipeline
+    (tokenize → frequencies → emission → bit pack) runs vectorized
+    (round 15, guide §4.2 "native code inside the UDF"); smaller inputs
+    — transform sub-images, entropy images, thumbnails — keep the scalar
+    loop, whose constant factor wins below the measured ~2k-pixel
+    crossover. The two paths emit IDENTICAL bytes: left-runs are the
+    maximal equal-value blocks minus their first element, split at 4096,
+    and the color cache's slot for a key always holds the previous
+    same-key token's value (copy/hit updates are no-ops: the slot
+    already holds that value), so cache hits reduce to a stable
+    groupwise shift comparison. Byte identity is pinned by tests over an
+    image × parameter grid straddling the threshold."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_base = 256 + 24
+    if len(vals) < _VEC_MIN_PIXELS:
+        _emit_image_scalar(
+            bw, vals, cache_bits, cache_size, green_base, use_lz77, level0,
+            meta_bits, width,
+        )
+        return
+    v = np.asarray(vals, dtype=np.int64)
+    n = v.size
+
+    # ---- tokenize: head tokens (literal/cache) + copy runs ----
+    if n and use_lz77:
+        is_head = np.empty(n, dtype=bool)
+        is_head[0] = True
+        np.not_equal(v[1:], v[:-1], out=is_head[1:])
+        heads = np.flatnonzero(is_head)
+        tails = np.diff(np.append(heads, n)) - 1  # repeats after each head
+        hblk = np.flatnonzero(tails > 0)
+        q, r = np.divmod(tails[hblk], 4096)
+        counts = q + (r > 0)
+        tot = int(counts.sum())
+        blk = np.repeat(np.arange(hblk.size), counts)
+        ordinal = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        copy_len = np.where(ordinal < q[blk], 4096, r[blk])
+        copy_pos = heads[hblk][blk] + 1 + 4096 * ordinal
+    elif n:
+        heads = np.arange(n, dtype=np.int64)
+        copy_len = np.empty(0, dtype=np.int64)
+        copy_pos = np.empty(0, dtype=np.int64)
+    else:
+        heads = copy_len = copy_pos = np.empty(0, dtype=np.int64)
+    hv = v[heads]
+
+    # ---- classify heads: cache hit ⟺ the previous same-key head holds
+    # the same value (stable sort by key keeps index order per key) ----
+    if cache_size and heads.size:
+        hkey = (
+            (hv.astype(np.uint64) * np.uint64(_CACHE_MUL))
+            & np.uint64(0xFFFFFFFF)
+        ) >> np.uint64(32 - cache_bits)
+        hkey = hkey.astype(np.int64)
+        order = np.argsort(hkey, kind="stable")
+        ks, vs = hkey[order], hv[order]
+        hit_sorted = np.empty(heads.size, dtype=bool)
+        hit_sorted[0] = False
+        hit_sorted[1:] = (ks[1:] == ks[:-1]) & (vs[1:] == vs[:-1])
+        hit = np.empty(heads.size, dtype=bool)
+        hit[order] = hit_sorted
+    else:
+        hkey = np.zeros(heads.size, dtype=np.int64)
+        hit = np.zeros(heads.size, dtype=bool)
+
+    csym = _LZ_SYM_TAB[copy_len]
+    cextra = _LZ_EXTRA_TAB[copy_len]
+    cbits = _LZ_EBITS_TAB[copy_len]
+    dsym, dextra, dnb = _lz_symbol(_DIST_MAP_INDEX[(1, 0)])
+
+    if meta_bits is not None:
+        if not level0 or width is None:
+            raise ValueError("meta-prefix needs level0 and an image width")
+        tiles_w = (width + (1 << meta_bits) - 1) >> meta_bits
+        tiles_h = ((n // width) + (1 << meta_bits) - 1) >> meta_bits
+        ty, tx = np.meshgrid(
+            np.arange(tiles_h), np.arange(tiles_w), indexing="ij"
+        )
+        tile_groups_arr = ((tx + ty) % 2).ravel()
+        tile_groups = [int(g) for g in tile_groups_arr]
+        n_groups = int(tile_groups_arr.max()) + 1
+
+        def group_of_vec(pos: np.ndarray) -> np.ndarray:
+            return tile_groups_arr[
+                ((pos // width) >> meta_bits) * tiles_w
+                + ((pos % width) >> meta_bits)
+            ]
+    else:
+        n_groups = 1
+
+        def group_of_vec(pos: np.ndarray) -> np.ndarray:
+            return np.zeros(pos.size, dtype=np.int64)
+
+    g_head = group_of_vec(heads)
+    g_copy = group_of_vec(copy_pos)
+
+    ha = (hv >> 24) & 0xFF
+    hr = (hv >> 16) & 0xFF
+    hg = (hv >> 8) & 0xFF
+    hbl = hv & 0xFF
+    lit = ~hit
+    freqs = []
+    for g in range(n_groups):
+        mh = g_head == g
+        m0 = mh & lit
+        mc = g_copy == g
+        f0 = np.zeros(green_base + cache_size, dtype=np.int64)
+        f0[:256] = np.bincount(hg[m0], minlength=256)
+        f0[256 : 256 + 24] = np.bincount(csym[mc], minlength=24)
+        if cache_size:
+            f0[green_base:] = np.bincount(hkey[mh & hit], minlength=cache_size)
+        f4 = np.zeros(40, dtype=np.int64)
+        f4[dsym] = int(mc.sum())
+        freqs.append(
+            [
+                f0.tolist(),
+                np.bincount(hr[m0], minlength=256).tolist(),
+                np.bincount(hbl[m0], minlength=256).tolist(),
+                np.bincount(ha[m0], minlength=256).tolist(),
+                f4.tolist(),
+            ]
+        )
+
+    group_lengths = [
+        [_huffman_lengths(f, 15) for f in fq] for fq in freqs
+    ]
+    # Codebooks as (n_groups, alphabet) arrays of pre-reversed codes and
+    # lengths — the emission below is pure fancy indexing (same bits on
+    # the wire as the MSB-first tree-walk order).
+    alphabets = (green_base + cache_size, 256, 256, 256, 40)
+    gc_code = [np.zeros((n_groups, a), dtype=np.int64) for a in alphabets]
+    gc_bits = [np.zeros((n_groups, a), dtype=np.int64) for a in alphabets]
+    for gi, lengths in enumerate(group_lengths):
+        for ci, l in enumerate(lengths):
+            cb = _canonical_codes(l)
+            if len(cb) == 1:  # single-symbol codes are read with 0 bits
+                cb[next(iter(cb))] = (0, 0)
+            for s, (c, nb) in cb.items():
+                gc_code[ci][gi, s] = _rev_bits(c, nb)
+                gc_bits[ci][gi, s] = nb
+
+    if cache_size:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if level0:
+        if meta_bits is not None:
+            bw.write(1, 1)  # meta-prefix image follows
+            bw.write(meta_bits - 2, 3)
+            # entropy image: meta index = (red << 8) | green
+            _emit_image(
+                bw,
+                [0xFF000000 | (g << 8) for g in tile_groups],
+                0,
+                True,
+                level0=False,
+            )
+        else:
+            bw.write(0, 1)  # no meta-prefix image
+    for lengths in group_lengths:
+        for l in lengths:
+            _write_prefix_code(bw, l)
+
+    # ---- vectorized emission: tokens in position order, each token's
+    # fields contiguous (lit: g,r,b,a codes; copy: len code, len extra,
+    # dist code, dist extra — zero-width fields are no-ops in write_many,
+    # exactly like the scalar loop's skipped writes; cache: one code) ----
+    n_head, n_copy = heads.size, copy_pos.size
+    if n_head + n_copy == 0:
+        return
+    order = np.argsort(np.concatenate([heads, copy_pos]))
+    t_copy = np.concatenate(
+        [np.zeros(n_head, dtype=bool), np.ones(n_copy, dtype=bool)]
+    )[order]
+    t_hit = np.concatenate([hit, np.zeros(n_copy, dtype=bool)])[order]
+    zc = np.zeros(n_copy, dtype=np.int64)
+    zh = np.zeros(n_head, dtype=np.int64)
+    t_grp = np.concatenate([g_head, g_copy])[order]
+    t_g = np.concatenate([hg, zc])[order]
+    t_r = np.concatenate([hr, zc])[order]
+    t_b = np.concatenate([hbl, zc])[order]
+    t_a = np.concatenate([ha, zc])[order]
+    t_key = np.concatenate([hkey, zc])[order]
+    t_csym = np.concatenate([zh, csym])[order]
+    t_cextra = np.concatenate([zh, cextra])[order]
+    t_cbits = np.concatenate([zh, cbits])[order]
+
+    fcount = np.where(t_hit, 1, 4)
+    base = np.cumsum(fcount) - fcount
+    nfields = int(base[-1] + fcount[-1])
+    fv = np.zeros(nfields, dtype=np.int64)
+    fb = np.zeros(nfields, dtype=np.int64)
+
+    mlit = ~t_copy & ~t_hit
+    bl = base[mlit]
+    gl = t_grp[mlit]
+    fv[bl] = gc_code[0][gl, t_g[mlit]]
+    fb[bl] = gc_bits[0][gl, t_g[mlit]]
+    fv[bl + 1] = gc_code[1][gl, t_r[mlit]]
+    fb[bl + 1] = gc_bits[1][gl, t_r[mlit]]
+    fv[bl + 2] = gc_code[2][gl, t_b[mlit]]
+    fb[bl + 2] = gc_bits[2][gl, t_b[mlit]]
+    fv[bl + 3] = gc_code[3][gl, t_a[mlit]]
+    fb[bl + 3] = gc_bits[3][gl, t_a[mlit]]
+
+    bc = base[t_copy]
+    gcp = t_grp[t_copy]
+    fv[bc] = gc_code[0][gcp, 256 + t_csym[t_copy]]
+    fb[bc] = gc_bits[0][gcp, 256 + t_csym[t_copy]]
+    fv[bc + 1] = t_cextra[t_copy]
+    fb[bc + 1] = t_cbits[t_copy]
+    fv[bc + 2] = gc_code[4][gcp, dsym]
+    fb[bc + 2] = gc_bits[4][gcp, dsym]
+    fv[bc + 3] = dextra
+    fb[bc + 3] = dnb
+
+    bk = base[t_hit]
+    gk = t_grp[t_hit]
+    fv[bk] = gc_code[0][gk, green_base + t_key[t_hit]]
+    fb[bk] = gc_bits[0][gk, green_base + t_key[t_hit]]
+
+    bw.write_many(fv, fb)
 
 
 def _s8(x):

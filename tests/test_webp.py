@@ -661,3 +661,31 @@ def test_repeated_transform_type_is_rejected():
     )
     with pytest.raises(ValueError, match="repeated"):
         decode_webp(forged)
+
+
+def test_scalar_and_vectorized_emit_paths_byte_identical(monkeypatch):
+    """Round 15: _emit_image routes small inputs through the scalar token
+    loop and large ones through the vectorized pipeline (crossover
+    _VEC_MIN_PIXELS). Forcing each path over the SAME images — sizes
+    straddling the production threshold, the full parameter grid — must
+    yield identical bytes: the vectorized tokenize/cache/emission is a
+    pure reformulation, not a format change."""
+    from data_lake_medallion_architecture_project_spark.operators import webp
+
+    params = [
+        dict(),
+        dict(cache_bits=0),
+        dict(cache_bits=2),
+        dict(predictor=True, cross_color=True, meta_prefix_bits=2),
+        dict(meta_prefix_bits=3),
+    ]
+    rng = np.random.default_rng(5)
+    flat = np.full((50, 50, 3), 9, dtype=np.uint8)  # run/copy-heavy
+    for img in (_texture(6, 40, 40), _texture(7, 64, 64), flat):
+        for kw in params:
+            monkeypatch.setattr(webp, "_VEC_MIN_PIXELS", 1 << 30)
+            scalar_bytes = webp.encode_webp(img, **kw)
+            monkeypatch.setattr(webp, "_VEC_MIN_PIXELS", 0)
+            vector_bytes = webp.encode_webp(img, **kw)
+            assert scalar_bytes == vector_bytes, kw
+            assert (decode_webp(vector_bytes) == img).all()
