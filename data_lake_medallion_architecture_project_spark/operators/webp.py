@@ -262,6 +262,14 @@ _TABLE_MAX_BITS = 12
 
 def _build_tree(lengths: list[int]) -> "_Table | _Tree":
     used = [s for s, l in enumerate(lengths) if l > 0]
+    if not used:
+        # Empty code (a symbol class the stream never uses, e.g. the
+        # distance code of a copy-free image): represented as an empty
+        # _Table so a group of tables stays eligible for the fast token
+        # loop. Reading from it is invalid — _read_symbol reproduces the
+        # empty _Tree's exact behavior ("truncated" at EOF, "invalid
+        # prefix code path" otherwise).
+        return _Table(0, [], [], None)
     if len(used) == 1:
         # Single-symbol codes consume ZERO bits per symbol (libwebp's
         # BuildHuffmanTable special case: the lone entry gets bits=0
@@ -310,6 +318,12 @@ def _read_symbol(br: _BitReader, tree: "_Table | _Tree") -> int:
     if type(tree) is _Table:
         if tree.leaf is not None:
             return tree.leaf
+        if tree.nbits == 0:
+            # Empty code: mirror the empty tree walk — it consumed one
+            # bit (truncated at EOF) and then hit a missing child.
+            if br._n == 0 and br._pos >= len(br._data):
+                raise ValueError("truncated VP8L bitstream")
+            raise ValueError("invalid VP8L prefix code path")
         # Inline peek: top up the accumulator, zero-padding past EOF.
         # The lookup's answer depends only on the code's own (real) bits:
         # a code that fits the remaining bits decodes identically to the
@@ -1622,6 +1636,186 @@ def decode_webp(payload: bytes) -> np.ndarray:
     )
 
 
+def _read_tokens_table(
+    br: _BitReader, w: int, h: int, cache_bits: int, cache_size: int,
+    green_base: int, meta, groups,
+) -> list[int]:
+    """Token loop of :func:`_read_image` specialized to all-``_Table``
+    code groups: bit-reader state lives in locals and every symbol read
+    is an inlined fill → mask → lookup (the generic loop pays a Python
+    call per symbol). Byte-for-byte the same decode and the same
+    "truncated VP8L bitstream" contract — a symbol or extra-bits field
+    raises exactly when it needs a bit past EOF."""
+    data = br._data
+    dlen = len(data)
+    pos, acc, bits = br._pos, br._acc, br._n
+    n = w * h
+    out = [0] * n
+    cache = [0] * cache_size
+    key_shift = (32 - cache_bits) if cache_bits else 0
+    mul = _CACHE_MUL
+    if meta is not None:
+        meta_bits, tiles_w, meta_idx = meta
+    g0, g1, g2, g3, g4 = groups[0]
+    i = 0
+    while i < n:
+        if meta is not None:
+            g0, g1, g2, g3, g4 = groups[
+                meta_idx[
+                    ((i // w) >> meta_bits) * tiles_w + ((i % w) >> meta_bits)
+                ]
+            ]
+        if g0.leaf is not None:
+            sym = g0.leaf
+        elif g0.nbits == 0:  # empty code — mirror the empty tree walk
+            if bits == 0 and pos >= dlen:
+                raise ValueError("truncated VP8L bitstream")
+            raise ValueError("invalid VP8L prefix code path")
+        else:
+            tn = g0.nbits
+            while bits < tn and pos < dlen:
+                acc |= data[pos] << bits
+                pos += 1
+                bits += 8
+            idx = acc & g0.mask
+            ln = g0.lens[idx]
+            if ln > bits:
+                raise ValueError("truncated VP8L bitstream")
+            acc >>= ln
+            bits -= ln
+            sym = g0.syms[idx]
+        if sym < 256:
+            if g1.leaf is not None:
+                rr = g1.leaf
+            elif g1.nbits == 0:  # empty code — mirror the empty tree walk
+                if bits == 0 and pos >= dlen:
+                    raise ValueError("truncated VP8L bitstream")
+                raise ValueError("invalid VP8L prefix code path")
+            else:
+                tn = g1.nbits
+                while bits < tn and pos < dlen:
+                    acc |= data[pos] << bits
+                    pos += 1
+                    bits += 8
+                idx = acc & g1.mask
+                ln = g1.lens[idx]
+                if ln > bits:
+                    raise ValueError("truncated VP8L bitstream")
+                acc >>= ln
+                bits -= ln
+                rr = g1.syms[idx]
+            if g2.leaf is not None:
+                bb = g2.leaf
+            elif g2.nbits == 0:  # empty code — mirror the empty tree walk
+                if bits == 0 and pos >= dlen:
+                    raise ValueError("truncated VP8L bitstream")
+                raise ValueError("invalid VP8L prefix code path")
+            else:
+                tn = g2.nbits
+                while bits < tn and pos < dlen:
+                    acc |= data[pos] << bits
+                    pos += 1
+                    bits += 8
+                idx = acc & g2.mask
+                ln = g2.lens[idx]
+                if ln > bits:
+                    raise ValueError("truncated VP8L bitstream")
+                acc >>= ln
+                bits -= ln
+                bb = g2.syms[idx]
+            if g3.leaf is not None:
+                aa = g3.leaf
+            elif g3.nbits == 0:  # empty code — mirror the empty tree walk
+                if bits == 0 and pos >= dlen:
+                    raise ValueError("truncated VP8L bitstream")
+                raise ValueError("invalid VP8L prefix code path")
+            else:
+                tn = g3.nbits
+                while bits < tn and pos < dlen:
+                    acc |= data[pos] << bits
+                    pos += 1
+                    bits += 8
+                idx = acc & g3.mask
+                ln = g3.lens[idx]
+                if ln > bits:
+                    raise ValueError("truncated VP8L bitstream")
+                acc >>= ln
+                bits -= ln
+                aa = g3.syms[idx]
+            v = (aa << 24) | (rr << 16) | (sym << 8) | bb
+            out[i] = v
+            if cache_size:
+                cache[((v * mul) & 0xFFFFFFFF) >> key_shift] = v
+            i += 1
+        elif sym < green_base:
+            ls = sym - 256
+            if ls < 4:
+                length = ls + 1
+            else:
+                eb = (ls - 2) >> 1
+                while bits < eb and pos < dlen:
+                    acc |= data[pos] << bits
+                    pos += 1
+                    bits += 8
+                if eb > bits:
+                    raise ValueError("truncated VP8L bitstream")
+                length = ((2 + (ls & 1)) << eb) + (acc & ((1 << eb) - 1)) + 1
+                acc >>= eb
+                bits -= eb
+            if g4.leaf is not None:
+                dsym = g4.leaf
+            elif g4.nbits == 0:  # empty code — mirror the empty tree walk
+                if bits == 0 and pos >= dlen:
+                    raise ValueError("truncated VP8L bitstream")
+                raise ValueError("invalid VP8L prefix code path")
+            else:
+                tn = g4.nbits
+                while bits < tn and pos < dlen:
+                    acc |= data[pos] << bits
+                    pos += 1
+                    bits += 8
+                idx = acc & g4.mask
+                ln = g4.lens[idx]
+                if ln > bits:
+                    raise ValueError("truncated VP8L bitstream")
+                acc >>= ln
+                bits -= ln
+                dsym = g4.syms[idx]
+            if dsym < 4:
+                dcode = dsym + 1
+            else:
+                eb = (dsym - 2) >> 1
+                while bits < eb and pos < dlen:
+                    acc |= data[pos] << bits
+                    pos += 1
+                    bits += 8
+                if eb > bits:
+                    raise ValueError("truncated VP8L bitstream")
+                dcode = ((2 + (dsym & 1)) << eb) + (acc & ((1 << eb) - 1)) + 1
+                acc >>= eb
+                bits -= eb
+            dist = _map_distance(dcode, w)
+            if dist > i:
+                raise ValueError("VP8L backward reference before image start")
+            if i + length > n:
+                raise ValueError("VP8L copy runs past the image")
+            if cache_size:
+                for _ in range(length):
+                    v = out[i - dist]
+                    out[i] = v
+                    cache[((v * mul) & 0xFFFFFFFF) >> key_shift] = v
+                    i += 1
+            else:
+                for _ in range(length):
+                    out[i] = out[i - dist]
+                    i += 1
+        else:
+            out[i] = cache[sym - green_base]
+            i += 1
+    br._pos, br._acc, br._n = pos, acc, bits
+    return out
+
+
 def _read_image(br: _BitReader, w: int, h: int, level0: bool) -> list[int]:
     """Read one entropy-coded ARGB image stream (the unit both the main
     image and transform sub-images are stored as) → row-major ARGB ints.
@@ -1656,6 +1850,19 @@ def _read_image(br: _BitReader, w: int, h: int, level0: bool) -> list[int]:
         )
         for _ in range(n_groups)
     ]
+
+    if all(type(t) is _Table for grp in groups for t in grp):
+        # Every code is a flat table (Kraft-complete — all self-encoded
+        # and valid external streams): run the token loop with the bit
+        # state in locals and the table lookups inlined, which removes
+        # one Python call per symbol (~4 per literal pixel, the measured
+        # majority of photo-sized decode). Identical bytes-in/pixels-out
+        # and identical truncation errors; streams carrying malformed
+        # (incomplete/over-subscribed) codes still build _Tree decoders
+        # and take the generic loop below with its exact error behavior.
+        return _read_tokens_table(
+            br, w, h, cache_bits, cache_size, green_base, meta, groups
+        )
 
     n = w * h
     out = [0] * n
