@@ -60,6 +60,10 @@ def _dot_seq_arrow_fn():
     """
     @F.pandas_udf("double")
     def dot_seq_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            # np.stack raises on an empty batch; an empty Series is the
+            # correct (and only) answer for one.
+            return pd.Series(np.empty(0, dtype=np.float64))
         av = np.stack(a.to_numpy())
         bv = np.stack(b.to_numpy())
         prods = av * bv
@@ -75,8 +79,18 @@ def _dot_seq_arrow_fn():
     return dot_seq_arrow
 
 
+# Built once on first use and cached: the udf object is stateless and
+# re-wrapping it per dot_arrow() call re-pickled the function for every query
+# build (ADVICE r15). Lazy rather than import-time because pandas_udf parses
+# its DDL return type through the active SparkContext.
+_DOT_SEQ_ARROW = None
+
+
 def dot_arrow(a: Column, b: Column) -> Column:
     """Sequential-fold dot product, Arrow-vectorized — bit-equal to
     :func:`dot` (see :func:`_dot_seq_arrow_fn`); use on pair-grain
     relations where the interpreted fold is the bottleneck."""
-    return _dot_seq_arrow_fn()(a, b)
+    global _DOT_SEQ_ARROW
+    if _DOT_SEQ_ARROW is None:
+        _DOT_SEQ_ARROW = _dot_seq_arrow_fn()
+    return _DOT_SEQ_ARROW(a, b)

@@ -901,10 +901,12 @@ def _sem_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                # Guard BEFORE np.stack: stacking zero arrays raises
+                # (ADVICE r15) — an empty batch simply yields nothing.
+                continue
             e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, d)
             n = e.shape[0]
-            if n == 0:
-                continue
             # Sequential-fold dot against each centroid and the self-norm:
             # products are exact IEEE doubles; accumulate is the fold's
             # left-to-right order with the same 0.0 seed.

